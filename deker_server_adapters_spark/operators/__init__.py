@@ -1,0 +1,41 @@
+"""Operator registry.
+
+Each operator module exposes ``OPS: dict[str, Op]``. ``Op.builder`` is a
+``(spark, sf_dir) -> DataFrame`` callable (idiomatic DataFrame API);
+``Op.oracle`` is the ANSI-SQL twin DuckDB runs on the same parquet for
+the driver's correctness gate (None for non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Op:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None
+    headline: bool = False  # included in bench.py
+
+
+def all_ops() -> dict[str, "Op"]:
+    from deker_server_adapters_spark.operators import (
+        arrays,
+        dedup,
+        events,
+        similarity,
+        text,
+        tpch,
+    )
+
+    merged: dict[str, Op] = {}
+    for mod in (tpch, events, dedup, similarity, text, arrays):
+        for name, op in mod.OPS.items():
+            if name in merged:
+                raise ValueError(f"duplicate operator name {name!r}")
+            merged[name] = op
+    return merged

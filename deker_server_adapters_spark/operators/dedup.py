@@ -1,0 +1,318 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Five families, each the standard large-corpus technique:
+
+- exact:          hash-groupBy on normalized text (one shuffle).
+- n-gram Jaccard: shingle inverted index self-join; a document-frequency
+                  ceiling on shingles bounds the pair blowup (the same
+                  role LSH banding plays) so the join never goes
+                  quadratic in corpus size.
+- MinHash + LSH:  K seeded min-hashes → bands → bucket join → verify on
+                  signature agreement. Only bucket-mates are paired.
+- SimHash:        16-bit sign-of-weighted-sum sketch; near-dups =
+                  small Hamming distance (bit_count of xor).
+- embedding:      cosine >= threshold pairs; brute force here (the
+                  oracle-checkable baseline), LSH-bucketed variant in
+                  ``similarity.py`` is the 100 TB path.
+
+All hashing is the portable md5-prefix (``functions/hashing.py``) so
+DuckDB verifies bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.tables import load_table
+
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"split({_NORM}, ' ')"
+_TOKENS_DUCK = f"string_split({_NORM_DUCK}, ' ')"
+
+# word 5-gram shingles
+_SHINGLE_N = 5
+_SHINGLES = (
+    f"transform(sequence(1, greatest(size({_TOKENS}) - {_SHINGLE_N - 1}, 1)), "
+    f"i -> array_join(slice({_TOKENS}, i, {_SHINGLE_N}), ' '))"
+)
+_SHINGLES_DUCK = (
+    f"list_transform(range(1, greatest(len({_TOKENS_DUCK}) - {_SHINGLE_N - 1}, 1) + 1), "
+    f"i -> array_to_string({_TOKENS_DUCK}[i:i+{_SHINGLE_N - 1}], ' '))"
+)
+
+_DF_CEILING = 200  # drop shingles present in more docs than this (stopword shingles)
+_MINHASH_K = 12
+_BAND_SIZE = 2
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(f"md5({_NORM})").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+EXACT_SQL = f"""
+SELECT md5({_NORM_DUCK}) AS text_hash,
+       count(*) AS n_dups, min(doc_id) AS canonical_doc_id
+FROM documents
+GROUP BY text_hash
+"""
+
+
+def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs with word-5-gram Jaccard >= 0.5."""
+    sh = _shingle_table(spark, sf_dir)
+    # document-frequency ceiling: ubiquitous shingles carry no signal and
+    # explode the join — same pruning a production pipeline applies.
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CEILING)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_DF_CEILING}
+), shr AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shr GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) >= 0.5
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form minhash signature table: (doc_id, seed, minh)."""
+    sh = _shingle_table(spark, sf_dir)
+    seeds = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':', shingle)), 1, 8), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(K=12)/LSH(band=2) near-dup pairs with signature-agreement
+    estimate >= 0.5. Candidate pairs come only from shared LSH buckets."""
+    sigs = _signatures(spark, sf_dir)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda s: s["minh"].cast("string"),
+                ),
+                ",",
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("minh").alias("minh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("minh").alias("minh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0))
+                / F.lit(float(_MINHASH_K)),
+                4,
+            ).alias("est_jaccard")
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed,
+         CAST(min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 8) AS UBIGINT)) AS BIGINT) AS minh
+  FROM sh, range({_MINHASH_K}) r(seed)
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+GROUP BY doc_a, doc_b
+HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup pairs (Hamming distance <= 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
+    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
+    contrib = toks.crossJoin(F.broadcast(bits)).select(
+        "doc_id",
+        "bit",
+        F.expr(
+            "CASE WHEN (CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) >> bit) % 2 = 1 "
+            "THEN 1 ELSE -1 END"
+        ).alias("c"),
+    )
+    simhash = (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash"))
+    )
+    a = simhash.alias("a")
+    b = simhash.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), contrib AS (
+  SELECT doc_id, CAST(bit AS INT) AS bit,
+         CASE WHEN (CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) >> CAST(bit AS INT)) % 2 = 1
+              THEN 1 ELSE -1 END AS c
+  FROM toks, range({_SIMHASH_BITS}) r(bit)
+), sums AS (
+  SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= 0.95 (brute-force baseline;
+    ``ann_lsh_cosine`` is the bucketed scale path)."""
+    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+EMBED_DEDUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.95
+"""
+
+
+OPS = {
+    "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),
+    "dedup_ngram_jaccard": Op("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": Op("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
+    "dedup_simhash": Op("dedup_simhash", dedup_simhash, SIMHASH_SQL),
+    "dedup_embedding": Op("dedup_embedding", dedup_embedding, EMBED_DEDUP_SQL),
+}

@@ -1,0 +1,179 @@
+"""Temporal / event-stream operators (batch forms).
+
+Streaming twins live in ``streaming/`` — these batch forms are what the
+DuckDB oracle can verify, and they share the same window semantics.
+
+Scale notes: every window is partitioned by ``user_id`` (high
+cardinality → even shuffle); the as-of join is the union-window trick
+(one shuffle, no range-join explosion) — the standard way to make as-of
+joins scale to billions of rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
+FROM {EVENTS_DUCK}
+GROUP BY window_start, event_type
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-minute silence starts a new session."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    with_sid = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sid.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM {EVENTS_DUCK}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS session_value,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")).over(w), 2).cast("double").alias("running_value"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("event_seq"),
+    )
+
+
+RUNNING_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_seq
+FROM {EVENTS_DUCK}
+"""
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each ``error`` event, the value of the same user's most recent
+    strictly-prior ``purchase``.
+
+    Implemented as a single ordered window over the union (the
+    'last non-null before me' trick) instead of a range join — one
+    shuffle on user_id, linear scan per partition, no pair blowup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        ev.withColumn("last_purchase_value", F.last(purchase_val, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "value", "last_purchase_value")
+    )
+
+
+ASOF_SQL = f"""
+SELECT event_id, user_id, ts, value, last_purchase_value
+FROM (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_purchase_value
+  FROM {EVENTS_DUCK}
+) t
+WHERE event_type = 'error'
+"""
+
+
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("purchase_volume"),
+        )
+        .orderBy(F.desc("purchase_volume"), "user_id")
+        .limit(10)
+    )
+
+
+TOP_USERS_SQL = f"""
+SELECT user_id, count(*) AS n_purchases, CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS purchase_volume
+FROM {EVENTS_DUCK}
+WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY purchase_volume DESC, user_id
+LIMIT 10
+"""
+
+
+OPS = {
+    "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_sessionization": Op(
+        "events_sessionization", events_sessionization, SESSION_SQL, headline=True
+    ),
+    "events_running_totals": Op("events_running_totals", events_running_totals, RUNNING_SQL),
+    "events_asof_join": Op("events_asof_join", events_asof_join, ASOF_SQL),
+    "events_top_users": Op("events_top_users", events_top_users, TOP_USERS_SQL),
+}

@@ -1,0 +1,148 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``).
+
+- ``ann_cosine_topk``: brute-force cosine top-k — the exact baseline.
+  Query set is broadcast; candidate scan is embarrassingly parallel,
+  so on a cluster this is one pass over the big side (fine for small
+  Q, the usual "score a probe set" shape).
+- ``ann_lsh_cosine``: random-hyperplane LSH — signature buckets bound
+  the candidate set, then exact re-rank inside buckets. This is the
+  100 TB path: the bucket join replaces the full cross product.
+  Hyperplanes are md5-seeded ±1 vectors (deterministic, no RNG state).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from deker_server_adapters_spark.functions.vectors import cosine_similarity, dot
+from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.tables import load_table
+
+_N_QUERIES = 10
+_TOP_K = 5
+_N_PLANES = 8
+_DIM = 64
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+ANN_TOPK_SQL = f"""
+SELECT query_id, neighbor_id, cosine, rnk
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                      c.vec_id) AS INT) AS rnk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+) t
+WHERE rnk <= {_TOP_K}
+"""
+
+
+def _hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 — reproducible across runs
+    and engines, no RNG state to ship."""
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{j}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:8], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(emb: DataFrame, n_planes: int = _N_PLANES) -> DataFrame:
+    """Add a ``bucket`` column: sign-bit signature over the hyperplanes."""
+    planes = _hyperplanes(n_planes)
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        pl = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
+        sig = sig + F.shiftleft(bit, j)
+    return emb.withColumn("bucket", sig)
+
+
+def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket,
+    exact cosine re-rank inside. (Rows-only check; recall vs brute
+    force is asserted in tests.)"""
+    emb = lsh_signatures(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "bucket"
+    )
+    scored = (
+        cand.join(F.broadcast(queries), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + dispersion — the IVF coarse-quantizer step
+    (centroids here are the 'inverted file' cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "v")
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v"), 6).alias("centroid_v"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_dims"),
+            F.round(F.sum(F.abs(F.col("centroid_v")).cast("decimal(30,12)")), 4).cast("double").alias("centroid_l1"),
+        )
+    )
+
+
+CENTROID_SQL = """
+WITH exploded AS (
+  SELECT label, CAST(u.i - 1 AS INT) AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+), cents AS (
+  SELECT label, dim, round(CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(v), 6) AS centroid_v
+  FROM exploded GROUP BY label, dim
+)
+SELECT label, count(*) AS n_dims, CAST(round(sum(CAST(abs(centroid_v) AS DECIMAL(30,12))), 4) AS DOUBLE) AS centroid_l1
+FROM cents GROUP BY label
+"""
+
+
+OPS = {
+    "ann_cosine_topk": Op("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True),
+    "ann_lsh_cosine": Op("ann_lsh_cosine", ann_lsh_cosine, None),
+    "label_centroids": Op("label_centroids", label_centroids, CENTROID_SQL),
+}

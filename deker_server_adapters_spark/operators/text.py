@@ -1,0 +1,171 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All pure Catalyst expressions (regexp/split/higher-order array
+functions) — no Python UDFs, so the whole pipeline stays inside
+whole-stage codegen and scales linearly with input bytes.
+Each op has a DuckDB oracle twin built from the same primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.tables import load_table
+
+# Normalized text / token helpers (Spark SQL + DuckDB twins).
+_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+_NORM_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKENS = f"split({_NORM}, ' ')"
+_TOKENS_DUCK = f"string_split({_NORM_DUCK}, ' ')"
+
+# BPE-ish token regex: words | digit runs | single non-alnum glyph.
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+_LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "das"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_ws_tokens"),
+        F.expr(f"size(regexp_extract_all({_NORM}, '{_BPE_RE}', 0))")
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all({_NORM_DUCK}, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: stopword ratio, mean token length, punctuation
+    density → weighted score. (C4/Gopher-style filters, simplified.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tokens = f"size({_TOKENS})"
+    stop_ratio = f"size(filter({_TOKENS}, t -> t IN ({sw}))) / CAST({n_tokens} AS DOUBLE)"
+    mean_tok_len = f"length(regexp_replace({_NORM}, ' ', '')) / CAST({n_tokens} AS DOUBLE)"
+    punct_ratio = "length(regexp_replace(text, '[^.!?,;:]', '')) / CAST(length(text) AS DOUBLE)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST({n_tokens} AS BIGINT)").alias("n_tokens"),
+        F.expr(f"round({stop_ratio}, 4)").alias("stopword_ratio"),
+        F.expr(f"round({mean_tok_len}, 4)").alias("mean_token_len"),
+        F.expr(f"round({punct_ratio}, 4)").alias("punct_ratio"),
+        F.expr(
+            f"round(0.5 * ({stop_ratio}) + 0.1 * ({mean_tok_len}) - 0.4 * ({punct_ratio}), 4)"
+        ).alias("quality_score"),
+    )
+
+
+def _quality_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tokens = f"len({_TOKENS_DUCK})"
+    stop_ratio = f"len(list_filter({_TOKENS_DUCK}, t -> t IN ({sw}))) / CAST({n_tokens} AS DOUBLE)"
+    mean_tok_len = f"length(regexp_replace({_NORM_DUCK}, ' ', '', 'g')) / CAST({n_tokens} AS DOUBLE)"
+    punct_ratio = (
+        "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({n_tokens} AS BIGINT) AS n_tokens,
+       round({stop_ratio}, 4) AS stopword_ratio,
+       round({mean_tok_len}, 4) AS mean_token_len,
+       round({punct_ratio}, 4) AS punct_ratio,
+       round(0.5 * ({stop_ratio}) + 0.1 * ({mean_tok_len}) - 0.4 * ({punct_ratio}), 4) AS quality_score
+FROM documents
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scores + argmax prediction (n-gram
+    heuristic LID; real corpora would use char-trigram profiles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    score_exprs = {}
+    for lang, markers in _LANG_MARKERS.items():
+        mk = ", ".join(f"'{m}'" for m in markers)
+        score_exprs[lang] = f"size(filter({_TOKENS}, t -> t IN ({mk})))"
+    langs = list(_LANG_MARKERS)
+    pred = "CASE "
+    for lang in langs:
+        others = [f"{score_exprs[lang]} >= {score_exprs[o]}" for o in langs if o != lang]
+        pred += f"WHEN {' AND '.join(others)} THEN '{lang}' "
+    pred += "END"
+    cols = [F.col("doc_id"), F.col("lang").alias("labeled_lang")]
+    cols += [
+        F.expr(f"CAST({e} AS BIGINT)").alias(f"score_{lang}") for lang, e in score_exprs.items()
+    ]
+    cols.append(F.expr(pred).alias("predicted_lang"))
+    return docs.select(*cols)
+
+
+def _lang_id_sql() -> str:
+    score_exprs = {}
+    for lang, markers in _LANG_MARKERS.items():
+        mk = ", ".join(f"'{m}'" for m in markers)
+        score_exprs[lang] = f"len(list_filter({_TOKENS_DUCK}, t -> t IN ({mk})))"
+    langs = list(_LANG_MARKERS)
+    pred = "CASE "
+    for lang in langs:
+        others = [f"{score_exprs[lang]} >= {score_exprs[o]}" for o in langs if o != lang]
+        pred += f"WHEN {' AND '.join(others)} THEN '{lang}' "
+    pred += "END"
+    scores = ",\n       ".join(
+        f"CAST({e} AS BIGINT) AS score_{lang}" for lang, e in score_exprs.items()
+    )
+    return f"""
+SELECT doc_id, lang AS labeled_lang,
+       {scores},
+       {pred} AS predicted_lang
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: min 32-bit hash over char-8 shingles
+    (the minimum of a rolling-hash window set). Identical md5-prefix
+    hash on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingle_hashes = (
+        f"transform(sequence(1, greatest(length({_NORM}) - 7, 1)), "
+        f"i -> CAST(conv(substr(md5(substr({_NORM}, i, 8)), 1, 8), 16, 10) AS BIGINT))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"array_min({shingle_hashes})").alias("fingerprint"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CAST(list_min(list_transform(range(1, greatest(length({_NORM_DUCK}) - 7, 1) + 1),
+            i -> CAST('0x' || substr(md5(substr({_NORM_DUCK}, i, 8)), 1, 8) AS UBIGINT))) AS BIGINT)
+         AS fingerprint
+FROM documents
+"""
+
+
+OPS = {
+    "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
+    "text_quality_score": Op("text_quality_score", text_quality_score, _quality_sql()),
+    "text_lang_id": Op("text_lang_id", text_lang_id, _lang_id_sql()),
+    "text_fingerprint": Op("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
+}

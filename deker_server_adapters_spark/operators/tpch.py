@@ -1,0 +1,671 @@
+"""Relational query core — TPC-H adapted to the test schema.
+
+Every builder is pure DataFrame API (Catalyst plans the joins; dims are
+explicitly broadcast where a 100 TB run would want a broadcast-hash
+join). Every ``oracle`` is the ANSI-SQL twin DuckDB verifies.
+
+Float policy: double sums are order-dependent (partition order differs
+between engines and across cluster sizes), so every money/quantity
+aggregate is accumulated in exact DECIMAL(30,6) and only then rounded
+and cast back to double — bit-identical on any engine at any
+parallelism. (``dsum`` / ``davg`` below; the SQL twins use the same
+construction.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent rounded sum: exact decimal accumulation."""
+    return F.round(F.sum(col.cast("decimal(30,6)")), scale).cast("double")
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    """Order-independent rounded average (decimal sum / count)."""
+    return F.round(F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(col), scale)
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(30,6))), {scale}) AS DOUBLE)"
+
+
+def davg_sql(expr: str, scale: int = 4) -> str:
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / count({expr}), {scale})"
+
+
+# --- q1: pricing summary report (TPC-H Q1) -------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE)                                    AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE)                               AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE)            AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 4)                                    AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice), 4)                               AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 4)                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q3: unshipped-order revenue (TPC-H Q3, no shippriority col) ----------
+
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate  > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q4: order priority checking (EXISTS → semi join) ---------------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# --- q5: local supplier volume (TPC-H Q5) ---------------------------------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --- q6: forecasting revenue change (TPC-H Q6) ----------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+Q6_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- q7: volume shipping between two nations (TPC-H Q7) -------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem, orders, customer, supplier, nation n1, nation n2
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- q9: product-type profit (TPC-H Q9; cost = 0.6 * retail) ---------------
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("rod"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%rod%'
+GROUP BY n_name, o_year
+"""
+
+
+# --- q10: returned-item reporting (TPC-H Q10) ------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- q12: late shipping by priority class (TPC-H Q12 adapted) --------------
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bucket = F.when(F.datediff("l_shipdate", "o_orderdate") > 90, "late").otherwise("ontime")
+    high = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+    return (
+        joined.withColumn("ship_bucket", bucket)
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY ship_bucket
+"""
+
+
+# --- q13: customer order-count distribution (TPC-H Q13) --------------------
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q14: promotion effect (TPC-H Q14) -------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo.cast("decimal(30,6)")).cast("double")
+                / F.sum(rev.cast("decimal(30,6)")).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+# --- q16: parts/supplier relationship (TPC-H Q16 via lineitem) --------------
+
+def q16_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- q18: large-volume customers (TPC-H Q18) --------------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tot_qty"))
+        .filter(F.col("tot_qty") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- q19: discounted revenue (TPC-H Q19 OR-of-ANDs) --------------------------
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#1' AND l_quantity BETWEEN 1  AND 11 AND p_size BETWEEN 1 AND 5)
+    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))
+"""
+
+
+# --- q22: global sales opportunity (TPC-H Q22 adapted, no phone col) ---------
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double") / F.count("c_acctbal")).alias("avg_bal")
+        )
+    )
+    rich = cust.crossJoin(broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+SELECT c_nationkey, count(*) AS numcust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,6))), 2) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / count(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+# --- window / set-op extras --------------------------------------------------
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rnk")
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rnk
+FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+             rank() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+      FROM part) t
+WHERE rnk <= 3
+"""
+
+
+def customer_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+       coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+NO_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    frequent = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("total_spent"))
+        .filter(F.col("n_orders") >= 12)
+    )
+    return frequent.join(cust, frequent.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "n_orders", "total_spent"
+    )
+
+
+REPEAT_BUYERS_SQL = """
+SELECT c_custkey, c_name, n_orders, total_spent
+FROM (SELECT o_custkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_spent
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 12) f
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+OPS = {
+    "q1_pricing_summary": Op("q1_pricing_summary", q1_pricing_summary, Q1_SQL, headline=True),
+    "q3_unshipped_revenue": Op("q3_unshipped_revenue", q3_unshipped_revenue, Q3_SQL),
+    "q4_order_priority": Op("q4_order_priority", q4_order_priority, Q4_SQL),
+    "q5_local_supplier_volume": Op(
+        "q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL, headline=True
+    ),
+    "q6_forecast_revenue": Op("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL),
+    "q7_volume_shipping": Op("q7_volume_shipping", q7_volume_shipping, Q7_SQL),
+    "q9_product_profit": Op("q9_product_profit", q9_product_profit, Q9_SQL, headline=True),
+    "q10_returned_items": Op("q10_returned_items", q10_returned_items, Q10_SQL),
+    "q12_priority_shipping": Op("q12_priority_shipping", q12_priority_shipping, Q12_SQL),
+    "q13_customer_distribution": Op(
+        "q13_customer_distribution", q13_customer_distribution, Q13_SQL
+    ),
+    "q14_promo_revenue": Op("q14_promo_revenue", q14_promo_revenue, Q14_SQL),
+    "q16_brand_supplier_counts": Op(
+        "q16_brand_supplier_counts", q16_brand_supplier_counts, Q16_SQL
+    ),
+    "q18_large_orders": Op("q18_large_orders", q18_large_orders, Q18_SQL, headline=True),
+    "q19_discounted_revenue": Op("q19_discounted_revenue", q19_discounted_revenue, Q19_SQL),
+    "q22_global_sales_opportunity": Op(
+        "q22_global_sales_opportunity", q22_global_sales_opportunity, Q22_SQL
+    ),
+    "top_parts_per_brand": Op("top_parts_per_brand", top_parts_per_brand, TOP_PARTS_SQL),
+    "customer_order_rollup": Op("customer_order_rollup", customer_order_rollup, ROLLUP_SQL),
+    "customers_without_orders": Op(
+        "customers_without_orders", customers_without_orders, NO_ORDERS_SQL
+    ),
+    "repeat_buyers": Op("repeat_buyers", repeat_buyers, REPEAT_BUYERS_SQL),
+}

@@ -1,0 +1,50 @@
+"""Local replica of the driver's DuckDB-oracle correctness check:
+row count + schema (column names) + order-insensitive value hash."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        name = os.path.basename(p).replace(".parquet", "")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(df[c]) or df[c].dtype == object and all(
+            isinstance(v, int) for v in df[c].dropna().head(5)
+        ):
+            try:
+                df[c] = df[c].astype("int64")
+            except (ValueError, TypeError, OverflowError):
+                pass
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
+    sp = spark_df.toPandas()
+    if len(sp) != len(duck_df):
+        return False, f"row count {len(sp)} vs {len(duck_df)}"
+    if sorted(sp.columns) != sorted(duck_df.columns):
+        return False, f"schema {sorted(sp.columns)} vs {sorted(duck_df.columns)}"
+    a, b = _normalize(sp), _normalize(duck_df)
+    try:
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+    except AssertionError as e:
+        return False, str(e)[:800]
+    return True, "ok"

@@ -1,0 +1,38 @@
+"""Replicates the driver's correctness gate locally for EVERY
+queries()/oracle_sql() pair: row count + schema + value equality
+against DuckDB on the same parquet."""
+
+from __future__ import annotations
+
+import pytest
+
+from deker_server_adapters_spark.operators import all_ops
+from tests.oracle_utils import compare, duckdb_con
+
+_OPS = all_ops()
+_ORACLE_OPS = [name for name, op in _OPS.items() if op.oracle is not None]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb_con(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _ORACLE_OPS)
+def test_oracle_parity(spark, sf_dir, duck, name):
+    op = _OPS[name]
+    spark_df = op.builder(spark, sf_dir)
+    duck_df = duck.execute(op.oracle).fetchdf()
+    ok, msg = compare(spark_df, duck_df)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize(
+    "name", [name for name, op in _OPS.items() if op.oracle is None]
+)
+def test_rows_only_ops_run(spark, sf_dir, name):
+    df = _OPS[name].builder(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
