@@ -1,0 +1,55 @@
+"""Headline-query benchmark.
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with a count() over the final
+plan (no collect of wide results — we time the engine, not the
+driver's row materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from deker_server_adapters_spark.operators import all_ops
+    from deker_server_adapters_spark.session import get_spark
+
+    spark = get_spark(app_name="deker-spark-bench", shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ops = {name: op for name, op in all_ops().items() if op.headline}
+
+    # warm the JVM + file listing once so per-query timings measure the
+    # plan, not JIT/class-loading of the first query.
+    next(iter(ops.values())).builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, op in ops.items():
+        t0 = time.perf_counter()
+        op.builder(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    sys.stdout.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

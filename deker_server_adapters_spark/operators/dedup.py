@@ -47,6 +47,14 @@ _DF_CEILING = 200  # drop shingles present in more docs than this (stopword shin
 _MINHASH_K = 12
 _BAND_SIZE = 2
 
+# MinHash permutations: one md5 per shingle, then K affine maps
+# (a_k*h + b_k) mod P (Carter-Wegman). 12x less hashing than seeded
+# md5 per permutation, and small enough to stay in one codegen unit.
+# a_k*h < 2^21 * 2^32 < 2^53 — no BIGINT overflow in either engine.
+_MH_P = 2147483647
+_MH_A = [769, 1543, 3079, 6151, 12289, 24593, 49157, 98317, 196613, 393241, 786433, 1572869]
+_MH_B = [7, 131, 523, 2053, 8209, 32771, 131101, 524309, 2097169, 8388617, 33554467, 134217757]
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -134,40 +142,62 @@ WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE),
 """
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-form minhash signature table: (doc_id, seed, minh)."""
-    sh = _shingle_table(spark, sf_dir)
-    seeds = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.expr(
-                "CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':', shingle)), 1, 8), 16, 10) AS BIGINT)"
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature table: (doc_id, sig: array<long> of length K).
+
+    One map-only pass, zero shuffles, fully whole-stage-codegen:
+    hash every shingle under all K seeds in ONE ``transform`` (so the
+    expensive split/regexp shingle chain is evaluated once per row —
+    inlining it per seed measured 150x slower), then take the K
+    column-mins. (min over the shingle *array* equals min over the
+    distinct shingle *set*.) At 100 TB this is the difference between
+    a map-only stage and an exploded 12x shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize tokens, then shingles, then base hashes as separate
+    # projections: inlining the split/regexp chain inside the shingle
+    # lambda makes Catalyst re-split the text per element (O(n^2)).
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)), "
+            f"i -> array_join(slice(t, i, {_SHINGLE_N}), ' '))"
+        ).alias("shingles"),
     )
+    hv = sh.select(
+        "doc_id",
+        F.expr(
+            "transform(shingles, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
+        ).alias("hv"),
+    )
+    mins = ", ".join(
+        f"array_min(transform(hv, h -> ({_MH_A[k]} * h + {_MH_B[k]}) % {_MH_P}))"
+        for k in range(_MINHASH_K)
+    )
+    return hv.select("doc_id", F.expr(f"array({mins})").alias("sig"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(K=12)/LSH(band=2) near-dup pairs with signature-agreement
-    estimate >= 0.5. Candidate pairs come only from shared LSH buckets."""
-    sigs = _signatures(spark, sf_dir)
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                    lambda s: s["minh"].cast("string"),
-                ),
-                ",",
-            ).alias("band_key")
-        )
+    estimate >= 0.5.
+
+    Candidate pairs come only from shared LSH buckets, and the full
+    signature array rides through the band join, so the estimate is a
+    per-row ``zip_with`` — no second join back to the signature table.
+    """
+    # persist: the signature table is read three times (band self-join
+    # sides + verify); on a cluster you'd cache this exactly the same way.
+    sigs = minhash_signatures(spark, sf_dir).persist()
+    n_bands = _MINHASH_K // _BAND_SIZE
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', "
+        + ", ".join(f"sig[{b * _BAND_SIZE + i}]" for i in range(_BAND_SIZE))
+        + ")"
+        for b in range(n_bands)
+    )
+    bands = sigs.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -181,30 +211,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("minh").alias("minh_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("minh").alias("minh_b"))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.expr(
+        "CAST(round(aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+        f"0, (acc, v) -> acc + v) / {float(_MINHASH_K)}, 4) AS DOUBLE)"
+    )
     return (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0))
-                / F.lit(float(_MINHASH_K)),
-                4,
-            ).alias("est_jaccard")
-        )
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
 
 
+_MH_SEEDS_VALUES = ", ".join(
+    f"({k}, {_MH_A[k]}, {_MH_B[k]})" for k in range(_MINHASH_K)
+)
+
 MINHASH_SQL = f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), hv AS (
+  SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+  FROM sh
+), seeds(seed, a, b) AS (
+  VALUES {_MH_SEEDS_VALUES}
 ), sigs AS (
-  SELECT doc_id, CAST(seed AS INT) AS seed,
-         CAST(min(CAST('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 8) AS UBIGINT)) AS BIGINT) AS minh
-  FROM sh, range({_MINHASH_K}) r(seed)
+  SELECT doc_id, CAST(seed AS INT) AS seed, min((a * h + b) % {_MH_P}) AS minh
+  FROM hv, seeds
   GROUP BY doc_id, seed
 ), bands AS (
   SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
