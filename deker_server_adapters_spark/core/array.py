@@ -1,0 +1,242 @@
+"""Arrays: CRUD + N-d subset read/update/clear.
+
+Parity surface: reference base.py ServerArrayAdapterMixin —
+create, read_meta, update_meta_custom_attributes, delete,
+read_data(bounds), update(bounds, data), clear(bounds),
+get_by_id, get_by_primary_attributes, iterate, delete_all_by_vid
+(array_adapter.py:41-77).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from deker_server_adapters_spark.core.collection import Collection
+from deker_server_adapters_spark.core.errors import DekerArrayNotExistsError
+from deker_server_adapters_spark.core.schema import validate_attributes
+from deker_server_adapters_spark.core.storage import (
+    Bounds,
+    ChunkGrid,
+    ChunkStore,
+    default_chunk_grid,
+    normalize_bounds,
+)
+
+
+class Array:
+    def __init__(
+        self,
+        collection: Collection,
+        id_: str,
+        primary_attributes: dict[str, Any],
+        custom_attributes: dict[str, Any],
+    ):
+        self.collection = collection
+        self.id = id_
+        self.primary_attributes = primary_attributes
+        self.custom_attributes = custom_attributes
+
+    @property
+    def schema(self):
+        return self.collection.array_schema
+
+    @property
+    def shape(self) -> tuple[int, ...]:
+        return self.schema.shape
+
+    @property
+    def dtype(self) -> np.dtype:
+        return self.schema.np_dtype
+
+    @property
+    def _adapter(self) -> "ArrayAdapter":
+        return ArrayAdapter(self.collection)
+
+    def __getitem__(self, bounds: Bounds) -> np.ndarray:
+        return self.read_data(bounds)
+
+    def read_data(self, bounds: Bounds = slice(None)) -> np.ndarray:
+        return self._adapter.read_data(self, bounds)
+
+    def update(self, bounds: Bounds, data) -> None:
+        self._adapter.update(self, bounds, data)
+
+    def clear(self, bounds: Bounds = slice(None)) -> None:
+        self._adapter.clear(self, bounds)
+
+    def cell_df(self) -> DataFrame:
+        """This array as a long-format DataFrame (dims..., value)."""
+        store = ChunkStore(self.collection.warehouse.spark, self.collection.path)
+        return store.cell_df(self.id, [d.name for d in self.schema.dimensions])
+
+    def meta(self) -> dict:
+        return {
+            "id": self.id,
+            "primary_attributes": self.primary_attributes,
+            "custom_attributes": self.custom_attributes,
+        }
+
+
+class ArrayAdapter:
+    """Server-side array operations, re-expressed on the chunk store."""
+
+    def __init__(self, collection: Collection):
+        self.collection = collection
+        self.spark = collection.warehouse.spark
+        self.store = ChunkStore(self.spark, collection.path)
+
+    # -- metadata ----------------------------------------------------------
+
+    def _meta_dir(self) -> str:
+        return os.path.join(self.collection.path, "meta")
+
+    def _meta_path(self, id_: str) -> str:
+        # chunk-array view ids are "vid:idx"; keep filenames filesystem-safe
+        return os.path.join(self._meta_dir(), f"{id_.replace(':', '__')}.json")
+
+    def _write_meta(self, array: Array) -> None:
+        with open(self._meta_path(array.id), "w") as f:
+            json.dump(array.meta(), f)
+
+    def _grid(self) -> ChunkGrid:
+        schema = self.collection.array_schema
+        vschema = self.collection.varray_schema
+        splits = vschema.vgrid if vschema else default_chunk_grid(schema.shape)
+        return ChunkGrid(schema.shape, splits)
+
+    # -- CRUD ----------------------------------------------------------------
+
+    def create(
+        self,
+        primary_attributes: dict[str, Any] | None = None,
+        custom_attributes: dict[str, Any] | None = None,
+        id_: str | None = None,
+        data: np.ndarray | None = None,
+    ) -> Array:
+        schema = self.collection.array_schema
+        primary = primary_attributes or {}
+        custom = custom_attributes or {}
+        validate_attributes(schema, primary, custom)
+        array = Array(self.collection, id_ or str(uuid.uuid4()), primary, custom)
+        self._write_meta(array)
+        grid = self._grid()
+        if data is not None:
+            data = np.asarray(data, dtype=schema.np_dtype)
+            if data.shape != schema.shape:
+                raise ValueError(f"data shape {data.shape} != schema shape {schema.shape}")
+            self.store.write_array(array.id, grid, data)
+        else:
+            self.store.write_fill(array.id, grid, schema.fill_value)
+        return array
+
+    def create_from_cells(
+        self,
+        cells: "DataFrame",
+        value_col: str = "value",
+        primary_attributes: dict[str, Any] | None = None,
+        custom_attributes: dict[str, Any] | None = None,
+        id_: str | None = None,
+    ) -> Array:
+        """Create an array from a long-format DataFrame whose dim-index
+        columns are named after the schema dimensions — fully
+        distributed (no driver-side ndarray)."""
+        schema = self.collection.array_schema
+        primary = primary_attributes or {}
+        custom = custom_attributes or {}
+        validate_attributes(schema, primary, custom)
+        array = Array(self.collection, id_ or str(uuid.uuid4()), primary, custom)
+        self._write_meta(array)
+        self.store.write_from_cells(
+            array.id,
+            self._grid(),
+            cells,
+            [d.name for d in schema.dimensions],
+            value_col,
+            schema.fill_value,
+        )
+        return array
+
+    def read_meta(self, array: Array) -> dict:
+        mp = self._meta_path(array.id)
+        if not os.path.exists(mp):
+            raise DekerArrayNotExistsError(array.id)
+        with open(mp) as f:
+            return json.load(f)
+
+    def update_meta_custom_attributes(self, array: Array, attributes: dict) -> None:
+        meta = self.read_meta(array)
+        meta["custom_attributes"].update(attributes)
+        array.custom_attributes = meta["custom_attributes"]
+        with open(self._meta_path(array.id), "w") as f:
+            json.dump(meta, f)
+
+    def delete(self, array: Array) -> None:
+        mp = self._meta_path(array.id)
+        if not os.path.exists(mp):
+            raise DekerArrayNotExistsError(array.id)
+        os.remove(mp)
+        self.store.delete_array(array.id)
+
+    def delete_all_by_vid(self, vid: str, collection: Collection | None = None) -> None:
+        """Delete every array whose primary attribute vid matches
+        (reference array_adapter.py:41-77). The chunk arrays hold the
+        varray's data, so their shared chunk dataset goes with them."""
+        for meta in list(self):
+            if meta["primary_attributes"].get("vid") == vid:
+                self.delete(self._from_meta(meta))
+        self.store.delete_array(vid)
+
+    # -- lookup ----------------------------------------------------------------
+
+    def _from_meta(self, meta: dict) -> Array:
+        return Array(
+            self.collection, meta["id"], meta["primary_attributes"], meta["custom_attributes"]
+        )
+
+    def get_by_id(self, id_: str) -> Array | None:
+        mp = self._meta_path(id_)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return self._from_meta(json.load(f))
+
+    def get_by_primary_attributes(self, primary_attributes: dict) -> Array | None:
+        want = {k: primary_attributes[k] for k in sorted(primary_attributes)}
+        for meta in self:
+            got = meta["primary_attributes"]
+            if {k: got.get(k) for k in sorted(want)} == want:
+                return self._from_meta(meta)
+        return None
+
+    def __iter__(self) -> Iterator[dict]:
+        d = self._meta_dir()
+        if not os.path.isdir(d):
+            return
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".json"):
+                with open(os.path.join(d, fn)) as f:
+                    yield json.load(f)
+
+    # -- data ----------------------------------------------------------------
+
+    def read_data(self, array: Array, bounds: Bounds) -> np.ndarray:
+        norm = normalize_bounds(bounds, array.shape)
+        return self.store.read_slice(array.id, self._grid(), norm, array.dtype)
+
+    def update(self, array: Array, bounds: Bounds, data) -> None:
+        norm = normalize_bounds(bounds, array.shape)
+        self.store.update_slice(array.id, self._grid(), norm, data)
+
+    def clear(self, array: Array, bounds: Bounds = slice(None)) -> None:
+        """Reset a subset to the schema fill value (reference
+        base.py:305-311 models clear as an empty-body update)."""
+        self.update(array, bounds, self.collection.array_schema.fill_value)
+
+    def is_deleted(self, array: Array) -> bool:
+        return not os.path.exists(self._meta_path(array.id))

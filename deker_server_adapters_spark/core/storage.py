@@ -1,0 +1,466 @@
+"""Chunked-parquet storage for N-d arrays.
+
+Layout (one dataset per collection):
+
+    {collection}/chunks/array_id=<id>/chunk_idx=<k>/*.parquet
+        origin: array<long>   -- grid origin of this chunk (per dim)
+        shape:  array<long>   -- chunk shape (per dim)
+        data:   array<double> -- C-order flattened cells
+
+Spark-first consequences:
+
+- ``array_id`` and ``chunk_idx`` are *directory partition columns*, so
+  a slice read prunes to exactly the overlapped chunk directories
+  before any IO (Catalyst partition pruning — the same role Deker's
+  per-array HDF5 files + hash-ring routing play for the reference).
+- A subset read is: pruned scan → ``mapInPandas`` numpy slice per
+  chunk (Arrow-batched) → assemble. Work is proportional to the
+  slice, not the array.
+- A subset write is copy-on-write at chunk granularity: only the
+  overlapped ``chunk_idx`` partitions are rewritten (dynamic
+  partition overwrite), mirroring Deker's subset PUT
+  (reference base.py:272-303).
+- ``cell_df`` exposes any array as a long-format DataFrame
+  (dim indices + value) with pure-JVM index arithmetic, so arrays
+  join/aggregate with relational tables in one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Iterable, Sequence, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from deker_server_adapters_spark.core.errors import DekerDataPointsLimitError, DekerSubsetError
+
+Bounds = Union[int, slice, tuple]
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("array_id", StringType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("origin", ArrayType(LongType(), False), False),
+        StructField("shape", ArrayType(LongType(), False), False),
+        StructField("data", ArrayType(DoubleType(), True), False),
+    ]
+)
+
+# default cap on cells materialized to the driver by read_data —
+# parity with the reference's data-points limit (413 handling).
+DEFAULT_MAX_POINTS = 64 * 1024 * 1024
+
+
+def normalize_bounds(bounds: Bounds, shape: Sequence[int]) -> list[tuple[int, int, bool]]:
+    """Normalize numpy-style bounds to per-dim (start, stop, squeeze).
+
+    Supports int and start/stop slices (no step), like the reference's
+    slice_converter subset URLs. Missing trailing dims = full range.
+    """
+    if not isinstance(bounds, tuple):
+        bounds = (bounds,)
+    if len(bounds) > len(shape):
+        raise DekerSubsetError(f"bounds rank {len(bounds)} > array rank {len(shape)}")
+    out: list[tuple[int, int, bool]] = []
+    for d, size in enumerate(shape):
+        if d >= len(bounds):
+            out.append((0, size, False))
+            continue
+        b = bounds[d]
+        if isinstance(b, int):
+            if b < 0:
+                b += size
+            if not 0 <= b < size:
+                raise DekerSubsetError(f"index {b} out of range for dim {d} of size {size}")
+            out.append((b, b + 1, True))
+        elif isinstance(b, slice):
+            if b.step not in (None, 1):
+                raise DekerSubsetError("step slices are not supported")
+            start, stop, _ = b.indices(size)
+            if stop < start:
+                stop = start
+            out.append((start, stop, False))
+        else:
+            raise DekerSubsetError(f"unsupported bound {b!r} for dim {d}")
+    return out
+
+
+def default_chunk_grid(shape: Sequence[int], target_cells: int = 1 << 20) -> tuple[int, ...]:
+    """Split the first dimension into slabs of ~target_cells cells."""
+    inner = math.prod(shape[1:]) if len(shape) > 1 else 1
+    rows = max(1, min(shape[0], target_cells // max(inner, 1) or 1))
+    splits0 = math.ceil(shape[0] / rows)
+    return (splits0,) + (1,) * (len(shape) - 1)
+
+
+class ChunkGrid:
+    """Regular chunk grid over an N-d shape (vgrid generalization)."""
+
+    def __init__(self, shape: Sequence[int], splits: Sequence[int]):
+        assert len(shape) == len(splits)
+        self.shape = tuple(shape)
+        self.splits = tuple(splits)
+        self.chunk_shape = tuple(
+            math.ceil(s / g) for s, g in zip(self.shape, self.splits)
+        )
+
+    @property
+    def n_chunks(self) -> int:
+        return math.prod(self.splits)
+
+    def chunk_position(self, idx: int) -> tuple[int, ...]:
+        pos = []
+        for g in reversed(self.splits):
+            pos.append(idx % g)
+            idx //= g
+        return tuple(reversed(pos))
+
+    def chunk_index(self, pos: Sequence[int]) -> int:
+        idx = 0
+        for p, g in zip(pos, self.splits):
+            idx = idx * g + p
+        return idx
+
+    def chunk_box(self, idx: int) -> list[tuple[int, int]]:
+        """[(start, stop)] per dim for chunk idx (clipped to shape)."""
+        pos = self.chunk_position(idx)
+        return [
+            (p * c, min((p + 1) * c, s))
+            for p, c, s in zip(pos, self.chunk_shape, self.shape)
+        ]
+
+    def overlapping_chunks(self, norm: list[tuple[int, int, bool]]) -> list[int]:
+        """Chunk indices whose box intersects the normalized bounds."""
+        ranges = []
+        for (start, stop, _), c, g in zip(norm, self.chunk_shape, self.splits):
+            lo = start // c
+            hi = min((stop - 1) // c, g - 1) if stop > start else lo - 1
+            ranges.append(range(lo, hi + 1))
+        idxs: list[int] = []
+
+        def rec(d: int, pos: list[int]) -> None:
+            if d == len(ranges):
+                idxs.append(self.chunk_index(pos))
+                return
+            for p in ranges[d]:
+                rec(d + 1, pos + [p])
+
+        rec(0, [])
+        return sorted(idxs)
+
+
+class ChunkStore:
+    """Reads/writes the chunk dataset of one collection."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.join(path, "chunks")
+
+    # -- write ------------------------------------------------------------
+
+    def _rows_from_ndarray(
+        self, array_id: str, grid: ChunkGrid, data: np.ndarray
+    ) -> Iterable[dict]:
+        for idx in range(grid.n_chunks):
+            box = grid.chunk_box(idx)
+            piece = data[tuple(slice(a, b) for a, b in box)]
+            yield {
+                "array_id": array_id,
+                "chunk_idx": idx,
+                "origin": [a for a, _ in box],
+                "shape": list(piece.shape),
+                "data": piece.astype(np.float64).ravel(order="C").tolist(),
+            }
+
+    def write_array(self, array_id: str, grid: ChunkGrid, data: np.ndarray) -> None:
+        df = self.spark.createDataFrame(list(self._rows_from_ndarray(array_id, grid, data)), CHUNK_SCHEMA)
+        self._write(df, mode="append")
+
+    def write_fill(self, array_id: str, grid: ChunkGrid, fill_value: float) -> None:
+        """Materialize a fill-value array without driver-side data:
+        chunk geometry is generated distributively from spark.range."""
+        boxes = [
+            (idx, [a for a, _ in grid.chunk_box(idx)], [b - a for a, b in grid.chunk_box(idx)])
+            for idx in range(grid.n_chunks)
+        ]
+        meta = self.spark.createDataFrame(
+            [(array_id, i, o, s) for i, o, s in boxes],
+            "array_id string, chunk_idx long, origin array<long>, shape array<long>",
+        )
+        df = meta.withColumn(
+            "data",
+            F.expr(
+                f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
+                f"i -> CAST({fill_value} AS DOUBLE))"
+            ),
+        )
+        self._write(df.select(*[f.name for f in CHUNK_SCHEMA.fields]), mode="append")
+
+    def write_from_cells(
+        self,
+        array_id: str,
+        grid: ChunkGrid,
+        cells: DataFrame,
+        dim_cols: Sequence[str],
+        value_col: str,
+        fill_value: float = 0.0,
+    ) -> None:
+        """Distributed build: materialize an N-d array from a long-format
+        DataFrame of (dim indices..., value) WITHOUT collecting to the
+        driver — the 100 TB ingest path.
+
+        chunk_idx is pure-JVM arithmetic on the dim columns, the
+        shuffle is one groupBy(chunk_idx), and each chunk ndarray is
+        assembled by an Arrow-batched applyInPandas. Cells absent from
+        the input get ``fill_value``.
+        """
+        n = len(dim_cols)
+        idx_expr = "0L"
+        for d in range(n):
+            idx_expr = f"(({idx_expr}) * {grid.splits[d]}) + (CAST({dim_cols[d]} AS BIGINT) DIV {grid.chunk_shape[d]})"
+        with_idx = cells.select(
+            F.expr(idx_expr).alias("chunk_idx"),
+            *[F.col(c).cast("long").alias(c) for c in dim_cols],
+            F.col(value_col).cast("double").alias("__value"),
+        )
+        grid_bc = self.spark.sparkContext.broadcast(
+            {
+                "splits": grid.splits,
+                "chunk_shape": grid.chunk_shape,
+                "shape": grid.shape,
+                "fill": float(fill_value),
+                "array_id": array_id,
+                "dims": list(dim_cols),
+            }
+        )
+
+        def build_chunk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            g = grid_bc.value
+            idx = int(key[0])
+            # recompute the chunk box (mirrors ChunkGrid.chunk_box)
+            pos = []
+            rest = idx
+            for s in reversed(g["splits"]):
+                pos.append(rest % s)
+                rest //= s
+            pos = list(reversed(pos))
+            box = [
+                (p * c, min((p + 1) * c, s))
+                for p, c, s in zip(pos, g["chunk_shape"], g["shape"])
+            ]
+            shape = [b - a for a, b in box]
+            arr = np.full(shape, g["fill"], dtype=np.float64)
+            coords = tuple(
+                pdf[d].to_numpy() - a for d, (a, _) in zip(g["dims"], box)
+            )
+            arr[coords] = pdf["__value"].to_numpy()
+            return pd.DataFrame(
+                [
+                    {
+                        "array_id": g["array_id"],
+                        "chunk_idx": idx,
+                        "origin": [a for a, _ in box],
+                        "shape": shape,
+                        "data": arr.ravel(order="C"),
+                    }
+                ]
+            )
+
+        present = with_idx.groupBy("chunk_idx").applyInPandas(build_chunk, CHUNK_SCHEMA)
+        self._write(present, mode="append")
+        # fill chunks that received no cells at all
+        present_idxs = {
+            r["chunk_idx"]
+            for r in self.scan(array_id).select("chunk_idx").distinct().collect()
+        }
+        missing = [i for i in range(grid.n_chunks) if i not in present_idxs]
+        if missing:
+            boxes = [
+                (array_id, i, [a for a, _ in grid.chunk_box(i)], [b - a for a, b in grid.chunk_box(i)])
+                for i in missing
+            ]
+            meta = self.spark.createDataFrame(
+                boxes, "array_id string, chunk_idx long, origin array<long>, shape array<long>"
+            )
+            df = meta.withColumn(
+                "data",
+                F.expr(
+                    f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
+                    f"i -> CAST({float(fill_value)} AS DOUBLE))"
+                ),
+            )
+            self._write(df.select(*[f.name for f in CHUNK_SCHEMA.fields]), mode="append")
+
+    def _write(self, df: DataFrame, mode: str) -> None:
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            df.repartition("array_id", "chunk_idx")
+            .write.mode(mode)
+            .partitionBy("array_id", "chunk_idx")
+            .parquet(self.path)
+        )
+
+    def overwrite_chunks(self, df: DataFrame) -> None:
+        """Copy-on-write: replaces only the (array_id, chunk_idx)
+        partitions present in df (dynamic partition overwrite)."""
+        self._write(df, mode="overwrite")
+
+    # -- read -------------------------------------------------------------
+
+    def scan(self, array_id: str, chunk_idxs: list[int] | None = None) -> DataFrame:
+        df = self.spark.read.schema(CHUNK_SCHEMA).parquet(self.path)
+        df = df.filter(F.col("array_id") == array_id)
+        if chunk_idxs is not None:
+            df = df.filter(F.col("chunk_idx").isin([int(i) for i in chunk_idxs]))
+        return df
+
+    def delete_array(self, array_id: str) -> None:
+        """Drop all chunk partitions of one array (metadata-cheap: a
+        directory delete, no data rewrite)."""
+        import shutil
+
+        target = os.path.join(self.path, f"array_id={array_id}")
+        shutil.rmtree(target, ignore_errors=True)
+
+    def read_slice(
+        self,
+        array_id: str,
+        grid: ChunkGrid,
+        norm: list[tuple[int, int, bool]],
+        np_dtype: np.dtype,
+        max_points: int = DEFAULT_MAX_POINTS,
+    ) -> np.ndarray:
+        out_shape_full = [stop - start for start, stop, _ in norm]
+        n_points = math.prod(out_shape_full)
+        if n_points > max_points:
+            raise DekerDataPointsLimitError(
+                "Requested object is too large, use smaller subset",
+                limit=max_points,
+                requested=n_points,
+            )
+        idxs = grid.overlapping_chunks(norm)
+        scan = self.scan(array_id, idxs).select("chunk_idx", "origin", "shape", "data")
+        lo = [start for start, _, _ in norm]
+        hi = [stop for _, stop, _ in norm]
+
+        def slice_chunks(batches: Iterable[pd.DataFrame]):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    origin = np.asarray(r["origin"], dtype=np.int64)
+                    shape = np.asarray(r["shape"], dtype=np.int64)
+                    arr = np.asarray(r["data"], dtype=np.float64).reshape(shape)
+                    sel, place = [], []
+                    for d in range(len(shape)):
+                        a = max(lo[d] - origin[d], 0)
+                        b = min(hi[d] - origin[d], shape[d])
+                        sel.append(slice(a, b))
+                        place.append(int(origin[d] + a - lo[d]))
+                    piece = arr[tuple(sel)]
+                    rows.append(
+                        {
+                            "offset": place,
+                            "shape": list(piece.shape),
+                            "data": piece.ravel(order="C"),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["offset", "shape", "data"])
+
+        pieces = scan.mapInPandas(
+            slice_chunks, "offset array<long>, shape array<long>, data array<double>"
+        ).collect()
+        out = np.full(out_shape_full, np.nan, dtype=np.float64)
+        for row in pieces:
+            off, shp = row["offset"], row["shape"]
+            if math.prod(shp) == 0:
+                continue
+            sel = tuple(slice(o, o + s) for o, s in zip(off, shp))
+            out[sel] = np.asarray(row["data"], dtype=np.float64).reshape(shp)
+        squeeze_axes = tuple(d for d, (_, _, sq) in enumerate(norm) if sq)
+        if squeeze_axes:
+            out = out.squeeze(axis=squeeze_axes)
+        return out.astype(np_dtype)
+
+    def update_slice(
+        self,
+        array_id: str,
+        grid: ChunkGrid,
+        norm: list[tuple[int, int, bool]],
+        data: np.ndarray | float,
+    ) -> None:
+        """Copy-on-write subset update: read-modify-write only the
+        overlapped chunks, then dynamic-partition-overwrite them."""
+        out_shape = [stop - start for start, stop, _ in norm]
+        if isinstance(data, (int, float)):
+            patch = np.full(out_shape, float(data), dtype=np.float64)
+        else:
+            patch = np.broadcast_to(np.asarray(data, dtype=np.float64), out_shape)
+        idxs = grid.overlapping_chunks(norm)
+        lo = [start for start, _, _ in norm]
+        hi = [stop for _, stop, _ in norm]
+        patch_bc = self.spark.sparkContext.broadcast(np.ascontiguousarray(patch))
+
+        def patch_chunks(batches: Iterable[pd.DataFrame]):
+            p = patch_bc.value
+            for pdf in batches:
+                out_rows = []
+                for _, r in pdf.iterrows():
+                    origin = np.asarray(r["origin"], dtype=np.int64)
+                    shape = np.asarray(r["shape"], dtype=np.int64)
+                    # np.array (copy): Arrow hands over read-only buffers
+                    arr = np.array(r["data"], dtype=np.float64).reshape(shape)
+                    sel, src = [], []
+                    for d in range(len(shape)):
+                        a = max(lo[d] - origin[d], 0)
+                        b = min(hi[d] - origin[d], shape[d])
+                        sel.append(slice(a, b))
+                        src.append(slice(int(origin[d] + a - lo[d]), int(origin[d] + b - lo[d])))
+                    arr[tuple(sel)] = p[tuple(src)]
+                    out_rows.append(
+                        {
+                            "array_id": r["array_id"],
+                            "chunk_idx": r["chunk_idx"],
+                            "origin": list(origin),
+                            "shape": list(shape),
+                            "data": arr.ravel(order="C"),
+                        }
+                    )
+                yield pd.DataFrame(
+                    out_rows, columns=["array_id", "chunk_idx", "origin", "shape", "data"]
+                )
+
+        updated = self.scan(array_id, idxs).mapInPandas(patch_chunks, CHUNK_SCHEMA)
+        self.overwrite_chunks(updated)
+
+    def cell_df(self, array_id: str, dim_names: Sequence[str]) -> DataFrame:
+        """Long-format view: one row per cell, pure-JVM index math
+        (posexplode + div/mod over the chunk shape) — no Python in the
+        path, so arrays compose with SQL at full codegen speed."""
+        df = self.scan(array_id)
+        df = df.select(
+            "origin", "shape", F.posexplode("data").alias("pos", "value")
+        )
+        strides = []
+        n = len(dim_names)
+        for d in range(n):
+            expr = "1L"
+            for d2 in range(d + 1, n):
+                expr = f"{expr} * shape[{d2}]"
+            strides.append(expr)
+        cols = [
+            (F.expr(f"origin[{d}] + (pos DIV ({strides[d]})) % shape[{d}]")).alias(dim_names[d])
+            for d in range(n)
+        ]
+        return df.select(*cols, F.col("value"))

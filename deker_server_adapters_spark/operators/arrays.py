@@ -1,9 +1,235 @@
-"""Array-engine operators (Deker-parity path exercised as queries).
+"""Array-engine + hash-ring operators, exercised as oracle-checked
+queries.
 
-Filled in once ``core/`` lands; placeholder keeps the registry import
-stable.
+- ``array_slice_agg``: ingest events into a dense (day x hour) array
+  through the chunk store (distributed cell build), slice a sub-box
+  via the long-format view, aggregate. The DuckDB oracle recomputes
+  the same numbers straight from events — so the whole engine path
+  (grid math, chunk build, cell_df index arithmetic, pruning) is
+  value-checked, not just smoke-tested.
+- ``varray_cell_table``: same through a vgrid-chunked varray.
+- ``hash_ring_assignment``: the reference's ketama ring (md5 LE-uint32
+  vnode keys, bisect-right wrap) expressed as a pure-SQL broadcast
+  join — identical arithmetic on both engines, and the Spark plan is
+  the one you'd run to route a 100 TB table: data side never shuffles.
 """
 
 from __future__ import annotations
 
-OPS: dict = {}
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
+
+_N_NODES = 5
+_FACTOR = 40  # VNODE_FACTOR * n / total_weight with equal weights
+
+
+# --- events -> dense array -> slice agg -------------------------------------
+
+_DAY0 = "2024-01-01"
+_N_DAYS = 30
+_N_HOURS = 24
+
+
+def _event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.datediff(F.to_date("ts"), F.lit(_DAY0).cast("date")).alias("day"),
+            F.hour("ts").alias("hour"),
+            "value",
+        )
+        .filter((F.col("day") >= 0) & (F.col("day") < _N_DAYS))
+        .groupBy("day", "hour")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 6)
+            .cast("double")
+            .alias("value")
+        )
+    )
+
+
+def array_slice_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_"))
+    schema = ArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
+    )
+    coll = wh.collections.create("events_grid", schema)
+    arr = coll.arrays.create_from_cells(_event_cells(spark, sf_dir))
+    cells = arr.cell_df()
+    return (
+        cells.filter((F.col("day") >= 5) & (F.col("day") < 15) & (F.col("hour") < 12))
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
+ARRAY_SLICE_SQL = f"""
+WITH cells AS (
+  SELECT date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) AS day, hour(ts) AS hour,
+         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 6) AS DOUBLE) AS value
+  FROM {EVENTS_DUCK}
+  WHERE date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) BETWEEN 0 AND {_N_DAYS - 1}
+  GROUP BY day, hour
+), grid AS (
+  -- the dense array: every (day, hour) cell exists, absent cells = 0
+  SELECT CAST(d.range AS BIGINT) AS day, CAST(h.range AS BIGINT) AS hour,
+         coalesce(cells.value, 0.0) AS value
+  FROM range({_N_DAYS}) d CROSS JOIN range({_N_HOURS}) h
+  LEFT JOIN cells ON cells.day = d.range AND cells.hour = h.range
+)
+SELECT day,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value,
+       count(*) AS n_cells
+FROM grid
+WHERE day >= 5 AND day < 15 AND hour < 12
+GROUP BY day
+"""
+
+
+def varray_cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deker_server_adapters_spark.core import DimensionSchema, VArraySchema, Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_"))
+    schema = VArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
+        vgrid=(5, 4),
+    )
+    coll = wh.collections.create("events_vgrid", schema)
+    va = coll.varrays.create_from_cells(_event_cells(spark, sf_dir))
+    return (
+        va.cell_df()
+        .filter((F.col("hour") >= 6) & (F.col("hour") < 18))
+        .groupBy("hour")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value"), 4
+            ).alias("mean_value"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
+VARRAY_CELL_SQL = f"""
+WITH cells AS (
+  SELECT date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) AS day, hour(ts) AS hour,
+         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 6) AS DOUBLE) AS value
+  FROM {EVENTS_DUCK}
+  WHERE date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) BETWEEN 0 AND {_N_DAYS - 1}
+  GROUP BY day, hour
+), grid AS (
+  SELECT CAST(d.range AS BIGINT) AS day, CAST(h.range AS BIGINT) AS hour,
+         coalesce(cells.value, 0.0) AS value
+  FROM range({_N_DAYS}) d CROSS JOIN range({_N_HOURS}) h
+  LEFT JOIN cells ON cells.day = d.range AND cells.hour = h.range
+)
+SELECT hour,
+       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS mean_value,
+       count(*) AS n_cells
+FROM grid
+WHERE hour >= 6 AND hour < 18
+GROUP BY hour
+"""
+
+
+# --- consistent hash ring as SQL ---------------------------------------------
+
+
+def _le32_spark(hx: str, word: int) -> str:
+    """LE uint32 of md5-hex word (Spark SQL string expr)."""
+    terms = []
+    for byte in range(4):
+        start = 8 * word + 2 * byte + 1
+        terms.append(
+            f"CAST(conv(substr({hx}, {start}, 2), 16, 10) AS BIGINT) * {256 ** byte}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _le32_duck(hx: str, word: int) -> str:
+    terms = []
+    for byte in range(4):
+        start = 8 * word + 2 * byte + 1
+        terms.append(
+            f"CAST(CAST('0x' || substr({hx}, {start}, 2) AS UBIGINT) AS BIGINT) * {256 ** byte}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def ring_vnodes_df(spark: SparkSession, n_nodes: int = _N_NODES) -> DataFrame:
+    nodes = spark.range(n_nodes).select(
+        F.concat(F.lit("node-"), F.col("id").cast("string")).alias("node")
+    )
+    vn = (
+        nodes.crossJoin(spark.range(_FACTOR).select(F.col("id").alias("j")))
+        .withColumn("hx", F.md5(F.concat_ws("-", "node", "j")))
+    )
+    words = F.array(*[F.expr(_le32_spark("hx", w)) for w in range(3)])
+    return vn.select("node", F.explode(words).alias("vkey"))
+
+
+def hash_ring_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every customer key to its ring node: broadcast the vnode
+    table, take the smallest vnode key strictly greater than the key's
+    hash, wrap to the global minimum (reference hash_ring.py:79-97)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_le32_spark("md5(CAST(c_custkey AS STRING))", 0)).alias("ckey"),
+    )
+    vnodes = ring_vnodes_df(spark)
+    sel = (
+        cust.join(F.broadcast(vnodes), F.col("vkey") > F.col("ckey"), "left")
+        .groupBy("c_custkey", "ckey")
+        .agg(F.min("vkey").alias("sel_key"))
+    )
+    global_min = vnodes.agg(F.min("vkey").alias("min_vkey"))
+    chosen = sel.crossJoin(F.broadcast(global_min)).select(
+        "c_custkey", F.coalesce("sel_key", "min_vkey").alias("vkey")
+    )
+    owner = vnodes.groupBy("vkey").agg(F.min("node").alias("node"))
+    return chosen.join(F.broadcast(owner), "vkey").select("c_custkey", "node")
+
+
+HASH_RING_SQL = f"""
+WITH nodes AS (
+  SELECT 'node-' || CAST(range AS VARCHAR) AS node FROM range({_N_NODES})
+), vn AS (
+  SELECT node, md5(node || '-' || CAST(j.range AS VARCHAR)) AS hx
+  FROM nodes CROSS JOIN range({_FACTOR}) j
+), keys AS (
+  SELECT node, {_le32_duck('hx', 0)} AS vkey FROM vn
+  UNION ALL SELECT node, {_le32_duck('hx', 1)} FROM vn
+  UNION ALL SELECT node, {_le32_duck('hx', 2)} FROM vn
+), cust AS (
+  SELECT c_custkey, {_le32_duck("md5(CAST(c_custkey AS VARCHAR))", 0)} AS ckey FROM customer
+), sel AS (
+  SELECT c_custkey, min(vkey) AS sel_key
+  FROM cust LEFT JOIN keys ON vkey > ckey
+  GROUP BY c_custkey
+), owner AS (
+  SELECT vkey, min(node) AS node FROM keys GROUP BY vkey
+)
+SELECT c_custkey, owner.node AS node
+FROM sel
+JOIN owner ON owner.vkey = coalesce(sel.sel_key, (SELECT min(vkey) FROM keys))
+"""
+
+
+OPS = {
+    "array_slice_agg": Op("array_slice_agg", array_slice_agg, ARRAY_SLICE_SQL, headline=True),
+    "varray_cell_table": Op("varray_cell_table", varray_cell_table, VARRAY_CELL_SQL),
+    "hash_ring_assignment": Op("hash_ring_assignment", hash_ring_assignment, HASH_RING_SQL),
+}

@@ -1,0 +1,198 @@
+"""Array-engine tests, modeled on the reference's test suite
+(tests/test_cases/test_common/test_{array,collection,varray}_adapter.py):
+collection CRUD, array CRUD + attribute updates, slice read/write
+round-trips vs numpy ground truth, varray spanning + vid deletes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deker_server_adapters_spark.core import (
+    Array,
+    ArraySchema,
+    AttributeSchema,
+    DimensionSchema,
+    VArraySchema,
+    Warehouse,
+)
+from deker_server_adapters_spark.core.errors import (
+    DekerCollectionAlreadyExistsError,
+    DekerCollectionNotExistsError,
+    DekerDataPointsLimitError,
+    DekerSubsetError,
+    DekerValidationError,
+)
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+SCHEMA = ArraySchema(
+    dtype="float64",
+    dimensions=(DimensionSchema("x", 20), DimensionSchema("y", 12)),
+    attributes=(
+        AttributeSchema("station", "string", primary=True),
+        AttributeSchema("comment", "string", primary=False),
+    ),
+)
+
+VSCHEMA = VArraySchema(
+    dtype="float64",
+    dimensions=(DimensionSchema("x", 12), DimensionSchema("y", 8)),
+    vgrid=(3, 2),
+)
+
+
+class TestCollections:
+    def test_create_read_delete(self, warehouse):
+        coll = warehouse.collections.create("weather", SCHEMA)
+        again = warehouse.collections.read("weather")
+        assert again.schema == SCHEMA
+        with pytest.raises(DekerCollectionAlreadyExistsError):
+            warehouse.collections.create("weather", SCHEMA)
+        warehouse.collections.delete(coll)
+        with pytest.raises(DekerCollectionNotExistsError):
+            warehouse.collections.read("weather")
+
+    def test_iterate_and_clear(self, warehouse):
+        warehouse.collections.create("a", SCHEMA)
+        c2 = warehouse.collections.create("b", SCHEMA)
+        assert [c["name"] for c in warehouse.collections] == ["a", "b"]
+        c2.arrays.create({"station": "s1"})
+        assert len(list(c2.arrays)) == 1
+        warehouse.collections.clear(c2)
+        assert len(list(c2.arrays)) == 0
+        assert warehouse.collections.read("b").schema == SCHEMA
+
+
+class TestArrays:
+    def test_create_fill_and_read(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        arr = coll.arrays.create({"station": "s1"})
+        data = arr.read_data()
+        assert data.shape == (20, 12)
+        assert (data == 0.0).all()
+
+    def test_roundtrip_and_slices(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        rng = np.random.RandomState(42)
+        ref = rng.rand(20, 12)
+        arr = coll.arrays.create({"station": "s1"}, data=ref)
+        np.testing.assert_allclose(arr.read_data(), ref)
+        np.testing.assert_allclose(arr[3:9, 2:5], ref[3:9, 2:5])
+        np.testing.assert_allclose(arr[7], ref[7])
+        np.testing.assert_allclose(arr[7, 3], ref[7, 3])
+        np.testing.assert_allclose(arr[:, 4], ref[:, 4])
+
+    def test_update_and_clear_subsets(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        rng = np.random.RandomState(1)
+        ref = rng.rand(20, 12)
+        arr = coll.arrays.create({"station": "s1"}, data=ref)
+        patch = np.full((4, 3), 7.5)
+        arr.update((slice(2, 6), slice(1, 4)), patch)
+        ref[2:6, 1:4] = 7.5
+        np.testing.assert_allclose(arr.read_data(), ref)
+        arr.clear((slice(0, 5), slice(0, 2)))
+        ref[0:5, 0:2] = SCHEMA.fill_value
+        np.testing.assert_allclose(arr.read_data(), ref)
+
+    def test_meta_and_lookup(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        arr = coll.arrays.create({"station": "s9"}, {"comment": "hi"})
+        meta = coll.arrays.read_meta(arr)
+        assert meta["primary_attributes"] == {"station": "s9"}
+        coll.arrays.update_meta_custom_attributes(arr, {"comment": "bye"})
+        assert coll.arrays.read_meta(arr)["custom_attributes"]["comment"] == "bye"
+        found = coll.arrays.get_by_primary_attributes({"station": "s9"})
+        assert found is not None and found.id == arr.id
+        assert coll.arrays.get_by_id(arr.id).id == arr.id
+        assert coll.arrays.get_by_id("nope") is None
+        coll.arrays.delete(arr)
+        assert coll.arrays.get_by_id(arr.id) is None
+        assert coll.arrays.is_deleted(arr)
+
+    def test_validation(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        with pytest.raises(DekerValidationError):
+            coll.arrays.create({})  # missing primary
+        with pytest.raises(DekerValidationError):
+            coll.arrays.create({"station": "s", "bogus": 1})
+        arr = coll.arrays.create({"station": "s"})
+        with pytest.raises(DekerSubsetError):
+            arr.read_data((slice(None), slice(None), slice(None)))
+        with pytest.raises(DekerSubsetError):
+            arr.read_data(99)
+
+    def test_data_points_limit(self, warehouse, monkeypatch):
+        import deker_server_adapters_spark.core.storage as storage
+
+        coll = warehouse.collections.create("c", SCHEMA)
+        arr = coll.arrays.create({"station": "s"})
+        monkeypatch.setattr(storage, "DEFAULT_MAX_POINTS", 10)
+        with pytest.raises(DekerDataPointsLimitError) as e:
+            coll.arrays.store.read_slice(
+                arr.id, coll.arrays._grid(),
+                [(0, 20, False), (0, 12, False)], np.dtype("float64"),
+                max_points=10,
+            )
+        assert e.value.limit == 10 and e.value.requested == 240
+
+    def test_cell_df(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        rng = np.random.RandomState(3)
+        ref = rng.rand(20, 12)
+        arr = coll.arrays.create({"station": "s"}, data=ref)
+        pdf = arr.cell_df().toPandas()
+        assert len(pdf) == 20 * 12
+        got = np.zeros((20, 12))
+        got[pdf["x"].to_numpy(), pdf["y"].to_numpy()] = pdf["value"].to_numpy()
+        np.testing.assert_allclose(got, ref)
+
+
+class TestVArrays:
+    def test_roundtrip_spanning_chunks(self, warehouse):
+        coll = warehouse.collections.create("v", VSCHEMA)
+        rng = np.random.RandomState(7)
+        ref = rng.rand(12, 8)
+        va = coll.varrays.create(data=ref)
+        np.testing.assert_allclose(va.read_data(), ref)
+        # subset spanning multiple vgrid cells
+        np.testing.assert_allclose(va[2:11, 1:7], ref[2:11, 1:7])
+        va.update((slice(3, 10), slice(2, 6)), np.full((7, 4), -1.0))
+        ref[3:10, 2:6] = -1.0
+        np.testing.assert_allclose(va.read_data(), ref)
+
+    def test_chunk_arrays_and_vid_delete(self, warehouse):
+        coll = warehouse.collections.create("v", VSCHEMA)
+        va = coll.varrays.create()
+        chunks = va.chunk_arrays()
+        assert len(chunks) == 6  # vgrid 3x2
+        positions = sorted(tuple(c.primary_attributes["v_position"]) for c in chunks)
+        assert positions == [(0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1)]
+        found = coll.arrays.get_by_primary_attributes({"vid": va.id, "v_position": [1, 1]})
+        assert found is not None
+        coll.arrays.delete_all_by_vid(va.id)
+        assert va.chunk_arrays() == []
+
+    def test_varray_meta(self, warehouse):
+        coll = warehouse.collections.create("v", VSCHEMA)
+        va = coll.varrays.create(custom_attributes={})
+        coll.varrays.update_meta_custom_attributes(va, {"note": "x"})
+        assert coll.varrays.read_meta(va)["custom_attributes"]["note"] == "x"
+        assert coll.varrays.get_by_id(va.id).id == va.id
+        assert len(list(coll.varrays)) == 1
+        coll.varrays.delete(va)
+        assert coll.varrays.get_by_id(va.id) is None
+
+    def test_vgrid_validation(self):
+        with pytest.raises(DekerValidationError):
+            VArraySchema(
+                dtype="float64",
+                dimensions=(DimensionSchema("x", 10),),
+                vgrid=(3,),  # doesn't divide 10
+            )
