@@ -27,13 +27,14 @@ def all_ops() -> dict[str, "Op"]:
         arrays,
         dedup,
         events,
+        multimodal,
         similarity,
         text,
         tpch,
     )
 
     merged: dict[str, Op] = {}
-    for mod in (tpch, events, dedup, similarity, text, arrays):
+    for mod in (tpch, events, dedup, similarity, text, arrays, multimodal):
         for name, op in mod.OPS.items():
             if name in merged:
                 raise ValueError(f"duplicate operator name {name!r}")

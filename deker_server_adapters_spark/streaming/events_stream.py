@@ -1,0 +1,137 @@
+"""Structured Streaming twins of the batch events operators.
+
+The batch forms in ``operators/events.py`` are the oracle-checked
+semantics; these run the same logic as incremental streams:
+
+- source: file stream over the events parquet (schema-pinned), or any
+  readStream the caller supplies;
+- ``streaming_tumbling_window``: watermarked hourly windows — late
+  events beyond the watermark are dropped, on a cluster state is
+  bounded per (window, event_type);
+- ``streaming_running_totals``: stateful per-user running sums via
+  ``applyInPandasWithState`` (the custom-stateful-operator escape
+  hatch);
+- ``streaming_sessionization``: gap-based sessions with
+  ``session_window`` (native session windows + watermark).
+
+Tests drive them with the memory sink and assert equality with the
+batch twins (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (as stored in the parquet)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events parquet with the same nanos->micros
+    truncation as the batch loader."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the file-stream source wants a directory; expose the single
+    # parquet file through a temp dir (symlink — no copy)
+    stream_dir = tempfile.mkdtemp(prefix="deker_events_stream_")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    df = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stream_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_tumbling_window(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hourly tumbling-window aggregate with a watermark: the streaming
+    twin of ``events_tumbling_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def streaming_sessionization(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via native session windows: the streaming twin
+    of ``events_sessionization`` (session identity is (user, window)
+    rather than an ordinal, the streaming-natural key)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("session_value"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_value", "session_start", "session_end")
+    )
+
+
+def streaming_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user cumulative value via applyInPandasWithState — the
+    pattern for stateful operators Spark lacks natively. Emits one row
+    per input event with the running sum at that event."""
+    import pandas as pd
+
+    out_schema = (
+        "event_id long, user_id long, ts timestamp, running_value double, event_seq long"
+    )
+    state_schema = "total double, seq long"
+
+    def update(key, pdfs, state):
+        total, seq = state.get() if state.exists else (0.0, 0)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                total += float(r["value"])
+                seq += 1
+                rows.append(
+                    {
+                        "event_id": r["event_id"],
+                        "user_id": key[0],
+                        "ts": r["ts"],
+                        "running_value": round(total, 2),
+                        "event_seq": seq,
+                    }
+                )
+        state.update((total, seq))
+        yield pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "running_value", "event_seq"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -1,0 +1,81 @@
+"""Multimodal plumbing: schemas, batch shapes, determinism, and the
+semantic bits that don't need real codecs (frame sampling keeps
+ceil(n/k) frames; block-mean resize preserves the global mean)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deker_server_adapters_spark.operators.multimodal import (
+    _decode_payload,
+    decode_stage,
+    feature_stage,
+    frame_sample_stage,
+    multimodal_pipeline,
+    resize_stage,
+    synth_assets,
+)
+
+
+def test_assets_schema_and_types(spark, sf_dir):
+    assets = synth_assets(spark, sf_dir)
+    row = assets.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert set(row["meta"].asDict()) == {"width", "height", "n_frames", "sample_rate"}
+    kinds = {r["media_type"] for r in assets.select("media_type").distinct().collect()}
+    assert kinds == {"image", "audio", "video"}
+
+
+def test_decode_deterministic():
+    a = _decode_payload(b"seed", 16, 8, 3)
+    b = _decode_payload(b"seed", 16, 8, 3)
+    assert a.shape == (3, 8, 16)
+    np.testing.assert_array_equal(a, b)
+    c = _decode_payload(b"other", 16, 8, 3)
+    assert not np.array_equal(a, c)
+
+
+def test_decode_stage_shapes(spark, sf_dir):
+    decoded = decode_stage(synth_assets(spark, sf_dir).limit(30))
+    for r in decoded.collect():
+        assert len(r["pixels"]) == r["width"] * r["height"] * r["n_frames"]
+        if r["media_type"] == "image":
+            assert r["n_frames"] == 1
+
+
+def test_frame_sampling_keeps_every_kth(spark, sf_dir):
+    decoded = decode_stage(synth_assets(spark, sf_dir).limit(30))
+    sampled = frame_sample_stage(decoded, every_k=2)
+    before = {r["doc_id"]: r for r in decoded.collect()}
+    for r in sampled.collect():
+        n0 = before[r["doc_id"]]["n_frames"]
+        assert r["n_frames"] == -(-n0 // 2)  # ceil
+        # first frame identical
+        fsz = r["width"] * r["height"]
+        np.testing.assert_array_equal(
+            np.asarray(r["pixels"][:fsz]), np.asarray(before[r["doc_id"]]["pixels"][:fsz])
+        )
+
+
+def test_resize_preserves_mean(spark, sf_dir):
+    decoded = decode_stage(synth_assets(spark, sf_dir).limit(10))
+    resized = resize_stage(decoded)
+    before = {r["doc_id"]: r for r in decoded.collect()}
+    for r in resized.collect():
+        b = before[r["doc_id"]]
+        w, h, n = b["width"], b["height"], b["n_frames"]
+        px = np.asarray(b["pixels"], dtype=np.float64).reshape(n, h, w)
+        hh, ww = (h // 8) * 8, (w // 8) * 8
+        want = px[:, :hh, :ww].mean()
+        got = np.asarray(r["thumb"]).mean()
+        assert abs(got - want) < 1e-3  # thumb values are rounded to 4dp
+
+
+def test_full_pipeline_runs_and_is_stable(spark, sf_dir):
+    df = multimodal_pipeline(spark, sf_dir)
+    a = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = multimodal_pipeline(spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a.columns) == {"doc_id", "media_type", "px_mean", "px_std", "px_min", "px_max"}
+    assert (a["px_std"] >= 0).all()
+    assert len(a) == 500

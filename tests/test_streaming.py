@@ -1,0 +1,86 @@
+"""Streaming twins must agree with their oracle-checked batch forms.
+
+Driven with the memory sink in complete/append mode over the events
+file stream (one micro-batch at these SFs, so watermarks drop nothing
+and equality is exact).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from deker_server_adapters_spark.operators.events import (
+    events_running_totals,
+    events_tumbling_window,
+)
+from deker_server_adapters_spark.streaming.events_stream import (
+    stream_events_source,
+    streaming_running_totals,
+    streaming_sessionization,
+    streaming_tumbling_window,
+)
+
+
+def _run_stream(df, name: str, mode: str):
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_tumbling_window(src), "t_tumbling", "complete")
+    got = (
+        spark.table("t_tumbling")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_tumbling_window(spark, sf_dir)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_running_totals_equals_batch(spark, sf_dir):
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_running_totals(src), "t_running", "append")
+    got = (
+        spark.table("t_running")
+        .toPandas()
+        .sort_values(["user_id", "event_seq"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_running_totals(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "event_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_sessionization_matches_batch_sessions(spark, sf_dir):
+    from deker_server_adapters_spark.operators.events import events_sessionization
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_sessionization(src), "t_sessions", "complete")
+    got = (
+        spark.table("t_sessions")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_sessionization(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])[
+            ["user_id", "n_events", "session_value", "session_start", "session_end"]
+        ]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
