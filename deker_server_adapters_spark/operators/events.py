@@ -168,8 +168,80 @@ LIMIT 10
 """
 
 
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: extract the JSON ``props.k`` field and
+    aggregate over it (JVM-side get_json_object; no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "event_type",
+            "value",
+        )
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+PROPS_JSON_SQL = f"""
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_value
+FROM {EVENTS_DUCK}
+GROUP BY event_type, k_mod
+"""
+
+
+def events_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day+type (the shuffle-dedup pattern;
+    at 100 TB you'd flip count_distinct -> approx_count_distinct and
+    lose the oracle, so the exact form is what's value-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+DISTINCT_USERS_SQL = f"""
+SELECT date_trunc('day', ts) AS day, event_type, count(DISTINCT user_id) AS n_users
+FROM {EVENTS_DUCK}
+GROUP BY day, event_type
+"""
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated median + p90 of value per event type (Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the continuous
+    quantile definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
+
+
+PERCENTILES_SQL = f"""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM {EVENTS_DUCK}
+GROUP BY event_type
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_props_json": Op("events_props_json", events_props_json, PROPS_JSON_SQL),
+    "events_distinct_users_daily": Op(
+        "events_distinct_users_daily", events_distinct_users_daily, DISTINCT_USERS_SQL
+    ),
+    "events_value_percentiles": Op(
+        "events_value_percentiles", events_value_percentiles, PERCENTILES_SQL
+    ),
     "events_sessionization": Op(
         "events_sessionization", events_sessionization, SESSION_SQL, headline=True
     ),

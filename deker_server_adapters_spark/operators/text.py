@@ -163,8 +163,44 @@ FROM documents
 """
 
 
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (explode -> count -> top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(_TOKENS).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 1)), "
+                "i -> array_join(slice(t, i, 2), ' '))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+TOP_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT {_TOKENS_DUCK} AS t FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                i -> array_to_string(t[i:i+1], ' '))) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM bi
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
+    "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
     "text_quality_score": Op("text_quality_score", text_quality_score, _quality_sql()),
     "text_lang_id": Op("text_lang_id", text_lang_id, _lang_id_sql()),
     "text_fingerprint": Op("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),

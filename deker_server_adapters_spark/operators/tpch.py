@@ -638,8 +638,271 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- q2: min-price part per type (TPC-H Q2's correlated-min, adapted) -------
+
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+Q2_SQL = """
+SELECT p_type, p_partkey, p_name, p_retailprice
+FROM (SELECT p_type, p_partkey, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY p_retailprice, p_partkey) AS rn
+      FROM part) t
+WHERE rn = 1
+"""
+
+
+# --- q8: national market share (TPC-H Q8 adapted) ----------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(n_c), cust.c_nationkey == F.col("cnk"))
+        .join(broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(n_s), supp.s_nationkey == F.col("snk"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(target.cast("decimal(30,6)")).cast("double")
+                / F.sum(vol.cast("decimal(30,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+                                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+GROUP BY o_year
+"""
+
+
+# --- q11: important parts by inventory value (TPC-H Q11 adapted) -------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(vol.cast("decimal(30,6)")).alias("value_dec")
+    )
+    total = per_part.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        per_part.crossJoin(broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") > 0.001 * F.col("total_dec").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS value_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+FROM per_part
+WHERE CAST(value_dec AS DOUBLE) > 0.001 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM per_part)
+"""
+
+
+# --- q15: top supplier by quarterly revenue (TPC-H Q15) ----------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")),
+                2,
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# --- q17: small-quantity revenue (TPC-H Q17: correlated avg per part) --------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double") / F.count("l_quantity"))
+        .alias("avg_qty")
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+  AND l_quantity < 0.5 * (
+      SELECT CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# --- q20: suppliers with heavy shipments of a part family (TPC-H Q20) --------
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    supp = _t(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(30,6)")), 2).cast("double").alias("qty"))
+        .filter(F.col("qty") > 100.0)
+    )
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_name LIKE '%blue%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) > 100.0
+)
+"""
+
+
+# --- q21: suppliers who shipped last in multi-supplier orders (Q21 adapted) --
+
+def q21_last_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+    multi = per_order.filter(F.col("n_supps") > 1)
+    last = (
+        li.join(multi, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        last.join(broadcast(supp), last.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+Q21_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship, count(DISTINCT l_suppkey) AS n_supps
+  FROM lineitem GROUP BY l_orderkey
+), last AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+  WHERE p.n_supps > 1 AND l.l_shipdate = p.max_ship
+)
+SELECT s_name, count(*) AS numwait
+FROM last JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 OPS = {
     "q1_pricing_summary": Op("q1_pricing_summary", q1_pricing_summary, Q1_SQL, headline=True),
+    "q2_min_price_part": Op("q2_min_price_part", q2_min_price_part, Q2_SQL),
+    "q8_market_share": Op("q8_market_share", q8_market_share, Q8_SQL),
+    "q11_important_parts": Op("q11_important_parts", q11_important_parts, Q11_SQL),
+    "q15_top_supplier": Op("q15_top_supplier", q15_top_supplier, Q15_SQL),
+    "q17_small_quantity_revenue": Op(
+        "q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_SQL
+    ),
+    "q20_heavy_shippers": Op("q20_heavy_shippers", q20_heavy_shippers, Q20_SQL),
+    "q21_last_shippers": Op("q21_last_shippers", q21_last_shippers, Q21_SQL),
     "q3_unshipped_revenue": Op("q3_unshipped_revenue", q3_unshipped_revenue, Q3_SQL),
     "q4_order_priority": Op("q4_order_priority", q4_order_priority, Q4_SQL),
     "q5_local_supplier_volume": Op(

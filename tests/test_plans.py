@@ -1,0 +1,81 @@
+"""Plan-shape regression tests: the physical plans we ship are the
+ones we'd want on a 1000-executor cluster. If a refactor silently
+turns a broadcast join into a sort-merge join or un-pushes a scan
+filter, these fail."""
+
+from __future__ import annotations
+
+import pytest
+
+from deker_server_adapters_spark.operators import all_ops
+from deker_server_adapters_spark.plans.explain import (
+    count_shuffles,
+    physical_plan,
+    pushed_filters,
+)
+
+_OPS = all_ops()
+
+
+def _plan(spark, sf_dir, name):
+    return _OPS[name].builder(spark, sf_dir)
+
+
+def test_q1_filter_reaches_scan(spark, sf_dir):
+    pf = pushed_filters(_plan(spark, sf_dir, "q1_pricing_summary"))
+    assert "LessThanOrEqual(l_shipdate" in pf
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    pf = pushed_filters(_plan(spark, sf_dir, "q6_forecast_revenue"))
+    for frag in ("l_shipdate", "l_discount,0.05", "l_quantity,24.0"):
+        assert frag in pf, f"{frag} missing from pushed filters: {pf}"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    from deker_server_adapters_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(_plan(spark, sf_dir, "q6_forecast_revenue"))
+    read_schema = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert read_schema, plan
+    # only the 4 referenced columns are read, not all 11
+    assert "l_returnflag" not in read_schema[0]
+    assert "l_orderkey" not in read_schema[0]
+
+
+def test_q5_dims_are_broadcast_not_smj(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "q5_local_supplier_volume"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q18_semi_join_on_big_orders(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "q18_large_orders"))
+    assert "LeftSemi" in plan
+
+
+def test_sessionization_single_shuffle(spark, sf_dir):
+    # one exchange on user_id feeds both windows and the final agg
+    df = _plan(spark, sf_dir, "events_sessionization")
+    assert count_shuffles(df) <= 2
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    from deker_server_adapters_spark.operators.dedup import minhash_signatures
+
+    df = minhash_signatures(spark, sf_dir)
+    assert count_shuffles(df) == 0  # signature build never shuffles
+
+
+def test_hash_ring_data_side_never_shuffles(spark, sf_dir):
+    df = _plan(spark, sf_dir, "hash_ring_assignment")
+    plan = physical_plan(df)
+    # vnode table joins must be broadcast; the customer side stays put
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_ops_are_pure_codegen(spark, sf_dir):
+    # no Python eval nodes in any text op plan (UDF-free hot path)
+    for name in ("text_token_count", "text_quality_score", "text_lang_id", "text_fingerprint"):
+        plan = physical_plan(_plan(spark, sf_dir, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
