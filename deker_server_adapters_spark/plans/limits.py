@@ -1,0 +1,54 @@
+"""Resource budget guards — the engine-side analogue of the
+reference's rate/data-points limits (httpx_client.py:52-60): a server
+refuses oversized subsets with 413 + RateLimit headers; here a plan
+whose estimated output exceeds the budget is refused before execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from deker_server_adapters_spark.core.errors import DekerDataPointsLimitError
+
+
+def estimated_rows(df: DataFrame) -> int | None:
+    """Catalyst's row-count estimate for the optimized plan (None if
+    the optimizer has no estimate)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    row_count = stats.rowCount()
+    if row_count.isDefined():
+        return int(row_count.get().toString())
+    return None
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def enforce_budget(
+    df: DataFrame,
+    max_rows: int | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Refuse plans whose estimated output exceeds the budget.
+
+    Uses optimizer statistics only — no job is run. Returns the df
+    unchanged when within budget so it chains fluently.
+    """
+    if max_bytes is not None:
+        got = estimated_bytes(df)
+        if got > max_bytes:
+            raise DekerDataPointsLimitError(
+                "Requested object is too large, use smaller subset",
+                limit=max_bytes,
+                requested=got,
+            )
+    if max_rows is not None:
+        est = estimated_rows(df)
+        if est is not None and est > max_rows:
+            raise DekerDataPointsLimitError(
+                "Requested object is too large, use smaller subset",
+                limit=max_rows,
+                requested=est,
+            )
+    return df

@@ -1,0 +1,115 @@
+"""Semantic tests beyond oracle parity: planted duplicates are found,
+ANN recall vs brute force, limits enforce budgets."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from deker_server_adapters_spark.core.errors import DekerDataPointsLimitError
+
+
+@pytest.fixture()
+def planted_docs(spark, tmp_path):
+    """A tiny corpus with exact and near duplicates planted, written as
+    a sf-dir-shaped parquet so operators run on it unchanged."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster and counts tokens"
+    )
+    near = base.replace("lazy", "sleepy")  # one-token change
+    other = "completely different content about weather arrays and chunked storage layers"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),          # exact dup of 0
+        (2, near, "en", "s", len(near)),          # near dup of 0
+        (3, other, "en", "s", len(other)),
+        (4, "  ".join([base.upper()]), "en", "s", len(base)),  # case/space dup of 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "sfp"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_exact_dedup_finds_planted(spark, planted_docs):
+    from deker_server_adapters_spark.operators.dedup import dedup_exact
+
+    groups = dedup_exact(spark, planted_docs).toPandas()
+    dup_groups = groups[groups.n_dups > 1]
+    assert len(dup_groups) == 1
+    # normalization folds case/whitespace: docs 0, 1, 4 in one group
+    assert dup_groups.iloc[0]["n_dups"] == 3
+    assert dup_groups.iloc[0]["canonical_doc_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup(spark, planted_docs):
+    from deker_server_adapters_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, planted_docs).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 2) in found  # one-token change → high jaccard
+    assert not any(3 in p for p in found)  # unrelated doc never pairs
+
+
+def test_minhash_lsh_finds_near_dup(spark, planted_docs):
+    from deker_server_adapters_spark.operators.dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, planted_docs).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs.doc_a, pairs.doc_b)}
+    assert (0, 1) in found and (0, 4) in found  # exact dups always bucket together
+    assert not any(3 in p for p in found)
+
+
+def test_simhash_exact_dups_zero_distance(spark, planted_docs):
+    from deker_server_adapters_spark.operators.dedup import dedup_simhash
+
+    pairs = dedup_simhash(spark, planted_docs).toPandas()
+    by_pair = {tuple(sorted((a, b))): h for a, b, h in zip(pairs.doc_a, pairs.doc_b, pairs.hamming)}
+    assert by_pair.get((0, 1)) == 0
+    assert by_pair.get((0, 4)) == 0
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
+    from deker_server_adapters_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_lsh_cosine,
+    )
+
+    exact = ann_cosine_topk(spark, sf_dir).toPandas()
+    approx = ann_lsh_cosine(spark, sf_dir).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = []
+    for q, want in exact_sets.items():
+        got = approx_sets.get(q, set())
+        recalls.append(len(got & want) / len(want))
+    # 8 tables x 4 bits at ~70deg neighbor angle -> expected recall ~0.7
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_lsh_candidate_work_bounded(spark, sf_dir):
+    from deker_server_adapters_spark.operators.similarity import _N_TABLES, lsh_signatures
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    sizes = lsh_signatures(emb).groupBy("tbl", "bucket").count().toPandas()["count"]
+    # candidate work = sum of squared bucket sizes per table, summed
+    # over tables — must be well under L * n^2 (the full cross product
+    # repeated per table)
+    assert (sizes**2).sum() < 0.25 * _N_TABLES * n * n
+
+
+def test_enforce_budget_rows(spark, sf_dir):
+    from deker_server_adapters_spark.plans.limits import enforce_budget
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(DekerDataPointsLimitError) as e:
+        enforce_budget(li, max_bytes=10)
+    assert e.value.limit == 10 and e.value.requested > 10
+    # within budget → chains through
+    assert enforce_budget(li.limit(5), max_bytes=1 << 40).count() == 5
