@@ -30,9 +30,13 @@ def main() -> None:
 
     ops = {name: op for name, op in all_ops().items() if op.headline}
 
-    # warm the JVM + file listing once so per-query timings measure the
-    # plan, not JIT/class-loading of the first query.
-    next(iter(ops.values())).builder(spark, sf_dir).count()
+    # One warmup execution per query: whole-stage-codegen classes are
+    # compiled per unique expression tree, so timing the first run
+    # measures the JIT, not the engine. The measured pass reports
+    # steady-state throughput (codegen cache hot, OS page cache warm —
+    # the regime a long-lived cluster actually runs in).
+    for op in ops.values():
+        op.builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, op in ops.items():

@@ -279,11 +279,11 @@ class ChunkStore:
             )
 
         present = with_idx.groupBy("chunk_idx").applyInPandas(build_chunk, CHUNK_SCHEMA)
-        self._write(present, mode="append")
-        # fill chunks that received no cells at all
+        # chunks that receive no cells still need fill rows; derive them
+        # from the input (cheap distinct on ints) and write everything in
+        # ONE job — no read-back of the freshly written store.
         present_idxs = {
-            r["chunk_idx"]
-            for r in self.scan(array_id).select("chunk_idx").distinct().collect()
+            int(r["chunk_idx"]) for r in with_idx.select("chunk_idx").distinct().collect()
         }
         missing = [i for i in range(grid.n_chunks) if i not in present_idxs]
         if missing:
@@ -294,14 +294,15 @@ class ChunkStore:
             meta = self.spark.createDataFrame(
                 boxes, "array_id string, chunk_idx long, origin array<long>, shape array<long>"
             )
-            df = meta.withColumn(
+            fill_df = meta.withColumn(
                 "data",
                 F.expr(
                     f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
                     f"i -> CAST({float(fill_value)} AS DOUBLE))"
                 ),
-            )
-            self._write(df.select(*[f.name for f in CHUNK_SCHEMA.fields]), mode="append")
+            ).select(*[f.name for f in CHUNK_SCHEMA.fields])
+            present = present.unionByName(fill_df)
+        self._write(present, mode="append")
 
     def _write(self, df: DataFrame, mode: str) -> None:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -162,8 +162,93 @@ FROM cents GROUP BY label
 """
 
 
+_IVF_CELLS = 8
+_IVF_PROBES = 3
+
+
+def _ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse quantizer: k-means-lite with deterministic seeds (the
+    md5-smallest vec_ids) and one Lloyd refinement, all as DataFrame
+    aggregations — no mllib dependency, fully distributed."""
+    from deker_server_adapters_spark.functions.hashing import h32
+
+    seeds = (
+        emb.withColumn("hk", h32(F.col("vec_id")))
+        .orderBy("hk")
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("cell_seed"), F.col("embedding").alias("ce"))
+        .withColumn("cell", F.row_number().over(Window.orderBy("cell_seed")) - 1)
+        .select("cell", "ce")
+    )
+
+    def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "sim", cosine_similarity(F.col("embedding"), F.col("ce"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+
+    # one Lloyd iteration: reassign -> recompute mean centroids
+    assigned = assign(emb, seeds)
+    new_cents = (
+        assigned.select("cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
+        .groupBy("cell", "d")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
+        .select("cell", F.expr("transform(pairs, p -> p.cv)").alias("ce"))
+    )
+    return new_cents
+
+
+def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into cells, probe the
+    query's top-``_IVF_PROBES`` cells, exact re-rank inside. The scale
+    path for 100 TB: the centroid table is a broadcast of K rows and
+    the corpus is scanned once to build the inverted file; queries
+    touch ~probes/K of the data. (Rows-only; recall tested.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb).persist()
+    # inverted file: cell assignment for every vector
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", cosine_similarity(F.col("embedding"), F.col("ce"))
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+    inv = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "cell")
+    )
+    # queries probe their top cells
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    qcells = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity(F.col("embedding"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")))
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
+    )
+    pairs = (
+        inv.join(F.broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 OPS = {
     "ann_cosine_topk": Op("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True),
     "ann_lsh_cosine": Op("ann_lsh_cosine", ann_lsh_cosine, None),
+    "ann_ivf_cosine": Op("ann_ivf_cosine", ann_ivf_cosine, None),
     "label_centroids": Op("label_centroids", label_centroids, CENTROID_SQL),
 }

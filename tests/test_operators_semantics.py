@@ -90,6 +90,27 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert np.mean(recalls) >= 0.5, recalls
 
 
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from deker_server_adapters_spark.operators.similarity import (
+        _IVF_CELLS,
+        _IVF_PROBES,
+        ann_cosine_topk,
+        ann_ivf_cosine,
+    )
+
+    exact = ann_cosine_topk(spark, sf_dir).toPandas()
+    approx = ann_ivf_cosine(spark, sf_dir).toPandas()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(approx_sets.get(q, set()) & want) / len(want) for q, want in exact_sets.items()
+    ]
+    # probing 3 of 8 cells scans ~3/8 of the corpus; on near-random
+    # vectors recall lands well above that floor
+    assert np.mean(recalls) >= 0.45, recalls
+    assert _IVF_PROBES < _IVF_CELLS
+
+
 def test_lsh_candidate_work_bounded(spark, sf_dir):
     from deker_server_adapters_spark.operators.similarity import _N_TABLES, lsh_signatures
     from deker_server_adapters_spark.sources.tables import load_table
