@@ -233,8 +233,50 @@ GROUP BY event_type
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily counts pivoted to one column per event type (explicit
+    pivot values — a wildcard pivot would need an extra distinct scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
+    for t in _EVENT_TYPES
+)
+
+PIVOT_SQL = f"""
+SELECT date_trunc('day', ts) AS day,
+       {_PIVOT_COLS}
+FROM {EVENTS_DUCK}
+GROUP BY day
+"""
+
+
+def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per type — the sketch that replaces exact
+    distinct at 100 TB (no oracle: sketch estimates are engine-
+    specific; the error bound vs exact is pytest-checked)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
+    "events_approx_distinct_users": Op(
+        "events_approx_distinct_users", events_approx_distinct_users, None
+    ),
     "events_props_json": Op("events_props_json", events_props_json, PROPS_JSON_SQL),
     "events_distinct_users_daily": Op(
         "events_distinct_users_daily", events_distinct_users_daily, DISTINCT_USERS_SQL

@@ -892,8 +892,37 @@ LIMIT 10
 """
 
 
+# --- set operations: INTERSECT / EXCEPT ---------------------------------------
+
+def order_key_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent orders vs many-line orders as set algebra: keys in both
+    (INTERSECT) and urgent-only (EXCEPT), tagged."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 4)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    both = urgent.intersect(big).withColumn("tag", F.lit("both"))
+    urgent_only = urgent.exceptAll(big).distinct().withColumn("tag", F.lit("urgent_only"))
+    return both.unionByName(urgent_only)
+
+
+ORDER_SETS_SQL = """
+WITH urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+big AS (SELECT l_orderkey AS o_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) > 4)
+SELECT o_orderkey, 'both' AS tag FROM (SELECT * FROM urgent INTERSECT SELECT * FROM big)
+UNION ALL
+SELECT o_orderkey, 'urgent_only' AS tag FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
+"""
+
+
 OPS = {
     "q1_pricing_summary": Op("q1_pricing_summary", q1_pricing_summary, Q1_SQL, headline=True),
+    "order_key_sets": Op("order_key_sets", order_key_sets, ORDER_SETS_SQL),
     "q2_min_price_part": Op("q2_min_price_part", q2_min_price_part, Q2_SQL),
     "q8_market_share": Op("q8_market_share", q8_market_share, Q8_SQL),
     "q11_important_parts": Op("q11_important_parts", q11_important_parts, Q11_SQL),
