@@ -26,6 +26,7 @@ from deker_server_adapters_spark.core.storage import (
     ChunkStore,
     default_chunk_grid,
     normalize_bounds,
+    resolve_bounds,
 )
 
 
@@ -226,11 +227,11 @@ class ArrayAdapter:
     # -- data ----------------------------------------------------------------
 
     def read_data(self, array: Array, bounds: Bounds) -> np.ndarray:
-        norm = normalize_bounds(bounds, array.shape)
+        norm = normalize_bounds(resolve_bounds(bounds, array.schema.dimensions), array.shape)
         return self.store.read_slice(array.id, self._grid(), norm, array.dtype)
 
     def update(self, array: Array, bounds: Bounds, data) -> None:
-        norm = normalize_bounds(bounds, array.shape)
+        norm = normalize_bounds(resolve_bounds(bounds, array.schema.dimensions), array.shape)
         self.store.update_slice(array.id, self._grid(), norm, data)
 
     def clear(self, array: Array, bounds: Bounds = slice(None)) -> None:

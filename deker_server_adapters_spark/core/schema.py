@@ -21,11 +21,82 @@ _DTYPES = {"float64", "float32", "int64", "int32", "int16", "int8"}
 
 @dataclass(frozen=True)
 class DimensionSchema:
+    """A dimension: plain (indexed), labeled (string labels per step),
+    or time (start + step seconds) — the Deker dimension model."""
+
     name: str
     size: int
+    labels: tuple[str, ...] | None = None
+    start_iso: str | None = None  # time dimension: ISO start
+    step_seconds: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.labels is not None and len(self.labels) != self.size:
+            raise DekerValidationError(
+                f"dimension {self.name!r}: {len(self.labels)} labels for size {self.size}"
+            )
+        if (self.start_iso is None) != (self.step_seconds is None):
+            raise DekerValidationError(
+                f"dimension {self.name!r}: start_iso and step_seconds go together"
+            )
+
+    @property
+    def is_time(self) -> bool:
+        return self.start_iso is not None
+
+    def index_of(self, value) -> int:
+        """Resolve a label / datetime / int to a position."""
+        from datetime import datetime, timezone
+
+        if isinstance(value, int):
+            return value
+        if isinstance(value, str) and self.labels is not None:
+            try:
+                return self.labels.index(value)
+            except ValueError:
+                raise DekerValidationError(
+                    f"label {value!r} not in dimension {self.name!r}"
+                ) from None
+        if self.is_time and isinstance(value, (datetime, str)):
+            dt = datetime.fromisoformat(value) if isinstance(value, str) else value
+            start = datetime.fromisoformat(self.start_iso)
+            if dt.tzinfo is None and start.tzinfo is not None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            if start.tzinfo is None and dt.tzinfo is not None:
+                start = start.replace(tzinfo=timezone.utc)
+            delta = (dt - start).total_seconds()
+            idx = int(delta // self.step_seconds)
+            if delta % self.step_seconds != 0:
+                raise DekerValidationError(
+                    f"{dt.isoformat()} is not on the {self.step_seconds}s grid of {self.name!r}"
+                )
+            if not 0 <= idx < self.size:
+                raise DekerValidationError(
+                    f"{dt.isoformat()} outside dimension {self.name!r}"
+                )
+            return idx
+        raise DekerValidationError(
+            f"cannot resolve {value!r} on dimension {self.name!r}"
+        )
 
     def to_dict(self) -> dict:
-        return {"name": self.name, "size": self.size}
+        d: dict = {"name": self.name, "size": self.size}
+        if self.labels is not None:
+            d["labels"] = list(self.labels)
+        if self.is_time:
+            d["start_iso"] = self.start_iso
+            d["step_seconds"] = self.step_seconds
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DimensionSchema":
+        return cls(
+            name=d["name"],
+            size=d["size"],
+            labels=tuple(d["labels"]) if "labels" in d else None,
+            start_iso=d.get("start_iso"),
+            step_seconds=d.get("step_seconds"),
+        )
 
 
 @dataclass(frozen=True)
@@ -78,7 +149,7 @@ class ArraySchema:
     def from_dict(cls, d: dict) -> "ArraySchema":
         return cls(
             dtype=d["dtype"],
-            dimensions=tuple(DimensionSchema(**x) for x in d["dimensions"]),
+            dimensions=tuple(DimensionSchema.from_dict(x) for x in d["dimensions"]),
             attributes=tuple(AttributeSchema(**x) for x in d["attributes"]),
             fill_value=d.get("fill_value", 0.0),
         )
@@ -118,7 +189,7 @@ class VArraySchema(ArraySchema):
     def from_dict(cls, d: dict) -> "VArraySchema":
         return cls(
             dtype=d["dtype"],
-            dimensions=tuple(DimensionSchema(**x) for x in d["dimensions"]),
+            dimensions=tuple(DimensionSchema.from_dict(x) for x in d["dimensions"]),
             attributes=tuple(AttributeSchema(**x) for x in d["attributes"]),
             fill_value=d.get("fill_value", 0.0),
             vgrid=tuple(d["vgrid"]),

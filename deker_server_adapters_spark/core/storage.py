@@ -63,6 +63,34 @@ CHUNK_SCHEMA = StructType(
 DEFAULT_MAX_POINTS = 64 * 1024 * 1024
 
 
+def resolve_bounds(bounds: Bounds, dimensions) -> Bounds:
+    """Resolve labeled / time-dimension values (strings, datetimes) in
+    bounds to integer positions via each DimensionSchema. A slice stop
+    given as label/datetime is inclusive-resolved then +1 (matches the
+    Deker convention that label ranges include their endpoint)."""
+    if not isinstance(bounds, tuple):
+        bounds = (bounds,)
+    if len(bounds) > len(dimensions):
+        # over-length bounds: pass through; normalize_bounds raises the
+        # proper DekerSubsetError with rank details
+        return bounds
+    out = []
+    for d, b in enumerate(bounds):
+        dim = dimensions[d]
+        if isinstance(b, slice):
+            start = b.start if b.start is None or isinstance(b.start, int) else dim.index_of(b.start)
+            if b.stop is None or isinstance(b.stop, int):
+                stop = b.stop
+            else:
+                stop = dim.index_of(b.stop) + 1
+            out.append(slice(start, stop, b.step))
+        elif b is None or isinstance(b, int):
+            out.append(b)
+        else:
+            out.append(dim.index_of(b))
+    return tuple(out)
+
+
 def normalize_bounds(bounds: Bounds, shape: Sequence[int]) -> list[tuple[int, int, bool]]:
     """Normalize numpy-style bounds to per-dim (start, stop, squeeze).
 
@@ -407,7 +435,14 @@ class ChunkStore:
         if isinstance(data, (int, float)):
             patch = np.full(out_shape, float(data), dtype=np.float64)
         else:
-            patch = np.broadcast_to(np.asarray(data, dtype=np.float64), out_shape)
+            # callers pass patches in the squeezed shape (int-indexed
+            # dims dropped, numpy indexing convention); broadcast there
+            # first, then restore the dropped axes
+            squeezed = [
+                stop - start for start, stop, sq in norm if not sq
+            ]
+            patch = np.broadcast_to(np.asarray(data, dtype=np.float64), squeezed)
+            patch = patch.reshape(out_shape)
         idxs = grid.overlapping_chunks(norm)
         lo = [start for start, _, _ in norm]
         hi = [stop for _, stop, _ in norm]

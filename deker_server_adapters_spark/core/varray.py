@@ -24,7 +24,7 @@ from deker_server_adapters_spark.core.array import Array, ArrayAdapter
 from deker_server_adapters_spark.core.collection import Collection
 from deker_server_adapters_spark.core.errors import DekerArrayNotExistsError
 from deker_server_adapters_spark.core.schema import VArraySchema
-from deker_server_adapters_spark.core.storage import Bounds, ChunkGrid, normalize_bounds
+from deker_server_adapters_spark.core.storage import Bounds, ChunkGrid, normalize_bounds, resolve_bounds
 
 
 class VArray:
@@ -216,11 +216,11 @@ class VArrayAdapter:
                 yield m
 
     def read_data(self, varray: VArray, bounds: Bounds) -> np.ndarray:
-        norm = normalize_bounds(bounds, varray.shape)
+        norm = normalize_bounds(resolve_bounds(bounds, varray.schema.dimensions), varray.shape)
         return self.store.read_slice(varray.id, self._grid(), norm, varray.dtype)
 
     def update(self, varray: VArray, bounds: Bounds, data) -> None:
-        norm = normalize_bounds(bounds, varray.shape)
+        norm = normalize_bounds(resolve_bounds(bounds, varray.schema.dimensions), varray.shape)
         self.store.update_slice(varray.id, self._grid(), norm, data)
 
     def clear(self, varray: VArray, bounds: Bounds = slice(None)) -> None:

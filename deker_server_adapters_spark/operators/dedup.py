@@ -344,8 +344,53 @@ WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on normalized-text prefixes, with pair
+    generation bounded by blocking keys (source + length bucket) —
+    the classic blocking+distance pattern; unblocked pairwise
+    levenshtein is quadratic and never acceptable at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("source").alias("src"),
+        F.expr("CAST(n_chars DIV 100 AS INT)").alias("len_bucket"),
+        F.expr(f"substr({_NORM}, 1, 24)").alias("prefix"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("lev"),
+        )
+        .filter(F.col("lev") <= 8)
+    )
+
+
+LEVENSHTEIN_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source AS src, CAST(n_chars // 100 AS INT) AS len_bucket,
+         substr({_NORM_DUCK}, 1, 24) AS prefix
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS lev
+FROM base a JOIN base b
+  ON a.src = b.src AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 8
+"""
+
+
 OPS = {
     "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),
+    "dedup_levenshtein": Op("dedup_levenshtein", dedup_levenshtein, LEVENSHTEIN_SQL),
     "dedup_ngram_jaccard": Op("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": Op("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
     "dedup_simhash": Op("dedup_simhash", dedup_simhash, SIMHASH_SQL),

@@ -233,6 +233,36 @@ GROUP BY event_type
 """
 
 
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum/count (RANGE frame over event time —
+    peers share frames, unlike the ROWS frames elsewhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")).over(w), 2)
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count("*").over(w).alias("rolling_1h_events"),
+    )
+
+
+ROLLING_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE) AS rolling_1h_value,
+       count(*) OVER w AS rolling_1h_events
+FROM {EVENTS_DUCK}
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -274,6 +304,7 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
+    "events_rolling_1h": Op("events_rolling_1h", events_rolling_1h, ROLLING_SQL),
     "events_approx_distinct_users": Op(
         "events_approx_distinct_users", events_approx_distinct_users, None
     ),
