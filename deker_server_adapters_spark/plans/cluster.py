@@ -95,6 +95,34 @@ class ClusterConfig:
         return plan
 
 
+class FileStatus:
+    """Chunk/file migration statuses during rebalancing — parity with
+    the reference's Status enum (models.py): NORMAL, MOVED
+    ('exported'), UNMOVED ('exporting')."""
+
+    NORMAL = "normal"
+    MOVED = "exported"
+    UNMOVED = "exporting"
+
+
+def migration_statuses(
+    config: "ClusterConfig", keys: Iterable[str], completed: set[str]
+) -> dict[str, str]:
+    """Status per key mid-rebalance: keys that must move are
+    'exporting' until marked completed ('exported'); keys that stay
+    put are 'normal'."""
+    plan = config.rebalance_plan(keys)
+    out = {}
+    for k in keys:
+        if k not in plan:
+            out[k] = FileStatus.NORMAL
+        elif k in completed:
+            out[k] = FileStatus.MOVED
+        else:
+            out[k] = FileStatus.UNMOVED
+    return out
+
+
 class RateLimiter:
     """Token-bucket request limiter exposing the reference's
     RateLimit-Limit / -Remaining / -Reset vocabulary

@@ -101,6 +101,20 @@ def streaming_sessionization(
     )
 
 
+def streaming_exact_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type,
+    value-hash) within the watermark horizon survives — the streaming
+    twin of hash-groupBy dedup. State is bounded by the watermark."""
+    keyed = events.withColumn(
+        "dedup_key", F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string")))
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicates(["dedup_key"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 def streaming_running_totals(events: DataFrame) -> DataFrame:
     """Per-user cumulative value via applyInPandasWithState — the
     pattern for stateful operators Spark lacks natively. Emits one row

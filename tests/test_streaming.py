@@ -64,6 +64,19 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_streaming_exact_dedup(spark, sf_dir):
+    from deker_server_adapters_spark.streaming.events_stream import streaming_exact_dedup
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_exact_dedup(src), "t_dedup", "append")
+    got = spark.table("t_dedup").toPandas()
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    want_distinct = ev.drop_duplicates(["user_id", "event_type", "value"])
+    assert len(got) == len(want_distinct)
+    assert got["event_id"].is_unique
+
+
 def test_streaming_sessionization_matches_batch_sessions(spark, sf_dir):
     from deker_server_adapters_spark.operators.events import events_sessionization
 
