@@ -47,7 +47,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # truncation so both engines see the same instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":  # nanos file; micros copies read clean
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
