@@ -228,8 +228,63 @@ JOIN owner ON owner.vkey = coalesce(sel.sel_key, (SELECT min(vkey) FROM keys))
 """
 
 
+def array_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write path under oracle check: build the events grid, then
+    *through the engine* clear a box and overwrite another (copy-on-
+    write chunk rewrites), and aggregate the result. The oracle
+    recomputes the same mutations with CASE arithmetic — so subset
+    update/clear semantics are value-checked, not just unit-tested."""
+    from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_"))
+    schema = ArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
+    )
+    coll = wh.collections.create("events_grid_w", schema)
+    arr = coll.arrays.create_from_cells(_event_cells(spark, sf_dir))
+    arr.clear((slice(0, 5), slice(0, 6)))            # box 1 -> fill (0.0)
+    arr.update((slice(10, 12), slice(None)), 7.25)    # box 2 -> constant
+    return (
+        arr.cell_df()
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value")
+        )
+    )
+
+
+ARRAY_UPDATE_SQL = f"""
+WITH cells AS (
+  SELECT date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) AS day, hour(ts) AS hour,
+         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 6) AS DOUBLE) AS value
+  FROM {EVENTS_DUCK}
+  WHERE date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) BETWEEN 0 AND {_N_DAYS - 1}
+  GROUP BY day, hour
+), grid AS (
+  SELECT CAST(d.range AS BIGINT) AS day, CAST(h.range AS BIGINT) AS hour,
+         coalesce(cells.value, 0.0) AS value
+  FROM range({_N_DAYS}) d CROSS JOIN range({_N_HOURS}) h
+  LEFT JOIN cells ON cells.day = d.range AND cells.hour = h.range
+), mutated AS (
+  SELECT day, hour,
+         CASE WHEN day >= 0 AND day < 5 AND hour >= 0 AND hour < 6 THEN 0.0
+              WHEN day >= 10 AND day < 12 THEN 7.25
+              ELSE value END AS value
+  FROM grid
+)
+SELECT day,
+       CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value
+FROM mutated
+GROUP BY day
+"""
+
+
 OPS = {
     "array_slice_agg": Op("array_slice_agg", array_slice_agg, ARRAY_SLICE_SQL, headline=True),
+    "array_update_roundtrip": Op("array_update_roundtrip", array_update_roundtrip, ARRAY_UPDATE_SQL),
     "varray_cell_table": Op("varray_cell_table", varray_cell_table, VARRAY_CELL_SQL),
     "hash_ring_assignment": Op("hash_ring_assignment", hash_ring_assignment, HASH_RING_SQL),
 }
