@@ -198,9 +198,86 @@ LIMIT 20
 """
 
 
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sampling with deterministic hash gates —
+    the reproducible (re-runnable, engine-independent) way to downsample
+    a 100 TB corpus: no RNG state, membership is a pure function of
+    doc_id. Quotas: en 20%, others 50%."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = "CAST(conv(substr(md5(concat('sample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"
+    quota = "CASE WHEN lang = 'en' THEN 20 ELSE 50 END"
+    return docs.filter(F.expr(f"({gate}) < ({quota})")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+STRATIFIED_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 100
+      < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+"""
+
+
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by hash range — stable across
+    engines, re-runs, and data re-partitioning (the property RNG-based
+    splits lack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10"
+    split = f"CASE WHEN ({bucket}) < 8 THEN 'train' WHEN ({bucket}) = 8 THEN 'val' ELSE 'test' END"
+    return (
+        docs.select("doc_id", F.expr(split).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 10 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs, min(doc_id) AS first_doc
+FROM b
+GROUP BY split
+"""
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequencies and doc frequencies (the
+    tokenizer-training input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+VOCAB_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents)
+SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks
+GROUP BY tok
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
+    "text_vocabulary": Op("text_vocabulary", text_vocabulary, VOCAB_SQL),
+    "docs_stratified_sample": Op(
+        "docs_stratified_sample", docs_stratified_sample, STRATIFIED_SQL
+    ),
+    "docs_train_val_test_split": Op(
+        "docs_train_val_test_split", docs_train_val_test_split, SPLIT_SQL
+    ),
     "text_quality_score": Op("text_quality_score", text_quality_score, _quality_sql()),
     "text_lang_id": Op("text_lang_id", text_lang_id, _lang_id_sql()),
     "text_fingerprint": Op("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
