@@ -154,6 +154,31 @@ class TestArrays:
         np.testing.assert_allclose(got, ref)
 
 
+class TestIsolation:
+    def test_arrays_in_one_collection_are_isolated(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        rng = np.random.RandomState(5)
+        a_ref, b_ref = rng.rand(20, 12), rng.rand(20, 12)
+        a = coll.arrays.create({"station": "a"}, data=a_ref)
+        b = coll.arrays.create({"station": "b"}, data=b_ref)
+        a.update((slice(0, 3), slice(0, 3)), 99.0)
+        a_ref[0:3, 0:3] = 99.0
+        np.testing.assert_allclose(a.read_data(), a_ref)
+        np.testing.assert_allclose(b.read_data(), b_ref)  # untouched
+        coll.arrays.delete(a)
+        np.testing.assert_allclose(b.read_data(), b_ref)  # survives sibling delete
+
+    def test_slice_scan_prunes_to_array_partition(self, warehouse):
+        from deker_server_adapters_spark.plans.explain import formatted_plan
+
+        coll = warehouse.collections.create("c", SCHEMA)
+        arr = coll.arrays.create({"station": "a"})
+        coll.arrays.create({"station": "b"})
+        scan = coll.arrays.store.scan(arr.id, [0])
+        plan = formatted_plan(scan)
+        assert "PartitionFilters" in plan and "array_id" in plan
+
+
 class TestVArrays:
     def test_roundtrip_spanning_chunks(self, warehouse):
         coll = warehouse.collections.create("v", VSCHEMA)
