@@ -322,13 +322,25 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.95 (brute-force baseline;
     ``ann_lsh_cosine`` is the bucketed scale path)."""
-    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # precompute each vector's norm once per ROW (not per pair — the
+    # inline cosine recomputes both norms for all O(n^2) pairs);
+    # values are bit-identical since the norm is the same fold over
+    # the same array either way.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= 0.95)

@@ -35,14 +35,27 @@ _N_PLANES = _N_TABLES * _BITS_PER_TABLE
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per row (not per query x candidate pair); identical
+    # values, |Q|x less norm work
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
     scored = (
         cand.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

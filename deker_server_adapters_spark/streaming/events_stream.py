@@ -115,6 +115,41 @@ def streaming_exact_dedup(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def streaming_purchase_error_join(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each error joined to the same
+    user's purchases in the preceding 10 minutes. Watermarks on both
+    sides bound the join state (Spark buffers only events inside the
+    watermark + interval horizon)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("p_ts") <= F.col("e_ts"))
+        & (F.col("p_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return purchases.join(errors, cond).select(
+        "error_id", F.col("e_user").alias("user_id"), "e_ts", "p_ts", "purchase_value"
+    )
+
+
 def streaming_running_totals(events: DataFrame) -> DataFrame:
     """Per-user cumulative value via applyInPandasWithState — the
     pattern for stateful operators Spark lacks natively. Emits one row

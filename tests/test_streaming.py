@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.operators.events import (
     events_running_totals,
@@ -75,6 +76,42 @@ def test_streaming_exact_dedup(spark, sf_dir):
     want_distinct = ev.drop_duplicates(["user_id", "event_type", "value"])
     assert len(got) == len(want_distinct)
     assert got["event_id"].is_unique
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.events_stream import (
+        streaming_purchase_error_join,
+    )
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_purchase_error_join(src), "t_ssj", "append")
+    got = (
+        spark.table("t_ssj")
+        .toPandas()
+        .sort_values(["error_id", "p_ts"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "ts p_ts", "value purchase_value"
+    )
+    e = ev.filter("event_type = 'error'").selectExpr(
+        "event_id error_id", "user_id e_user", "ts e_ts"
+    )
+    want = (
+        p.join(
+            e,
+            (p.p_user == e.e_user)
+            & (p.p_ts <= e.e_ts)
+            & (p.p_ts >= e.e_ts - F.expr("INTERVAL 10 minutes")),
+        )
+        .selectExpr("error_id", "e_user user_id", "e_ts", "p_ts", "purchase_value")
+        .toPandas()
+        .sort_values(["error_id", "p_ts"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
 def test_streaming_sessionization_matches_batch_sessions(spark, sf_dir):
