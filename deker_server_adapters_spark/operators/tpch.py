@@ -920,9 +920,39 @@ SELECT o_orderkey, 'urgent_only' AS tag FROM (SELECT * FROM urgent EXCEPT SELECT
 """
 
 
+def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions over account balances: quartile
+    (ntile), percent_rank, cume_dist per market segment."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+BALANCE_DIST_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 OPS = {
     "q1_pricing_summary": Op("q1_pricing_summary", q1_pricing_summary, Q1_SQL, headline=True),
     "order_key_sets": Op("order_key_sets", order_key_sets, ORDER_SETS_SQL),
+    "customer_balance_distribution": Op(
+        "customer_balance_distribution", customer_balance_distribution, BALANCE_DIST_SQL
+    ),
     "q2_min_price_part": Op("q2_min_price_part", q2_min_price_part, Q2_SQL),
     "q8_market_share": Op("q8_market_share", q8_market_share, Q8_SQL),
     "q11_important_parts": Op("q11_important_parts", q11_important_parts, Q11_SQL),
