@@ -262,7 +262,7 @@ class ChunkStore:
             F.expr(idx_expr).alias("chunk_idx"),
             *[F.col(c).cast("long").alias(c) for c in dim_cols],
             F.col(value_col).cast("double").alias("__value"),
-        )
+        ).persist()  # read twice: chunk build + present-idx probe
         grid_bc = self.spark.sparkContext.broadcast(
             {
                 "splits": grid.splits,

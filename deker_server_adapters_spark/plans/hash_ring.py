@@ -51,6 +51,24 @@ def primary_attrs_key(primary_attributes: dict) -> str:
     return "/".join(parts)
 
 
+def hash_key_for_array(array_meta: dict) -> str:
+    """Routing key of an array: '/'-joined primary attributes when the
+    schema has them, else the id (reference utils/hashing.py:39-49 —
+    this is also why id lookups are forbidden in cluster mode when
+    primary attributes exist: the two hashes differ)."""
+    primary = array_meta.get("primary_attributes")
+    if primary:
+        return primary_attrs_key(primary)
+    return array_meta["id"]
+
+
+def fallback_nodes(ring: "HashRing", array_meta: dict) -> list[str]:
+    """Node order for serving an array's request: owner first, then the
+    ring walked for failover (reference utils/requests.py
+    request_in_cluster + make_request retry-over-nodes)."""
+    return list(ring.iterate_nodes(hash_key_for_array(array_meta)))
+
+
 class HashRing:
     def __init__(self, nodes: Sequence[str], weights: dict[str, int] | None = None):
         if not nodes:

@@ -68,6 +68,19 @@ def test_sql_ring_matches_python(spark, sf_dir):
         assert node == ring.get_node(str(custkey)), custkey
 
 
+def test_array_routing_key_prefers_primary_attrs():
+    from deker_server_adapters_spark.plans.hash_ring import fallback_nodes, hash_key_for_array
+
+    ring = HashRing(NODES)
+    with_primary = {"id": "abc", "primary_attributes": {"vid": "v1", "v_position": [0, 2]}}
+    by_id_only = {"id": "abc", "primary_attributes": {}}
+    assert hash_key_for_array(with_primary) == "v1/0-2"
+    assert hash_key_for_array(by_id_only) == "abc"
+    order = fallback_nodes(ring, with_primary)
+    assert order[0] == ring.get_node("v1/0-2")
+    assert sorted(order) == sorted(NODES)
+
+
 def test_hash_key_is_le_uint32():
     # spot value computed independently: little-endian first word of md5
     import hashlib
