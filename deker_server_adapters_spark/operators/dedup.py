@@ -75,8 +75,20 @@ GROUP BY text_hash
 
 def _shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # tokens materialized first — inlining the split chain inside the
+    # shingle lambda re-splits the text per element (O(n^2), see
+    # minhash_signatures)
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
     return (
-        docs.select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)), "
+                    f"i -> array_join(slice(t, i, {_SHINGLE_N}), ' '))"
+                )
+            ).alias("shingle"),
+        )
         .distinct()
     )
 

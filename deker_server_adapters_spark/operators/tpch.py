@@ -601,6 +601,36 @@ GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
 """
 
 
+def customer_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (segment, status): all 4 grouping-set combos."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            "total_price",
+            "n_orders",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+       coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -986,6 +1016,7 @@ OPS = {
     ),
     "top_parts_per_brand": Op("top_parts_per_brand", top_parts_per_brand, TOP_PARTS_SQL),
     "customer_order_rollup": Op("customer_order_rollup", customer_order_rollup, ROLLUP_SQL),
+    "customer_order_cube": Op("customer_order_cube", customer_order_cube, CUBE_SQL),
     "customers_without_orders": Op(
         "customers_without_orders", customers_without_orders, NO_ORDERS_SQL
     ),

@@ -65,6 +65,40 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """The production sink pattern: foreachBatch writing parquet; the
+    sank result equals the batch computation."""
+    from deker_server_adapters_spark.operators.events import events_tumbling_window
+
+    src = stream_events_source(spark, sf_dir)
+    out = str(tmp_path / "sink")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        streaming_tumbling_window(src)
+        .writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = (
+        spark.read.parquet(out)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_tumbling_window(spark, sf_dir)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
 def test_streaming_exact_dedup(spark, sf_dir):
     from deker_server_adapters_spark.streaming.events_stream import streaming_exact_dedup
     from deker_server_adapters_spark.sources.tables import load_table
