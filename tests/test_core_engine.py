@@ -142,6 +142,12 @@ class TestArrays:
             )
         assert e.value.limit == 10 and e.value.requested == 240
 
+    def test_empty_slice_read(self, warehouse):
+        coll = warehouse.collections.create("c", SCHEMA)
+        arr = coll.arrays.create({"station": "s"}, data=np.ones((20, 12)))
+        out = arr.read_data((slice(5, 5), slice(0, 3)))
+        assert out.shape == (0, 3)
+
     def test_cell_df(self, warehouse):
         coll = warehouse.collections.create("c", SCHEMA)
         rng = np.random.RandomState(3)
