@@ -76,6 +76,25 @@ class Array:
         store = ChunkStore(self.collection.warehouse.spark, self.collection.path)
         return store.cell_df(self.id, [d.name for d in self.schema.dimensions])
 
+    def reduce(self, dim: str, fn: str = "mean") -> DataFrame:
+        """Aggregate out one dimension (xarray-style): returns a
+        DataFrame keyed by the remaining dims with fn(value).
+        Runs as one Catalyst plan over the chunk dataset."""
+        from pyspark.sql import functions as F
+
+        names = [d.name for d in self.schema.dimensions]
+        if dim not in names:
+            raise KeyError(f"unknown dimension {dim!r}; have {names}")
+        others = [n for n in names if n != dim]
+        agg = {
+            "mean": F.avg("value"),
+            "sum": F.sum("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count("value"),
+        }[fn]
+        return self.cell_df().groupBy(*others).agg(agg.alias(fn))
+
     def meta(self) -> dict:
         return {
             "id": self.id,
@@ -226,11 +245,39 @@ class ArrayAdapter:
 
     # -- data ----------------------------------------------------------------
 
+    def _chunk_view(self, array: Array):
+        """A chunk-array view ("vid:idx") addresses one vgrid cell of
+        its parent varray's dataset. Returns (vid, box) or None."""
+        if ":" not in array.id:
+            return None
+        vid, idx = array.id.rsplit(":", 1)
+        box = self._grid().chunk_box(int(idx))
+        return vid, box
+
     def read_data(self, array: Array, bounds: Bounds) -> np.ndarray:
+        view = self._chunk_view(array)
+        if view is not None:
+            vid, box = view
+            chunk_shape = tuple(b - a for a, b in box)
+            norm = normalize_bounds(
+                resolve_bounds(bounds, array.schema.dimensions), chunk_shape
+            )
+            shifted = [(a + lo, b + lo, sq) for (a, b, sq), (lo, _) in zip(norm, box)]
+            return self.store.read_slice(vid, self._grid(), shifted, array.dtype)
         norm = normalize_bounds(resolve_bounds(bounds, array.schema.dimensions), array.shape)
         return self.store.read_slice(array.id, self._grid(), norm, array.dtype)
 
     def update(self, array: Array, bounds: Bounds, data) -> None:
+        view = self._chunk_view(array)
+        if view is not None:
+            vid, box = view
+            chunk_shape = tuple(b - a for a, b in box)
+            norm = normalize_bounds(
+                resolve_bounds(bounds, array.schema.dimensions), chunk_shape
+            )
+            shifted = [(a + lo, b + lo, sq) for (a, b, sq), (lo, _) in zip(norm, box)]
+            self.store.update_slice(vid, self._grid(), shifted, data)
+            return
         norm = normalize_bounds(resolve_bounds(bounds, array.schema.dimensions), array.shape)
         self.store.update_slice(array.id, self._grid(), norm, data)
 

@@ -32,8 +32,8 @@ def h32_sql(expr: str, seed: int | str = 0) -> str:
 
 
 def h64(col: Column, seed: int | str = 0) -> Column:
-    """Uniform 63-bit integer hash (top hex digit masked to keep it
-    non-negative in both engines' signed BIGINT)."""
+    """Uniform 60-bit integer hash (15 hex digits — skips the top
+    nibble so the value stays non-negative in both engines' BIGINT)."""
     keyed = F.concat(F.lit(f"{seed}:"), col.cast("string"))
     return F.conv(F.substring(F.md5(keyed), 2, 15), 16, 10).cast("long")
 

@@ -210,6 +210,32 @@ class TestVArrays:
         coll.arrays.delete_all_by_vid(va.id)
         assert va.chunk_arrays() == []
 
+    def test_chunk_views_read_and_write_real_data(self, warehouse):
+        """Chunk-array views are live windows onto the varray's cells
+        (reference chunk arrays hold the data; parity requires the
+        views to be readable AND writable)."""
+        coll = warehouse.collections.create("v", VSCHEMA)
+        rng = np.random.RandomState(13)
+        ref = rng.rand(12, 8)
+        va = coll.varrays.create(data=ref)
+        view = coll.arrays.get_by_primary_attributes({"vid": va.id, "v_position": [1, 0]})
+        # vgrid (3,2) on (12,8) -> chunk (1,0) covers rows 4:8, cols 0:4
+        np.testing.assert_allclose(view.read_data(), ref[4:8, 0:4])
+        np.testing.assert_allclose(view[1:3, 2], ref[5:7, 2])
+        view.update((slice(0, 2), slice(0, 2)), np.full((2, 2), -5.0))
+        ref[4:6, 0:2] = -5.0
+        np.testing.assert_allclose(va.read_data(), ref)  # visible via varray
+
+    def test_reduce_dimension(self, warehouse):
+        coll = warehouse.collections.create("r", SCHEMA)
+        rng = np.random.RandomState(17)
+        ref = rng.rand(20, 12)
+        arr = coll.arrays.create({"station": "s"}, data=ref)
+        got = arr.reduce("y", "mean").toPandas().sort_values("x")["mean"].to_numpy()
+        np.testing.assert_allclose(got, ref.mean(axis=1))
+        got_sum = arr.reduce("x", "sum").toPandas().sort_values("y")["sum"].to_numpy()
+        np.testing.assert_allclose(got_sum, ref.sum(axis=0))
+
     def test_varray_meta(self, warehouse):
         coll = warehouse.collections.create("v", VSCHEMA)
         va = coll.varrays.create(custom_attributes={})
