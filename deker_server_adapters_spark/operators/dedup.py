@@ -412,8 +412,97 @@ WHERE levenshtein(a.prefix, b.prefix) <= 8
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over the
+    minhash near-dup pairs, canonical id = component minimum.
+
+    Iterative min-label propagation (driver loops over *stages*, data
+    never leaves the cluster): each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds. The oracle computes the same fixpoint as a
+    recursive-CTE transitive closure.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    fwd = pairs
+    rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    edges = fwd.unionByName(rev).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(20):  # diameter bound; tiny components converge fast
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("canonical_id"))
+
+
+COMPONENTS_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), hv AS (
+  SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+  FROM sh
+), seeds(seed, a, b) AS (
+  VALUES {_MH_SEEDS_VALUES}
+), sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, min((a * h + b) % {_MH_P}) AS minh
+  FROM hv, seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+  HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+), edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT doc_a AS src, doc_a AS dst FROM edges
+  UNION
+  SELECT r.src, e.doc_b AS dst
+  FROM reach r JOIN edges e ON r.dst = e.doc_a
+)
+SELECT src AS doc_id, min(dst) AS canonical_id
+FROM reach
+GROUP BY src
+"""
+
+
 OPS = {
     "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),
+    "dedup_components": Op("dedup_components", dedup_components, COMPONENTS_SQL),
     "dedup_levenshtein": Op("dedup_levenshtein", dedup_levenshtein, LEVENSHTEIN_SQL),
     "dedup_ngram_jaccard": Op("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": Op("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),

@@ -72,6 +72,19 @@ def test_simhash_exact_dups_zero_distance(spark, planted_docs):
     assert by_pair.get((0, 4)) == 0
 
 
+def test_components_transitive_closure(spark, planted_docs):
+    """0~1 are exact dups, 0~2 near-dups: 1 and 2 must land in one
+    component even if the 1-2 pair was never directly emitted."""
+    from deker_server_adapters_spark.operators.dedup import dedup_components
+
+    comp = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_components(spark, planted_docs).collect()
+    }
+    assert comp.get(0) == 0 and comp.get(1) == 0 and comp.get(4) == 0
+    assert 3 not in comp  # unrelated doc is in no near-dup component
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     from deker_server_adapters_spark.operators.similarity import (
         ann_cosine_topk,
