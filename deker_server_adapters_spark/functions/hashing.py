@@ -40,21 +40,3 @@ def h64(col: Column, seed: int | str = 0) -> Column:
 
 def h64_sql(expr: str, seed: int | str = 0) -> str:
     return f"CAST('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 2, 15) AS BIGINT)"
-
-
-def minhash_sigs(shingles: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature: for each of ``num_hashes`` seeded hash
-    functions, the min h32 over the shingle set.
-
-    ``shingles`` is an ``array<string>`` column. Stays JVM-side via
-    ``transform`` + ``array_min``.
-    """
-    sigs = []
-    for k in range(num_hashes):
-        prefix = F.lit(f"{k}:")
-        hashed = F.transform(
-            shingles,
-            lambda s: F.conv(F.substring(F.md5(F.concat(prefix, s)), 1, 8), 16, 10).cast("long"),
-        )
-        sigs.append(F.array_min(hashed).alias(f"mh_{k}"))
-    return sigs

@@ -168,6 +168,31 @@ LIMIT 10
 """
 
 
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per (user, type) — the compaction/upsert-view
+    pattern (row_number over ts desc, keep 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+LATEST_SQL = f"""
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM {EVENTS_DUCK}
+) t
+WHERE rn = 1
+"""
+
+
 def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured path: extract the JSON ``props.k`` field and
     aggregate over it (JVM-side get_json_object; no UDF)."""
@@ -305,6 +330,7 @@ OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
     "events_rolling_1h": Op("events_rolling_1h", events_rolling_1h, ROLLING_SQL),
+    "events_latest_per_user": Op("events_latest_per_user", events_latest_per_user, LATEST_SQL),
     "events_approx_distinct_users": Op(
         "events_approx_distinct_users", events_approx_distinct_users, None
     ),
