@@ -16,11 +16,13 @@ from typing import Any, Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.core.collection import Collection
 from deker_server_adapters_spark.core.errors import DekerArrayNotExistsError
 from deker_server_adapters_spark.core.schema import validate_attributes
 from deker_server_adapters_spark.core.storage import (
+    CHUNK_SCHEMA,
     Bounds,
     ChunkGrid,
     ChunkStore,
@@ -242,6 +244,36 @@ class ArrayAdapter:
             if fn.endswith(".json"):
                 with open(os.path.join(d, fn)) as f:
                     yield json.load(f)
+
+    def meta_df(self) -> DataFrame:
+        """The array catalog as a DataFrame (id + attribute structs) —
+        metadata queries scale with Spark instead of a driver loop
+        (find-by-attribute over millions of arrays)."""
+        return self.spark.read.json(os.path.join(self._meta_dir(), "*.json"))
+
+    def cells_df(self, array_ids: list[str] | None = None) -> DataFrame:
+        """Cross-array long view: (array_id, dims..., value) for many
+        arrays in one Catalyst plan — ensemble statistics across arrays
+        are a groupBy away, with partition pruning when ids are given."""
+        dim_names = [d.name for d in self.collection.array_schema.dimensions]
+        df = self.spark.read.schema(CHUNK_SCHEMA).parquet(self.store.path)
+        if array_ids is not None:
+            df = df.filter(F.col("array_id").isin(array_ids))
+        exploded = df.select(
+            "array_id", "origin", "shape", F.posexplode("data").alias("pos", "value")
+        )
+        n = len(dim_names)
+        strides = []
+        for d in range(n):
+            expr = "1L"
+            for d2 in range(d + 1, n):
+                expr = f"{expr} * shape[{d2}]"
+            strides.append(expr)
+        cols = [
+            F.expr(f"origin[{d}] + (pos DIV ({strides[d]})) % shape[{d}]").alias(dim_names[d])
+            for d in range(n)
+        ]
+        return exploded.select("array_id", *cols, F.col("value"))
 
     # -- data ----------------------------------------------------------------
 

@@ -142,6 +142,35 @@ class TestArrays:
             )
         assert e.value.limit == 10 and e.value.requested == 240
 
+    def test_meta_df_and_ensemble_cells(self, warehouse):
+        coll = warehouse.collections.create("ens", SCHEMA)
+        rng = np.random.RandomState(23)
+        refs = {}
+        for i in range(3):
+            r = rng.rand(20, 12)
+            coll.arrays.create({"station": f"s{i}"}, id_=f"m{i}", data=r)
+            refs[f"m{i}"] = r
+        # catalog as a DataFrame
+        meta = coll.arrays.meta_df()
+        assert meta.count() == 3
+        assert set(meta.select("primary_attributes.station").toPandas().iloc[:, 0]) == {
+            "s0",
+            "s1",
+            "s2",
+        }
+        # ensemble mean across arrays per cell
+        cells = coll.arrays.cells_df(["m0", "m1", "m2"])
+        got = (
+            cells.groupBy("x", "y")
+            .avg("value")
+            .toPandas()
+            .sort_values(["x", "y"])["avg(value)"]
+            .to_numpy()
+            .reshape(20, 12)
+        )
+        want = np.mean([refs["m0"], refs["m1"], refs["m2"]], axis=0)
+        np.testing.assert_allclose(got, want)
+
     def test_empty_slice_read(self, warehouse):
         coll = warehouse.collections.create("c", SCHEMA)
         arr = coll.arrays.create({"station": "s"}, data=np.ones((20, 12)))
