@@ -45,20 +45,34 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
-def stream_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events_source(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
     """File-stream over the events parquet with the same nanos->micros
-    truncation as the batch loader."""
+    truncation as the batch loader.
+
+    ``n_files``: split the input into that many time-ranged files and
+    feed them one per micro-batch (maxFilesPerTrigger=1) — exercises
+    state carried across triggers instead of a single giant batch.
+    """
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the file-stream source wants a directory; expose the single
-    # parquet file through a temp dir (symlink — no copy)
     stream_dir = tempfile.mkdtemp(prefix="deker_events_stream_")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    df = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(stream_dir)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if n_files:
+        # range-partition by ts so lexicographic part order == time order
+        batch = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(stream_dir)
+        reader = reader.option("maxFilesPerTrigger", 1)
+    else:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"), os.path.join(stream_dir, "events.parquet")
+        )
+    df = reader.parquet(stream_dir)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
@@ -162,7 +176,7 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     state_schema = "total double, seq long"
 
     def update(key, pdfs, state):
-        total, seq = state.get() if state.exists else (0.0, 0)
+        total, seq = state.get if state.exists else (0.0, 0)  # .get is a property
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])

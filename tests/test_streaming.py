@@ -65,6 +65,45 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_multi_batch_stateful_totals(spark, sf_dir):
+    """State must survive across micro-batches: feed the events as 6
+    time-ordered files, one per trigger — running totals still equal
+    the single-pass batch computation."""
+    src = stream_events_source(spark, sf_dir, n_files=6)
+    _run_stream(streaming_running_totals(src), "t_running_mb", "append")
+    got = (
+        spark.table("t_running_mb")
+        .toPandas()
+        .sort_values(["user_id", "event_seq"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_running_totals(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "event_seq"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_multi_batch_windows_equal_batch(spark, sf_dir):
+    src = stream_events_source(spark, sf_dir, n_files=6)
+    _run_stream(streaming_tumbling_window(src), "t_tumbling_mb", "complete")
+    got = (
+        spark.table("t_tumbling_mb")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_tumbling_window(spark, sf_dir)
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
 def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     """The production sink pattern: foreachBatch writing parquet; the
     sank result equals the batch computation."""
