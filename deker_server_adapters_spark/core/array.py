@@ -108,10 +108,11 @@ class Array:
 class ArrayAdapter:
     """Server-side array operations, re-expressed on the chunk store."""
 
-    def __init__(self, collection: Collection):
+    def __init__(self, collection: Collection, cluster_mode: bool = False):
         self.collection = collection
         self.spark = collection.warehouse.spark
         self.store = ChunkStore(self.spark, collection.path)
+        self.cluster_mode = cluster_mode
 
     # -- metadata ----------------------------------------------------------
 
@@ -222,6 +223,17 @@ class ArrayAdapter:
         )
 
     def get_by_id(self, id_: str) -> Array | None:
+        if self.cluster_mode and self.collection.array_schema.primary_attributes:
+            # parity with reference base.py:402-408: the routing hash is
+            # derived from primary attributes when the schema has them,
+            # so an id can't locate its owner — refuse, like the server.
+            from deker_server_adapters_spark.core.errors import (
+                FilteringByIdInClusterIsForbidden,
+            )
+
+            raise FilteringByIdInClusterIsForbidden(
+                "id lookups are forbidden in cluster mode when the schema has primary attributes"
+            )
         mp = self._meta_path(id_)
         if not os.path.exists(mp):
             return None

@@ -43,7 +43,12 @@ class AdaptersFactory:
         return self.warehouse.collections
 
     def get_array_adapter(self, collection_name: str):
-        return self.warehouse.collections.read(collection_name).arrays
+        from deker_server_adapters_spark.core.array import ArrayAdapter
+
+        return ArrayAdapter(
+            self.warehouse.collections.read(collection_name),
+            cluster_mode=self.cluster_config is not None,
+        )
 
     def get_varray_adapter(self, collection_name: str):
         return self.warehouse.collections.read(collection_name).varrays

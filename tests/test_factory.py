@@ -50,6 +50,30 @@ def test_cluster_gating(spark, tmp_path):
     assert clustered.hash_ring.get_node("k") in {"a", "b"}
 
 
+def test_cluster_mode_forbids_id_lookup_with_primary_attrs(spark, tmp_path):
+    from deker_server_adapters_spark.core import AttributeSchema
+    from deker_server_adapters_spark.core.errors import FilteringByIdInClusterIsForbidden
+
+    keyed = ArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("x", 4),),
+        attributes=(AttributeSchema("station", primary=True),),
+    )
+    f = AdaptersFactory(spark, str(tmp_path / "wh"), cluster_config=CLUSTER)
+    f.get_collection_adapter().create("k", keyed)
+    arrays = f.get_array_adapter("k")
+    arr = arrays.create({"station": "s1"})
+    with pytest.raises(FilteringByIdInClusterIsForbidden):
+        arrays.get_by_id(arr.id)
+    # primary-attribute lookup is the sanctioned path
+    assert arrays.get_by_primary_attributes({"station": "s1"}).id == arr.id
+    # schemas WITHOUT primary attrs may look up by id even in cluster mode
+    f.get_collection_adapter().create("plain", SCHEMA)
+    plain = f.get_array_adapter("plain")
+    a2 = plain.create()
+    assert plain.get_by_id(a2.id).id == a2.id
+
+
 def test_migration_statuses():
     from deker_server_adapters_spark.plans.cluster import ClusterConfig
 
