@@ -478,6 +478,10 @@ class ChunkStore:
                 )
 
         updated = self.scan(array_id, idxs).mapInPandas(patch_chunks, CHUNK_SCHEMA)
+        # materialize BEFORE overwriting: the plan reads the very
+        # partitions the write replaces; an eager checkpoint cuts the
+        # lineage so a task retry can never re-read replaced files
+        updated = updated.localCheckpoint(eager=True)
         self.overwrite_chunks(updated)
 
     def cell_df(self, array_id: str, dim_names: Sequence[str]) -> DataFrame:
