@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.core.collection import Collection
-from deker_server_adapters_spark.core.errors import DekerArrayNotExistsError
+from deker_server_adapters_spark.core.errors import (
+    DekerArrayNotExistsError,
+    DekerSubsetError,
+)
 from deker_server_adapters_spark.core.schema import validate_attributes
 from deker_server_adapters_spark.core.storage import (
     CHUNK_SCHEMA,
@@ -298,7 +301,32 @@ class ArrayAdapter:
         box = self._grid().chunk_box(int(idx))
         return vid, box
 
+    @staticmethod
+    def _strip_steps(bounds: Bounds, rank: int):
+        """Split stepped slices into (contiguous bounds, post-selector).
+        The chunk store reads the contiguous box; stepping is applied on
+        the assembled ndarray (reads at most the box, never the array)."""
+        if not isinstance(bounds, tuple):
+            bounds = (bounds,)
+        stripped, post = [], []
+        for b in bounds:
+            if isinstance(b, slice) and b.step not in (None, 1):
+                if not isinstance(b.step, int) or b.step <= 0:
+                    raise DekerSubsetError(f"unsupported step {b.step!r}")
+                stripped.append(slice(b.start, b.stop))
+                post.append(slice(None, None, b.step))
+            else:
+                stripped.append(b)
+                if isinstance(b, slice):
+                    post.append(slice(None))
+                # int bounds squeeze the axis; nothing to post-select
+        return tuple(stripped), tuple(post)
+
     def read_data(self, array: Array, bounds: Bounds) -> np.ndarray:
+        bounds, post = self._strip_steps(bounds, len(array.schema.dimensions))
+        if any(p != slice(None) for p in post):
+            full = self.read_data(array, bounds)
+            return full[post]
         view = self._chunk_view(array)
         if view is not None:
             vid, box = view

@@ -171,6 +171,15 @@ class TestArrays:
         want = np.mean([refs["m0"], refs["m1"], refs["m2"]], axis=0)
         np.testing.assert_allclose(got, want)
 
+    def test_step_slices(self, warehouse):
+        coll = warehouse.collections.create("steps", SCHEMA)
+        rng = np.random.RandomState(29)
+        ref = rng.rand(20, 12)
+        arr = coll.arrays.create({"station": "s"}, data=ref)
+        np.testing.assert_allclose(arr[::2], ref[::2])
+        np.testing.assert_allclose(arr[1:15:3, 2:10:2], ref[1:15:3, 2:10:2])
+        np.testing.assert_allclose(arr[::4, 5], ref[::4, 5])
+
     def test_empty_slice_read(self, warehouse):
         coll = warehouse.collections.create("c", SCHEMA)
         arr = coll.arrays.create({"station": "s"}, data=np.ones((20, 12)))
