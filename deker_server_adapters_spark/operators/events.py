@@ -168,6 +168,20 @@ LIMIT 10
 """
 
 
+def events_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles per type — the sketch that
+    replaces exact quantiles at 100 TB (mergeable, single pass, bounded
+    memory). Rows-only; error vs exact is pytest-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9), 1000)").alias("approx_p50_p90")
+    ).select(
+        "event_type",
+        F.col("approx_p50_p90")[0].alias("p50"),
+        F.col("approx_p50_p90")[1].alias("p90"),
+    )
+
+
 def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest event per (user, type) — the compaction/upsert-view
     pattern (row_number over ts desc, keep 1)."""
@@ -334,6 +348,7 @@ OPS = {
     "events_approx_distinct_users": Op(
         "events_approx_distinct_users", events_approx_distinct_users, None
     ),
+    "events_approx_quantiles": Op("events_approx_quantiles", events_approx_quantiles, None),
     "events_props_json": Op("events_props_json", events_props_json, PROPS_JSON_SQL),
     "events_distinct_users_daily": Op(
         "events_distinct_users_daily", events_distinct_users_daily, DISTINCT_USERS_SQL

@@ -171,6 +171,22 @@ class TestArrays:
         want = np.mean([refs["m0"], refs["m1"], refs["m2"]], axis=0)
         np.testing.assert_allclose(got, want)
 
+    def test_custom_fill_value(self, warehouse):
+        from deker_server_adapters_spark.core import ArraySchema, DimensionSchema
+
+        schema = ArraySchema(
+            dtype="float64",
+            dimensions=(DimensionSchema("x", 6), DimensionSchema("y", 4)),
+            fill_value=-9999.0,
+        )
+        coll = warehouse.collections.create("fv", schema)
+        arr = coll.arrays.create()
+        assert (arr.read_data() == -9999.0).all()  # born at fill
+        arr.update((slice(0, 2), slice(0, 2)), 1.0)
+        arr.clear((slice(0, 1), slice(0, 1)))  # clear -> back to fill
+        out = arr.read_data()
+        assert out[0, 0] == -9999.0 and out[1, 1] == 1.0
+
     def test_step_slices(self, warehouse):
         coll = warehouse.collections.create("steps", SCHEMA)
         rng = np.random.RandomState(29)

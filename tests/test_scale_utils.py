@@ -68,6 +68,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
 
 
+def test_approx_quantiles_within_bound(spark, sf_dir):
+    from deker_server_adapters_spark.operators.events import (
+        events_approx_quantiles,
+        events_value_percentiles,
+    )
+
+    exact = events_value_percentiles(spark, sf_dir).toPandas().set_index("event_type")
+    approx = events_approx_quantiles(spark, sf_dir).toPandas().set_index("event_type")
+    for t in exact.index:
+        for q in ("p50", "p90"):
+            rel = abs(approx.loc[t, q] - exact.loc[t, q]) / max(abs(exact.loc[t, q]), 1e-9)
+            assert rel < 0.1, (t, q, approx.loc[t, q], exact.loc[t, q])
+
+
 def test_approx_distinct_within_bound(spark, sf_dir):
     from deker_server_adapters_spark.operators.events import (
         events_approx_distinct_users,
