@@ -6,9 +6,39 @@ whose estimated output exceeds the budget is refused before execution.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-from deker_server_adapters_spark.core.errors import DekerDataPointsLimitError
+from deker_server_adapters_spark.core.errors import DekerDataPointsLimitError, DekerSparkError
+
+
+class DekerTimeoutError(DekerSparkError):
+    """Parity with the reference's DekerTimeoutServer (504 handling,
+    base.py:252-263): the engine-side analogue cancels the job group
+    when an action exceeds its budget."""
+
+
+def run_with_timeout(df: DataFrame, seconds: float, action: str = "count"):
+    """Run a DataFrame action under a wall-clock budget; on timeout the
+    job group is cancelled cluster-wide and DekerTimeoutError raised.
+    (Spark's cancellation is cooperative per task — the guard rail for
+    runaway queries, not a precise timer.)"""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    group = f"deker-timeout-{id(df)}"
+    sc.setJobGroup(group, f"budgeted {action}", interruptOnCancel=True)
+    timer = threading.Timer(seconds, lambda: sc.cancelJobGroup(group))
+    timer.start()
+    try:
+        return getattr(df, action)()
+    except Exception as e:  # cancelled jobs surface as Py4J job failures
+        if "cancelled" in str(e).lower() or "canceled" in str(e).lower():
+            raise DekerTimeoutError(f"Timeout on {action} after {seconds}s") from None
+        raise
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
 
 
 def estimated_rows(df: DataFrame) -> int | None:

@@ -137,6 +137,21 @@ def test_lsh_candidate_work_bounded(spark, sf_dir):
     assert (sizes**2).sum() < 0.25 * _N_TABLES * n * n
 
 
+def test_run_with_timeout(spark, sf_dir):
+    from deker_server_adapters_spark.plans.limits import DekerTimeoutError, run_with_timeout
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # within budget: returns the action result
+    assert run_with_timeout(li.limit(10), seconds=60) == 10
+    # a cartesian explosion gets cancelled
+    blowup = li.crossJoin(li.select(F.col("l_orderkey").alias("k2"))).crossJoin(
+        li.select(F.col("l_partkey").alias("k3"))
+    )
+    with pytest.raises(DekerTimeoutError):
+        run_with_timeout(blowup, seconds=2)
+
+
 def test_enforce_budget_rows(spark, sf_dir):
     from deker_server_adapters_spark.plans.limits import enforce_budget
     from deker_server_adapters_spark.sources.tables import load_table

@@ -13,6 +13,22 @@ def _sorted_pdf(df, keys):
     return df.toPandas().sort_values(keys).reset_index(drop=True)
 
 
+def test_register_views_sql_interface(spark, sf_dir):
+    """spark.sql over the registered views — the SQL front door."""
+    from deker_server_adapters_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 5
+        """
+    )
+    rows = df.collect()
+    assert len(rows) == 5 and rows[0]["n_customers"] >= rows[-1]["n_customers"]
+
+
 def test_parquet_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     path = str(tmp_path / "ev_parquet")
