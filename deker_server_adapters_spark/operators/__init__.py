@@ -33,8 +33,12 @@ def all_ops() -> dict[str, "Op"]:
         tpch,
     )
 
+    # Ordered so ops without a driver CORRECTNESS row yet run first: the
+    # driver checks a bounded number of queries per round in registry order,
+    # so text/arrays/multimodal/similarity (unchecked in r1) lead and the
+    # already-green tpch/events/dedup queries trail as regression checks.
     merged: dict[str, Op] = {}
-    for mod in (tpch, events, dedup, similarity, text, arrays, multimodal):
+    for mod in (text, arrays, multimodal, similarity, dedup, events, tpch):
         for name, op in mod.OPS.items():
             if name in merged:
                 raise ValueError(f"duplicate operator name {name!r}")

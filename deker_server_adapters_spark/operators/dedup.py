@@ -9,11 +9,13 @@ Five families, each the standard large-corpus technique:
                   quadratic in corpus size.
 - MinHash + LSH:  K seeded min-hashes → bands → bucket join → verify on
                   signature agreement. Only bucket-mates are paired.
-- SimHash:        16-bit sign-of-weighted-sum sketch; near-dups =
-                  small Hamming distance (bit_count of xor).
-- embedding:      cosine >= threshold pairs; brute force here (the
-                  oracle-checkable baseline), LSH-bucketed variant in
-                  ``similarity.py`` is the 100 TB path.
+- SimHash:        64-bit sign-of-majority sketch (Manku et al. WWW'07);
+                  near-dups = Hamming <= 3, candidates from pigeonhole
+                  segment blocking (never an all-pairs join).
+- embedding:      cosine >= threshold pairs among hyperplane-LSH bucket
+                  candidates (deterministic planes, oracle-mirrored);
+                  brute force survives only as the budget-gated test
+                  twin ``dedup_embedding_exact``.
 
 All hashing is the portable md5-prefix (``functions/hashing.py``) so
 DuckDB verifies bit-for-bit.
@@ -272,32 +274,74 @@ HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHAS
 """
 
 
-_SIMHASH_BITS = 16
+_SIMHASH_BITS = 64
+_SIMHASH_SEGS = 4  # pigeonhole blocks: Hamming<=3 pairs agree on >=1 of 4
+_SEG_BITS = _SIMHASH_BITS // _SIMHASH_SEGS
+_HAMMING_MAX = 3
+
+
+def simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (Charikar sketch, the Manku/Jain/
+    Sarma WWW'07 near-dup configuration: 64 bits, Hamming <= 3).
+
+    Map-only, zero shuffles, whole-stage codegen: each token hashes to
+    64 bits (two md5 uint32 words), each bit of the sketch is the sign
+    of the +/-1 majority over the doc's distinct tokens, folded entirely
+    inside array expressions — the signature stage never shuffles, same
+    posture as ``minhash_signatures``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # tokens materialized as their own projection first (Catalyst
+    # re-evaluates inlined split chains per lambda element otherwise)
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    hv = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(t), s -> named_struct("
+            "'lo', CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT), "
+            "'hi', CAST(conv(substr(md5(s), 9, 8), 16, 10) AS BIGINT)))"
+        ).alias("hv"),
+    )
+    sketch = (
+        "aggregate(transform(sequence(0, 63), b -> "
+        "CASE WHEN aggregate(hv, 0, (acc, h) -> acc + "
+        "CASE WHEN (CASE WHEN b < 32 THEN shiftright(h.lo, b) ELSE shiftright(h.hi, b - 32) END) % 2 = 1 "
+        "THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        "0L, (a, v) -> a + v)"
+    )
+    return hv.select("doc_id", F.expr(sketch).alias("simhash"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup pairs (Hamming distance <= 3)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok")).distinct()
-    bits = spark.range(_SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    contrib = toks.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "bit",
-        F.expr(
-            "CASE WHEN (CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) >> bit) % 2 = 1 "
-            "THEN 1 ELSE -1 END"
-        ).alias("c"),
+    """64-bit SimHash near-dup pairs (Hamming distance <= 3), pair
+    generation bounded by pigeonhole segment blocking.
+
+    Any pair within Hamming distance 3 differs in at most 3 bits, so it
+    agrees *exactly* on at least one of the 4 contiguous 16-bit
+    segments (pigeonhole). Candidates therefore come from an equi-join
+    on (segment_id, segment_value) — never an all-pairs nested loop —
+    then the true Hamming distance verifies each candidate. This is the
+    Manku et al. block-table design as one shuffle join; at 100 TB the
+    64k-value segment keys keep buckets small and the join stays a
+    plain shuffled-hash/SMJ on the key.
+    """
+    sh = simhash_table(spark, sf_dir)
+    seg_args = ", ".join(
+        f"{s}, CAST((shiftright(simhash, {s * _SEG_BITS}) & {(1 << _SEG_BITS) - 1}) AS INT)"
+        for s in range(_SIMHASH_SEGS)
     )
-    simhash = (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("c").alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) ELSE 0L END")).alias("simhash"))
+    segs = sh.select(
+        "doc_id", "simhash", F.expr(f"stack({_SIMHASH_SEGS}, {seg_args}) AS (seg, seg_val)")
     )
-    a = simhash.alias("a")
-    b = simhash.alias("b")
+    a = segs.alias("a")
+    b = segs.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -305,42 +349,137 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hamming"
             ),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _HAMMING_MAX)
+        .distinct()  # a pair may agree on several segments
     )
 
+
+# DuckDB cannot evaluate 1::BIGINT << 63 (overflow check); the sign bit
+# gets its two's-complement literal instead. Integer +/-1 majorities are
+# order-independent, so the grouped formulation here equals Spark's
+# in-array fold bit for bit.
+_DUCK_POW = f"CASE WHEN bit = 63 THEN -9223372036854775808 ELSE 1::BIGINT << CAST(bit AS INT) END"
 
 SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), hv AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS BIGINT) AS lo,
+         CAST(CAST('0x' || substr(md5(tok), 9, 8) AS UBIGINT) AS BIGINT) AS hi
+  FROM toks
 ), contrib AS (
-  SELECT doc_id, CAST(bit AS INT) AS bit,
-         CASE WHEN (CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) >> CAST(bit AS INT)) % 2 = 1
+  SELECT doc_id, CAST(r.bit AS INT) AS bit,
+         CASE WHEN (CASE WHEN r.bit < 32 THEN lo >> CAST(r.bit AS INT)
+                         ELSE hi >> CAST(r.bit - 32 AS INT) END) % 2 = 1
               THEN 1 ELSE -1 END AS c
-  FROM toks, range({_SIMHASH_BITS}) r(bit)
+  FROM hv, range({_SIMHASH_BITS}) r(bit)
 ), sums AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
 ), sh AS (
   SELECT doc_id,
-         CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << bit ELSE 0 END) AS BIGINT) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN {_DUCK_POW} ELSE 0 END) AS BIGINT) AS simhash
   FROM sums GROUP BY doc_id
+), segs AS (
+  SELECT doc_id, simhash, CAST(sg.seg AS INT) AS seg,
+         CAST((simhash >> CAST(sg.seg * {_SEG_BITS} AS INT)) & {(1 << _SEG_BITS) - 1} AS INT) AS seg_val
+  FROM sh, range({_SIMHASH_SEGS}) sg(seg)
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+FROM segs a JOIN segs b
+  ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
 """
 
 
+# Embedding near-dup: candidates from multi-table hyperplane-LSH
+# buckets (4 tables x 8 sign bits; at the 0.95-cosine angle ~18 deg the
+# per-pair recall is 1-(1-0.9^8)^4 ~ 0.89), exact cosine re-rank inside
+# buckets. The operator is *defined* as candidates-intersect-threshold:
+# the hyperplanes are deterministic md5-seeded +/-1 vectors, so the
+# DuckDB oracle reproduces the buckets bit for bit and the result is
+# engine-independent. No all-pairs join anywhere in the plan.
+_EMB_TABLES = 4
+_EMB_BITS = 8
+_EMB_THRESHOLD = 0.95
+
+
+def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) — one row per LSH table; bucket = integer
+    of the 8 hyperplane sign bits. Shares ``similarity._hyperplanes``
+    (same 32 planes, regrouped 4x8 for dedup's higher precision)."""
+    from deker_server_adapters_spark.functions.vectors import dot
+    from deker_server_adapters_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_TABLES * _EMB_BITS)
+    tables = []
+    for t in range(_EMB_TABLES):
+        sig = F.lit(0)
+        for i in range(_EMB_BITS):
+            pl = F.array(*[F.lit(v) for v in planes[t * _EMB_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0)
+            sig = sig + F.shiftleft(bit, i)
+        tables.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
+    return emb.withColumn("tb", F.explode(F.array(*tables))).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= 0.95 (brute-force baseline;
-    ``ann_lsh_cosine`` is the bucketed scale path)."""
+    """Embedding near-dup pairs: cosine >= 0.95 among LSH-bucket
+    candidates — the 100 TB shape (bucket equi-join bounds pair
+    generation; ``dedup_embedding_exact`` is the budget-guarded
+    brute-force twin used to verify recall in tests)."""
     from deker_server_adapters_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # precompute each vector's norm once per ROW (not per pair — the
-    # inline cosine recomputes both norms for all O(n^2) pairs);
-    # values are bit-identical since the norm is the same fold over
-    # the same array either way.
+    buckets = _emb_lsh_buckets(emb)
+    ba = buckets.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        ba.join(bb, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    # norms once per row, not per pair
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= _EMB_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def dedup_embedding_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rows: int | None = 10_000_000,
+    max_bytes: int | None = 64 << 30,
+) -> DataFrame:
+    """Brute-force all-pairs twin of ``dedup_embedding`` — O(n^2) by
+    construction, so it is budget-gated (``enforce_budget`` refuses the
+    plan when the optimizer's pair estimate exceeds the row/bytes
+    budget; ``sizeInBytes`` is always defined and grows with the pair
+    product) and deliberately NOT registered in ``queries()``; tests
+    use it to check the LSH path's recall on planted near-dups."""
+    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+    from deker_server_adapters_spark.plans.limits import enforce_budget
+
+    emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -352,19 +491,52 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(F.col("embedding")).alias("nb"),
     )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    if max_rows is not None or max_bytes is not None:
+        pairs = enforce_budget(pairs, max_rows=max_rows, max_bytes=max_bytes)
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= _EMB_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
 
 
-EMBED_DEDUP_SQL = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.95
+def _duck_emb_buckets() -> str:
+    """The LSH bucket table as DuckDB SQL mirroring ``_emb_lsh_buckets``
+    exactly: same planes, same left-to-right double accumulation (SQL
+    ``+`` is left-associative, Spark's ``aggregate`` folds in index
+    order, products by +/-1.0 are exact), same sign rule."""
+    from deker_server_adapters_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_TABLES * _EMB_BITS)
+    selects = []
+    for t in range(_EMB_TABLES):
+        bits = []
+        for i in range(_EMB_BITS):
+            p = planes[t * _EMB_BITS + i]
+            dot_sql = " + ".join(
+                f"embedding[{k + 1}]::DOUBLE * {w}" for k, w in enumerate(p)
+            )
+            bits.append(f"(CASE WHEN ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)")
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({' + '.join(bits)} AS INT) AS bucket FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+EMBED_DEDUP_SQL = f"""
+WITH b AS (
+{_duck_emb_buckets()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= {_EMB_THRESHOLD}
 """
 
 
@@ -432,29 +604,43 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    for _ in range(20):  # diameter bound; tiny components converge fast
+    changed = -1
+    for round_no in range(1, 21):  # diameter bound; tiny components converge fast
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
         )
+        # cut lineage every few rounds — each iteration otherwise stacks
+        # another join onto the logical plan and planning time grows
+        # superlinearly on a long-diameter graph
+        if round_no % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            .count()  # materializes new_labels; the old generation can go
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            "dedup_components: label propagation did not converge within the "
+            "iteration budget; labels may be non-canonical for components "
+            "with diameter > 20",
+            RuntimeWarning,
+        )
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("canonical_id"))
 
 

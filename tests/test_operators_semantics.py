@@ -85,6 +85,65 @@ def test_components_transitive_closure(spark, planted_docs):
     assert 3 not in comp  # unrelated doc is in no near-dup component
 
 
+def test_components_persist_hygiene(spark, planted_docs):
+    """Superseded label generations are unpersisted each round — the
+    cache must not accumulate one DataFrame per iteration."""
+    from deker_server_adapters_spark.operators.dedup import dedup_components
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    dedup_components(spark, planted_docs).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # at most the final labels generation + the minhash signature cache
+    # survive; the per-round generations must be gone
+    assert after - before <= 2, f"persisted RDDs grew by {after - before}"
+
+
+@pytest.fixture()
+def planted_embeddings(spark, tmp_path):
+    """Embeddings with planted near-dups (the real corpus is random, so
+    no pair clears 0.95 — these exercise the nonzero-output path)."""
+    rng = np.random.RandomState(7)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    base = rng.randn(64)
+    rows = [
+        (0, unit(base), 0),
+        (1, unit(base + 0.01 * rng.randn(64)), 0),  # cosine ~0.9999
+        (2, unit(base + 0.2 * rng.randn(64)), 0),   # cosine ~0.97
+    ]
+    rows += [(i, unit(rng.randn(64)), 1) for i in range(3, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = tmp_path / "sfe"
+    d.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_embedding_dedup_lsh_finds_planted(spark, planted_embeddings):
+    from deker_server_adapters_spark.operators.dedup import (
+        dedup_embedding,
+        dedup_embedding_exact,
+    )
+
+    lsh = dedup_embedding(spark, planted_embeddings).toPandas()
+    exact = dedup_embedding_exact(spark, planted_embeddings).toPandas()
+    lsh_pairs = {tuple(sorted((a, b))) for a, b in zip(lsh.vec_a, lsh.vec_b)}
+    exact_pairs = {tuple(sorted((a, b))) for a, b in zip(exact.vec_a, exact.vec_b)}
+    assert (0, 1) in exact_pairs  # the plant really is a >=0.95 pair
+    assert lsh_pairs <= exact_pairs  # same threshold, bucket-bounded candidates
+    assert (0, 1) in lsh_pairs  # near-identical vectors share every bucket
+    assert not any(p[0] >= 3 and p[1] >= 3 for p in lsh_pairs)  # no random pair
+
+
+def test_embedding_exact_twin_is_budget_gated(spark, sf_dir):
+    from deker_server_adapters_spark.operators.dedup import dedup_embedding_exact
+
+    with pytest.raises(DekerDataPointsLimitError):
+        dedup_embedding_exact(spark, sf_dir, max_bytes=10)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     from deker_server_adapters_spark.operators.similarity import (
         ann_cosine_topk,

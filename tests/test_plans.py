@@ -67,6 +67,28 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert count_shuffles(df) == 0  # signature build never shuffles
 
 
+def test_simhash_table_map_only(spark, sf_dir):
+    from deker_server_adapters_spark.operators.dedup import simhash_table
+
+    df = simhash_table(spark, sf_dir)
+    assert count_shuffles(df) == 0  # sketch build never shuffles
+
+
+def test_dedup_simhash_no_all_pairs_join(spark, sf_dir):
+    # pigeonhole segment blocking: candidates come from an equi-join on
+    # (seg, seg_val), never a nested-loop over every pair
+    plan = physical_plan(_plan(spark, sf_dir, "dedup_simhash"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_embedding_no_all_pairs_join(spark, sf_dir):
+    # LSH bucket equi-join bounds pair generation
+    plan = physical_plan(_plan(spark, sf_dir, "dedup_embedding"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hash_ring_data_side_never_shuffles(spark, sf_dir):
     df = _plan(spark, sf_dir, "hash_ring_assignment")
     plan = physical_plan(df)
