@@ -243,22 +243,83 @@ class ArrayAdapter:
         with open(mp) as f:
             return self._from_meta(json.load(f))
 
+    def lookup_df(self, primary_attributes: dict) -> DataFrame | None:
+        """The catalog filtered to arrays whose primary attributes
+        include the given key-values — a Catalyst plan over ``meta_df``
+        (filter evaluated executor-side over the distributed scan), not
+        a driver loop. Returns None when the catalog is empty or a
+        wanted key exists on no array (reference base.py:333-434
+        get_by_primary_attributes, minus the per-array HTTP round
+        trips)."""
+        df = self._catalog_df()
+        if df is None:
+            return None
+        pa_type = None
+        for field in df.schema.fields:
+            if field.name == "primary_attributes":
+                pa_type = field.dataType
+        known = set(pa_type.fieldNames()) if hasattr(pa_type, "fieldNames") else set()
+        for k in sorted(primary_attributes):
+            if k not in known:
+                return None
+            df = df.filter(
+                F.col(f"primary_attributes.`{k}`").eqNullSafe(F.lit(primary_attributes[k]))
+            )
+        return df
+
     def get_by_primary_attributes(self, primary_attributes: dict) -> Array | None:
-        want = {k: primary_attributes[k] for k in sorted(primary_attributes)}
-        for meta in self:
-            got = meta["primary_attributes"]
-            if {k: got.get(k) for k in sorted(want)} == want:
-                return self._from_meta(meta)
-        return None
+        df = self.lookup_df(primary_attributes)
+        if df is None:
+            return None
+        hit = df.select("id").limit(1).collect()
+        if not hit:
+            return None
+        # Spark found the id; the authoritative meta comes from its own
+        # O(1) catalog entry (exact on-disk fidelity, no struct-union
+        # null artifacts from schema inference).
+        with open(self._meta_path(hit[0]["id"])) as f:
+            return self._from_meta(json.load(f))
+
+    @staticmethod
+    def _row_meta(row) -> dict:
+        """A catalog Row back to its meta dict. Schema inference unions
+        attribute structs across arrays, so attributes another array has
+        appear here as nulls — strip them (explicit null attribute
+        values are not storable: json.dump writes them but
+        validate_attributes rejects None)."""
+        meta = row.asDict(recursive=True)
+        out = {}
+        for k, v in meta.items():
+            if k in ("primary_attributes", "custom_attributes"):
+                out[k] = {k2: v2 for k2, v2 in (v or {}).items() if v2 is not None}
+            elif v is not None:  # varray metas carry extra keys (is_varray, vid)
+                out[k] = v
+        out.setdefault("primary_attributes", {})
+        out.setdefault("custom_attributes", {})
+        return out
 
     def __iter__(self) -> Iterator[dict]:
+        """Iterate array metas via the distributed catalog scan:
+        scan/parse runs in Spark, the driver receives rows partition by
+        partition (``toLocalIterator``) — never an O(n_arrays) listdir
+        (reference base.py:436-453 pages the server; same idea)."""
+        df = self._catalog_df()
+        if df is None:
+            return
+        for row in df.orderBy("id").toLocalIterator():
+            yield self._row_meta(row)
+
+    def _catalog_df(self) -> DataFrame | None:
         d = self._meta_dir()
         if not os.path.isdir(d):
-            return
-        for fn in sorted(os.listdir(d)):
-            if fn.endswith(".json"):
-                with open(os.path.join(d, fn)) as f:
-                    yield json.load(f)
+            return None
+        try:
+            df = self.spark.read.json(os.path.join(d, "*.json"))
+        except Exception:  # empty glob -> PATH_NOT_FOUND
+            return None
+        if "id" not in df.columns:  # dir exists, no parsable metas
+            return None
+        return df
 
     def meta_df(self) -> DataFrame:
         """The array catalog as a DataFrame (id + attribute structs) —

@@ -19,13 +19,23 @@ from __future__ import annotations
 
 import hashlib
 from bisect import bisect_right
-from datetime import datetime
+from datetime import datetime, timezone
 from typing import Iterable, Iterator, Sequence
 
 from deker_server_adapters_spark.core.errors import HashRingError
 
 VNODE_FACTOR = 40  # parity: hash_ring.py:38
 WORDS_PER_VNODE = 3
+
+
+def _get_utc(value: datetime) -> datetime:
+    """UTC-normalize a datetime the way the reference does before
+    hashing (utils/hashing.py:19 via deker_tools.time.get_utc): naive
+    values are *interpreted as UTC* (tzinfo attached, wall clock kept),
+    aware values are converted to UTC."""
+    if value.tzinfo is None or value.tzinfo.utcoffset(value) is None:
+        return value.replace(tzinfo=timezone.utc)
+    return value.astimezone(timezone.utc)
 
 
 def _le32(digest: bytes, word: int) -> int:
@@ -45,7 +55,7 @@ def primary_attrs_key(primary_attributes: dict) -> str:
         if name == "v_position":
             parts.append("-".join(str(v) for v in value))
         elif isinstance(value, datetime):
-            parts.append(value.isoformat())
+            parts.append(_get_utc(value).isoformat())
         else:
             parts.append(str(value))
     return "/".join(parts)

@@ -28,12 +28,21 @@ def run_with_timeout(df: DataFrame, seconds: float, action: str = "count"):
     sc = spark.sparkContext
     group = f"deker-timeout-{id(df)}"
     sc.setJobGroup(group, f"budgeted {action}", interruptOnCancel=True)
-    timer = threading.Timer(seconds, lambda: sc.cancelJobGroup(group))
+    timed_out = threading.Event()
+
+    def _cancel() -> None:
+        # Flag first: the exception raised by the cancelled action may be
+        # any Py4J/Spark error class and carry any message — the flag, not
+        # the message text, is what classifies it as a timeout.
+        timed_out.set()
+        sc.cancelJobGroup(group)
+
+    timer = threading.Timer(seconds, _cancel)
     timer.start()
     try:
         return getattr(df, action)()
-    except Exception as e:  # cancelled jobs surface as Py4J job failures
-        if "cancelled" in str(e).lower() or "canceled" in str(e).lower():
+    except Exception:
+        if timed_out.is_set():
             raise DekerTimeoutError(f"Timeout on {action} after {seconds}s") from None
         raise
     finally:

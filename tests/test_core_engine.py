@@ -307,3 +307,32 @@ class TestVArrays:
                 dimensions=(DimensionSchema("x", 10),),
                 vgrid=(3,),  # doesn't divide 10
             )
+
+
+class TestDistributedLookup:
+    def test_lookup_many_arrays_no_driver_listdir(self, warehouse, monkeypatch):
+        """get_by_primary_attributes / __iter__ run as Spark plans over
+        the catalog — os.listdir must never appear in the lookup path
+        (the reference-brief scale trap at millions of arrays)."""
+        import os as _os
+
+        coll = warehouse.collections.create("many", SCHEMA)
+        for i in range(12):
+            coll.arrays.create({"station": f"st{i}"}, id_=f"arr{i}")
+
+        def _banned(*a, **k):
+            raise AssertionError("os.listdir called in distributed lookup path")
+
+        monkeypatch.setattr(_os, "listdir", _banned)
+        found = coll.arrays.get_by_primary_attributes({"station": "st7"})
+        assert found is not None and found.id == "arr7"
+        assert coll.arrays.get_by_primary_attributes({"station": "nope"}) is None
+        assert coll.arrays.get_by_primary_attributes({"bogus_key": 1}) is None
+        metas = list(coll.arrays)
+        assert [m["id"] for m in metas] == [f"arr{i}" for i in sorted(range(12), key=lambda i: f"arr{i}")]
+        assert all(m["primary_attributes"] == {"station": f"st{m['id'][3:]}"} for m in metas)
+
+    def test_lookup_on_empty_collection(self, warehouse):
+        coll = warehouse.collections.create("empty", SCHEMA)
+        assert coll.arrays.get_by_primary_attributes({"station": "x"}) is None
+        assert list(coll.arrays) == []

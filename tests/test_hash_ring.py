@@ -54,6 +54,36 @@ def test_primary_attrs_key_parity():
     assert primary_attrs_key({}) == ""
 
 
+def test_primary_attrs_key_datetime_utc_normalization():
+    """Reference utils/hashing.py:19 applies get_utc() before isoformat():
+    naive datetimes are interpreted as UTC (tzinfo attached), aware ones
+    converted — so a naive wall time and its +05:00 equivalent hash to the
+    *different-instant* vs *same-instant* keys exactly as the reference
+    cluster would route them."""
+    from datetime import datetime, timedelta, timezone
+
+    naive = datetime(2024, 3, 1, 12, 30, 0)
+    assert primary_attrs_key({"ts": naive}) == "2024-03-01T12:30:00+00:00"
+
+    plus5 = datetime(2024, 3, 1, 17, 30, 0, tzinfo=timezone(timedelta(hours=5)))
+    # same instant as 12:30 UTC -> identical routing key
+    assert primary_attrs_key({"ts": plus5}) == "2024-03-01T12:30:00+00:00"
+
+    utc = datetime(2024, 3, 1, 12, 30, 0, tzinfo=timezone.utc)
+    assert primary_attrs_key({"ts": utc}) == primary_attrs_key({"ts": naive})
+
+    # mixed attrs keep ordering and joining semantics
+    key = primary_attrs_key({"vid": "v1", "ts": plus5, "v_position": [0, 1]})
+    assert key == "v1/2024-03-01T12:30:00+00:00/0-1"
+
+    # routing consequence: all three spellings land on the same node
+    ring = HashRing(NODES)
+    nodes = {
+        ring.get_node(primary_attrs_key({"ts": v})) for v in (naive, plus5, utc)
+    }
+    assert len(nodes) == 1
+
+
 def test_sql_ring_matches_python(spark, sf_dir):
     """The ring-as-SQL broadcast join (operators/arrays.py) must agree
     with the driver-side implementation key for key."""

@@ -101,3 +101,29 @@ def test_text_ops_are_pure_codegen(spark, sf_dir):
     for name in ("text_token_count", "text_quality_score", "text_lang_id", "text_fingerprint"):
         plan = physical_plan(_plan(spark, sf_dir, name))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_primary_attr_lookup_is_pruned_catalyst_plan(spark, tmp_path):
+    """The catalog lookup (core/array.py lookup_df) must be a Spark plan
+    with column pruning at the scan — not a driver loop. Mirrors
+    reference base.py:333-434 without the O(n_arrays) driver work."""
+    import numpy as np
+
+    from deker_server_adapters_spark.core.collection import Warehouse
+    from deker_server_adapters_spark.plans.explain import formatted_plan
+    from tests.test_core_engine import SCHEMA
+
+    wh = Warehouse(spark, str(tmp_path))
+    coll = wh.collections.create("lookup", SCHEMA)
+    for i in range(8):
+        coll.arrays.create({"station": f"s{i}"}, id_=f"a{i}")
+
+    df = coll.arrays.lookup_df({"station": "s5"}).select("id")
+    plan = formatted_plan(df)
+    # column pruning reached the JSON scan: only the two needed columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "id:string" in read_schema and "primary_attributes" in read_schema
+    assert "custom_attributes" not in read_schema
+    # and the filter is evaluated in the distributed plan, not in Python
+    assert "Filter" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
