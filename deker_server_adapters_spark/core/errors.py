@@ -46,6 +46,12 @@ class HashRingError(DekerSparkError):
     pass
 
 
+class HealthcheckError(DekerSparkError):
+    """Every node failed the ping / every fallback failed the request
+    (reference errors.py:85 HealthcheckError + cluster_config.py:92-97
+    'Healthcheck failed. Deker client will be closed.')."""
+
+
 class FilteringByIdInClusterIsForbidden(DekerSparkError):
     """Parity with base.py:402-408: id-hash and primary-attribute-hash
     differ, so id lookups are refused when primary attributes exist."""

@@ -306,31 +306,36 @@ class ChunkStore:
                 ]
             )
 
-        present = with_idx.groupBy("chunk_idx").applyInPandas(build_chunk, CHUNK_SCHEMA)
-        # chunks that receive no cells still need fill rows; derive them
-        # from the input (cheap distinct on ints) and write everything in
-        # ONE job — no read-back of the freshly written store.
-        present_idxs = {
-            int(r["chunk_idx"]) for r in with_idx.select("chunk_idx").distinct().collect()
-        }
-        missing = [i for i in range(grid.n_chunks) if i not in present_idxs]
-        if missing:
-            boxes = [
-                (array_id, i, [a for a, _ in grid.chunk_box(i)], [b - a for a, b in grid.chunk_box(i)])
-                for i in missing
-            ]
-            meta = self.spark.createDataFrame(
-                boxes, "array_id string, chunk_idx long, origin array<long>, shape array<long>"
-            )
-            fill_df = meta.withColumn(
-                "data",
-                F.expr(
-                    f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
-                    f"i -> CAST({float(fill_value)} AS DOUBLE))"
-                ),
-            ).select(*[f.name for f in CHUNK_SCHEMA.fields])
-            present = present.unionByName(fill_df)
-        self._write(present, mode="append")
+        try:
+            present = with_idx.groupBy("chunk_idx").applyInPandas(build_chunk, CHUNK_SCHEMA)
+            # chunks that receive no cells still need fill rows; derive them
+            # from the input (cheap distinct on ints) and write everything in
+            # ONE job — no read-back of the freshly written store.
+            present_idxs = {
+                int(r["chunk_idx"]) for r in with_idx.select("chunk_idx").distinct().collect()
+            }
+            missing = [i for i in range(grid.n_chunks) if i not in present_idxs]
+            if missing:
+                boxes = [
+                    (array_id, i, [a for a, _ in grid.chunk_box(i)], [b - a for a, b in grid.chunk_box(i)])
+                    for i in missing
+                ]
+                meta = self.spark.createDataFrame(
+                    boxes, "array_id string, chunk_idx long, origin array<long>, shape array<long>"
+                )
+                fill_df = meta.withColumn(
+                    "data",
+                    F.expr(
+                        f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
+                        f"i -> CAST({float(fill_value)} AS DOUBLE))"
+                    ),
+                ).select(*[f.name for f in CHUNK_SCHEMA.fields])
+                present = present.unionByName(fill_df)
+            self._write(present, mode="append")
+        finally:
+            # the cache exists only for this build's two reads — holding
+            # it past the write pins executor memory for the session
+            with_idx.unpersist()
 
     def _write(self, df: DataFrame, mode: str) -> None:
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

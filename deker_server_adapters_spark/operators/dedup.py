@@ -231,12 +231,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
         f"0, (acc, v) -> acc + v) / {float(_MINHASH_K)}, 4) AS DOUBLE)"
     )
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
     )
+    # expose the cache handle so downstream consumers (dedup_components)
+    # can free it once they've materialized their own derived cache
+    out._deker_caches = [sigs]  # type: ignore[attr-defined]
+    return out
 
 
 _MH_SEEDS_VALUES = ", ".join(
@@ -594,10 +598,21 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter) rounds. The oracle computes the same fixpoint as a
     recursive-CTE transitive closure.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    nd_pairs = dedup_minhash_lsh(spark, sf_dir)
+    return components_from_pairs(nd_pairs)
+
+
+def components_from_pairs(nd_pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an explicit (doc_a, doc_b) pair table
+    — the iterative core of ``dedup_components``, reusable over any
+    edge source (and unit-testable on a known-diameter graph)."""
+    pairs = nd_pairs.select("doc_a", "doc_b")
     fwd = pairs
     rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     edges = fwd.unionByName(rev).persist()
+    edges.count()  # materialize the edge cache ...
+    for upstream in getattr(nd_pairs, "_deker_caches", []):
+        upstream.unpersist()  # ... so the signature cache can go now
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -605,6 +620,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     changed = -1
+    ckpt_rdds: list = []  # superseded local-checkpoint storage to free
     for round_no in range(1, 21):  # diameter bound; tiny components converge fast
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -617,17 +633,33 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # cut lineage every few rounds — each iteration otherwise stacks
         # another join onto the logical plan and planning time grows
-        # superlinearly on a long-diameter graph
-        if round_no % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.persist()
+        # superlinearly on a long-diameter graph. Eager checkpoint doubles
+        # as the generation's cache (no extra persist on top — a
+        # DataFrame-level unpersist can't free RDD-level checkpoint
+        # storage, so stacking both leaks the checkpointed generations).
+        is_ckpt_round = round_no % 5 == 0
+        if is_ckpt_round:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()  # materializes new_labels; the old generation can go
         )
-        labels.unpersist()
+        labels.unpersist()  # no-op on checkpoint generations (not persisted)
+        if is_ckpt_round:
+            # the new checkpoint is materialized and the previous
+            # generation is gone — nothing can reach the older
+            # checkpoint's truncated lineage anymore; free its RDD
+            # storage (this is what DataFrame.unpersist cannot do)
+            while ckpt_rdds:
+                try:
+                    ckpt_rdds.pop().unpersist(False)
+                except Exception:
+                    pass
+            ckpt_rdds.append(new_labels._jdf.queryExecution().analyzed().rdd())
         labels = new_labels
         if changed == 0:
             break

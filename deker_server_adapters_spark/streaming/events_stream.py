@@ -118,13 +118,21 @@ def streaming_sessionization(
 def streaming_exact_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup: first event per (user_id, event_type,
     value-hash) within the watermark horizon survives — the streaming
-    twin of hash-groupBy dedup. State is bounded by the watermark."""
+    twin of hash-groupBy dedup.
+
+    Uses ``dropDuplicatesWithinWatermark`` so each key's state row is
+    EVICTED once the watermark passes its event time + delay — plain
+    ``dropDuplicates`` on a non-event-time subset keeps state forever,
+    which on an unbounded stream is an OOM, not a dedup. Duplicates
+    arriving within ``watermark`` of the first occurrence are dropped;
+    a repeat of the same key beyond the horizon is treated as new
+    (bounded-state semantics, the only kind that survives 100 TB/day)."""
     keyed = events.withColumn(
         "dedup_key", F.md5(F.concat_ws("|", "user_id", "event_type", F.col("value").cast("string")))
     )
     return (
         keyed.withWatermark("ts", watermark)
-        .dropDuplicates(["dedup_key"])
+        .dropDuplicatesWithinWatermark(["dedup_key"])
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
 

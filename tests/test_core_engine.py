@@ -336,3 +336,23 @@ class TestDistributedLookup:
         coll = warehouse.collections.create("empty", SCHEMA)
         assert coll.arrays.get_by_primary_attributes({"station": "x"}) is None
         assert list(coll.arrays) == []
+
+
+def test_write_from_cells_persist_hygiene(warehouse, spark):
+    """The distributed ingest path caches its chunk-indexed input for
+    the build + present-idx probe; the cache must be released when the
+    write finishes (same pattern as the dedup_components fix)."""
+    import numpy as np
+
+    coll = warehouse.collections.create("ingest_hygiene", SCHEMA)
+    rng = np.random.RandomState(5)
+    data = rng.rand(20, 12)
+    cells = spark.createDataFrame(
+        [(int(x), int(y), float(data[x, y])) for x in range(20) for y in range(12)],
+        "x long, y long, value double",
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    arr = coll.arrays.create_from_cells(cells, primary_attributes={"station": "sX"})
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before == 0, f"persisted RDDs grew by {after - before}"
+    np.testing.assert_allclose(arr.read_data(), data)

@@ -221,3 +221,28 @@ def test_enforce_budget_rows(spark, sf_dir):
     assert e.value.limit == 10 and e.value.requested > 10
     # within budget → chains through
     assert enforce_budget(li.limit(5), max_bytes=1 << 40).count() == 5
+
+
+def test_components_checkpoint_hygiene_long_diameter(spark):
+    """A 16-node path graph needs ~15 propagation rounds — three
+    checkpoint generations (rounds 5/10/15). Superseded checkpoints are
+    RDD-level caches that DataFrame.unpersist cannot free; the loop must
+    release them explicitly, keeping only the final generation."""
+    from deker_server_adapters_spark.operators.dedup import components_from_pairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    labels = components_from_pairs(chain)
+    got = {r["doc_id"]: r["canonical_id"] for r in labels.collect()}
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # correctness: one component, canonical = min id, label crossed the
+    # whole diameter
+    assert got == {i: 0 for i in range(16)}
+    # hygiene: at most the final labels generation + the checkpoint its
+    # lineage still depends on survive (freeing that one would truncate
+    # recoverability); the superseded round-5/round-10 checkpoints and
+    # every per-round generation must be gone — unbounded growth was the
+    # r2 leak (one checkpointed generation retained per 5 rounds)
+    assert after - before <= 2, f"persisted RDDs grew by {after - before}"

@@ -152,6 +152,9 @@ def test_streaming_exact_dedup(spark, sf_dir):
     got = spark.table("t_dedup").toPandas()
     ev = load_table(spark, sf_dir, "events").toPandas()
     want_distinct = ev.drop_duplicates(["user_id", "event_type", "value"])
+    # single micro-batch: watermark is still 0 while it runs, so no state
+    # expires mid-batch and within-watermark dedup == global dedup here;
+    # on a real stream state is evicted at ts+delay (bounded state).
     assert len(got) == len(want_distinct)
     assert got["event_id"].is_unique
 
