@@ -29,3 +29,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: op.oracle for name, op in all_ops().items() if op.oracle is not None}
+
+
+def descriptions() -> dict[str, str]:
+    """Semantics notes for registry consumers (approximate ops declare
+    their recall so a caller knows the answer is candidate-bounded)."""
+    return {
+        name: op.description
+        for name, op in all_ops().items()
+        if op.description is not None
+    }

@@ -65,39 +65,69 @@ def _expand_bytes(seed: bytes, n: int) -> np.ndarray:
     return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
 
 
-def _decode_payload(payload: bytes, width: int, height: int, n_frames: int) -> np.ndarray:
-    """STUB codec: returns (n_frames, height, width) uint8 'pixels'.
+def _decode_payload(
+    payload: bytes, width: int, height: int, n_frames: int, codec: str = "fake"
+) -> np.ndarray:
+    """Codec seam: returns (n_frames, height, width) uint8 'pixels'.
 
-    A real deployment replaces this body with PIL.Image.open /
-    librosa.load / av.open — the surrounding Spark plumbing is
-    unchanged. Raises NotImplementedError for unknown payloads only in
-    the real-codec path; the fake accepts anything deterministically.
+    ``codec='fake'`` is the deterministic byte-expansion stub (this
+    container has no media libs). ``codec='pil'`` decodes a real image
+    payload with Pillow when it is installed (grayscale, resized to the
+    declared geometry, broadcast across frames) — same signature, same
+    surrounding Spark plumbing, so a real deployment flips the codec
+    string and nothing else. Unknown codecs raise NotImplementedError.
     """
-    return _expand_bytes(payload, n_frames * height * width).reshape(n_frames, height, width)
+    if codec == "fake":
+        return _expand_bytes(payload, n_frames * height * width).reshape(
+            n_frames, height, width
+        )
+    if codec == "pil":
+        try:
+            import io
+
+            from PIL import Image  # optional dependency
+        except ImportError as e:
+            raise NotImplementedError(
+                "codec 'pil' requires Pillow; install it or use codec='fake'"
+            ) from e
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
+        frame = np.asarray(img, dtype=np.uint8)
+        return np.broadcast_to(frame, (n_frames, height, width)).copy()
+    raise NotImplementedError(f"unknown codec {codec!r}")
 
 
-def decode_stage(assets: DataFrame) -> DataFrame:
-    """binary payload -> frames (flattened pixels ride as array<int>)."""
+def decode_stage(assets: DataFrame, codec: str = "fake") -> DataFrame:
+    """binary payload -> frames (flattened pixels ride as array<int>).
+
+    Per-asset decode is inherently row-wise (variable geometry per
+    row), but the batch loop walks plain NumPy column arrays — no
+    pandas row objects (`iterrows` materializes a Series per row and
+    was the slowest possible iteration here).
+    """
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                m = r["meta"]
-                frames = 1 if r["media_type"] == "image" else int(m["n_frames"])
-                px = _decode_payload(bytes(r["payload"]), int(m["width"]), int(m["height"]), frames)
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "media_type": r["media_type"],
-                        "width": int(m["width"]),
-                        "height": int(m["height"]),
-                        "n_frames": frames,
-                        "pixels": px.ravel().astype(np.int32),
-                    }
-                )
+            metas = pdf["meta"]
+            widths = np.asarray([m["width"] for m in metas], dtype=np.int64)
+            heights = np.asarray([m["height"] for m in metas], dtype=np.int64)
+            declared = np.asarray([m["n_frames"] for m in metas], dtype=np.int64)
+            media = pdf["media_type"].to_numpy()
+            frames = np.where(media == "image", 1, declared)
+            pixels = [
+                _decode_payload(bytes(p), int(w), int(h), int(n), codec)
+                .ravel()
+                .astype(np.int32)
+                for p, w, h, n in zip(pdf["payload"], widths, heights, frames)
+            ]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "width", "height", "n_frames", "pixels"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": media,
+                    "width": widths.astype(np.int32),
+                    "height": heights.astype(np.int32),
+                    "n_frames": frames.astype(np.int32),
+                    "pixels": pixels,
+                }
             )
 
     return assets.mapInPandas(
@@ -111,23 +141,26 @@ def frame_sample_stage(decoded: DataFrame, every_k: int = 2) -> DataFrame:
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                fsz = r["width"] * r["height"]
-                px = np.asarray(r["pixels"], dtype=np.int32).reshape(r["n_frames"], fsz)
-                kept = px[::every_k]
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "media_type": r["media_type"],
-                        "width": r["width"],
-                        "height": r["height"],
-                        "n_frames": kept.shape[0],
-                        "pixels": kept.ravel(),
-                    }
-                )
+            widths = pdf["width"].to_numpy()
+            heights = pdf["height"].to_numpy()
+            n_frames = pdf["n_frames"].to_numpy()
+            kept_counts = np.empty(len(pdf), dtype=np.int32)
+            kept_px = []
+            for i, (px, w, h, n) in enumerate(
+                zip(pdf["pixels"], widths, heights, n_frames)
+            ):
+                kept = np.asarray(px, dtype=np.int32).reshape(int(n), int(w) * int(h))[::every_k]
+                kept_counts[i] = kept.shape[0]
+                kept_px.append(kept.ravel())
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "width", "height", "n_frames", "pixels"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": kept_counts,
+                    "pixels": kept_px,
+                }
             )
 
     return decoded.mapInPandas(
@@ -141,22 +174,27 @@ def resize_stage(decoded: DataFrame, target: int = _THUMB) -> DataFrame:
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                w, h, n = int(r["width"]), int(r["height"]), int(r["n_frames"])
-                px = np.asarray(r["pixels"], dtype=np.float64).reshape(n, h, w)
+            thumbs = []
+            for px, w, h, n in zip(
+                pdf["pixels"],
+                pdf["width"].to_numpy(),
+                pdf["height"].to_numpy(),
+                pdf["n_frames"].to_numpy(),
+            ):
+                w, h, n = int(w), int(h), int(n)
+                arr = np.asarray(px, dtype=np.float64).reshape(n, h, w)
                 # crop to a multiple of target, then block-mean
                 hh, ww = (h // target) * target, (w // target) * target
-                px = px[:, :hh, :ww]
-                pooled = px.reshape(n, target, hh // target, target, ww // target).mean(axis=(2, 4))
-                rows.append(
-                    {
-                        "doc_id": r["doc_id"],
-                        "media_type": r["media_type"],
-                        "thumb": np.round(pooled.mean(axis=0).ravel(), 4),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["doc_id", "media_type", "thumb"])
+                arr = arr[:, :hh, :ww]
+                pooled = arr.reshape(n, target, hh // target, target, ww // target).mean(axis=(2, 4))
+                thumbs.append(np.round(pooled.mean(axis=0).ravel(), 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "media_type": pdf["media_type"].to_numpy(),
+                    "thumb": thumbs,
+                }
+            )
 
     return decoded.mapInPandas(run, "doc_id long, media_type string, thumb array<double>")
 
@@ -179,7 +217,16 @@ def feature_stage(resized: DataFrame) -> DataFrame:
 
 
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = synth_assets(spark, sf_dir)
+    # spread assets across the cluster before the CPU-bound decode:
+    # media tables arrive as few fat files (one local split here), and
+    # without this the whole decode chain runs in as many tasks as the
+    # scan has splits — the classic media-pipeline bottleneck. The
+    # explicit partition count matters: the asset rows are tiny (the
+    # pixels don't exist yet), so AQE would coalesce a bare
+    # repartition back to one task and serialize the decode.
+    assets = synth_assets(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     decoded = decode_stage(assets)
     sampled = frame_sample_stage(decoded)
     resized = resize_stage(sampled)

@@ -79,3 +79,36 @@ def test_full_pipeline_runs_and_is_stable(spark, sf_dir):
     assert set(a.columns) == {"doc_id", "media_type", "px_mean", "px_std", "px_min", "px_max"}
     assert (a["px_std"] >= 0).all()
     assert len(a) == 500
+
+
+def test_unknown_codec_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        _decode_payload(b"x", 4, 4, 1, codec="webp")
+
+
+def test_pil_codec_missing_is_clear_error_or_decodes():
+    """The real-codec seam: with Pillow installed, codec='pil' decodes
+    actual image bytes through the SAME _decode_payload signature; when
+    absent, it fails with a clear NotImplementedError (not an opaque
+    executor crash)."""
+    import pytest
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _decode_payload(b"\x89PNG", 4, 4, 1, codec="pil")
+        pytest.skip("Pillow not installed; seam error path verified")
+
+    # real path: encode a known 4x4 gradient, decode via the seam
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    buf = io.BytesIO()
+    Image.fromarray(src, mode="L").save(buf, format="PNG")
+    got = _decode_payload(buf.getvalue(), 4, 4, 3, codec="pil")
+    assert got.shape == (3, 4, 4)
+    np.testing.assert_array_equal(got[0], src)
+    np.testing.assert_array_equal(got[1], src)  # broadcast across frames

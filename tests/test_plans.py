@@ -67,11 +67,20 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert count_shuffles(df) == 0  # signature build never shuffles
 
 
-def test_simhash_table_map_only(spark, sf_dir):
+def test_simhash_table_one_codegen_agg_shuffle(spark, sf_dir):
+    """The sketch is 64 codegen'd sums over ONE groupBy(doc_id) with
+    map-side partial aggregation (the shuffle carries 64 ints per doc).
+    The shuffle-free HOF fold it replaced was interpreted (no codegen
+    for lambda bodies) and ~20x slower — asserting the agg shape here,
+    not shuffle-freedom."""
     from deker_server_adapters_spark.operators.dedup import simhash_table
 
     df = simhash_table(spark, sf_dir)
-    assert count_shuffles(df) == 0  # sketch build never shuffles
+    assert count_shuffles(df) == 1  # exactly the groupBy(doc_id)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") == 2  # partial + final (map-side combine)
+    # the per-token hashing and the +/-1 majorities stay in codegen
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_dedup_simhash_no_all_pairs_join(spark, sf_dir):
