@@ -38,32 +38,32 @@ def all_ops() -> dict[str, "Op"]:
 
     # The driver checks a bounded number of queries per round in registry
     # order, so rotate: ops with the OLDEST driver CORRECTNESS row lead.
-    # r3 rotation — the 16 tpch ops whose last row is r1 (they trailed the
-    # r2 registry) go first; everything else follows in module order.
+    # r4 rotation — the 16 ops whose last green row is r2 (they trailed the
+    # r3 registry) go first; everything else follows in module order.
     merged: dict[str, Op] = {}
     for mod in (text, arrays, multimodal, similarity, dedup, events, tpch):
         for name, op in mod.OPS.items():
             if name in merged:
                 raise ValueError(f"duplicate operator name {name!r}")
             merged[name] = op
-    r1_only = [
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q12_priority_shipping",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q16_brand_supplier_counts",
-        "q18_large_orders",
-        "q19_discounted_revenue",
-        "q22_global_sales_opportunity",
-        "customer_order_rollup",
-        "customer_order_cube",
-        "customers_without_orders",
-        "repeat_buyers",
-        "top_parts_per_brand",
+    r2_only = [
+        "q1_pricing_summary",
+        "q2_min_price_part",
+        "q3_unshipped_revenue",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q8_market_share",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q17_small_quantity_revenue",
+        "q20_heavy_shippers",
+        "q21_last_shippers",
+        "order_key_sets",
+        "customer_balance_distribution",
+        "events_asof_join",
+        "events_running_totals",
+        "events_top_users",
     ]
-    lead = {n: merged[n] for n in r1_only if n in merged}
+    lead = {n: merged[n] for n in r2_only if n in merged}
     rest = {n: op for n, op in merged.items() if n not in lead}
     return {**lead, **rest}

@@ -197,12 +197,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate >= 0.5.
 
     Candidate pairs come only from shared LSH buckets, and the full
-    signature array rides through the band join, so the estimate is a
-    per-row ``zip_with`` — no second join back to the signature table.
+    signature array rides through the band self-join: both join sides
+    are the SAME banded-signature subplan shuffled on (band, band_key),
+    so Spark's exchange reuse materializes the signature build once and
+    the verify step is a per-row ``zip_with`` — no join back to the
+    signature table and no persisted intermediate whose lifecycle a
+    caller would have to manage (the r3 cache-handle handoff is gone;
+    ``tests/test_plans.py`` pins the ReusedExchange). The SHUFFLE_HASH
+    hint matters: a broadcast self-join would *re-execute* the
+    signature build to construct the broadcast side (no exchange to
+    reuse) — measured 1.9x slower at sf0.1 despite the smaller table.
     """
-    # persist: the signature table is read three times (band self-join
-    # sides + verify); on a cluster you'd cache this exactly the same way.
-    sigs = minhash_signatures(spark, sf_dir).persist()
+    sigs = minhash_signatures(spark, sf_dir)
     n_bands = _MINHASH_K // _BAND_SIZE
     stack_args = ", ".join(
         f"{b}, concat_ws(',', "
@@ -211,36 +217,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(n_bands)
     )
     bands = sigs.select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
-    )
+        "doc_id", "sig", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
+    ).hint("SHUFFLE_HASH")
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"),
+            F.col("b.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = F.round(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.expr(
-        "CAST(round(aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
-        f"0, (acc, v) -> acc + v) / {float(_MINHASH_K)}, 4) AS DOUBLE)"
-    )
-    out = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= 0.5)
+        .distinct()  # a pair may share several bands
     )
-    # expose the cache handle so downstream consumers (dedup_components)
-    # can free it once they've materialized their own derived cache
-    out._deker_caches = [sigs]  # type: ignore[attr-defined]
-    return out
 
 
 _MH_SEEDS_VALUES = ", ".join(
@@ -622,9 +627,7 @@ def components_from_pairs(nd_pairs: DataFrame) -> DataFrame:
     fwd = pairs
     rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     edges = fwd.unionByName(rev).persist()
-    edges.count()  # materialize the edge cache ...
-    for upstream in getattr(nd_pairs, "_deker_caches", []):
-        upstream.unpersist()  # ... so the signature cache can go now
+    edges.count()  # materialize once; every round joins this table
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -671,7 +674,14 @@ def components_from_pairs(nd_pairs: DataFrame) -> DataFrame:
                     ckpt_rdds.pop().unpersist(False)
                 except Exception:
                     pass
-            ckpt_rdds.append(new_labels._jdf.queryExecution().analyzed().rdd())
+            try:
+                # private JVM plan walk (classic PySpark only): under
+                # Spark Connect or a different localCheckpoint plan shape
+                # degrade to leaving the old checkpoint cached instead of
+                # failing the whole op
+                ckpt_rdds.append(new_labels._jdf.queryExecution().analyzed().rdd())
+            except Exception:
+                pass
         labels = new_labels
         if changed == 0:
             break

@@ -83,6 +83,19 @@ def test_simhash_table_one_codegen_agg_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_dedup_minhash_band_join_reuses_signature_exchange(spark, sf_dir):
+    """The band self-join must be a shuffled join over the SAME banded
+    signature subplan so AQE materializes the signature build once
+    (ReusedExchange). A broadcast self-join silently re-executes the
+    whole signature build for the broadcast side — 1.9x slower at
+    sf0.1 and pure waste at 100 TB."""
+    df = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+
 def test_dedup_simhash_no_all_pairs_join(spark, sf_dir):
     # pigeonhole segment blocking: candidates come from an equi-join on
     # (seg, seg_val), never a nested-loop over every pair
