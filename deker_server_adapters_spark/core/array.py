@@ -212,10 +212,16 @@ class ArrayAdapter:
     def delete_all_by_vid(self, vid: str, collection: Collection | None = None) -> None:
         """Delete every array whose primary attribute vid matches
         (reference array_adapter.py:41-77). The chunk arrays hold the
-        varray's data, so their shared chunk dataset goes with them."""
-        for meta in list(self):
-            if meta["primary_attributes"].get("vid") == vid:
-                self.delete(self._from_meta(meta))
+        varray's data, so their shared chunk dataset goes with them.
+
+        Victim selection is a Catalyst filter over the catalog scan
+        (``lookup_df``): only the matching ids come back to the driver —
+        O(matches) driver work, not O(n_arrays) iteration."""
+        df = self.lookup_df({"vid": vid})
+        if df is not None:
+            for row in df.select("id").collect():
+                with open(self._meta_path(row["id"])) as f:
+                    self.delete(self._from_meta(json.load(f)))
         self.store.delete_array(vid)
 
     # -- lookup ----------------------------------------------------------------
