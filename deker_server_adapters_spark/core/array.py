@@ -323,9 +323,14 @@ class ArrayAdapter:
             df = self.spark.read.json(os.path.join(d, "*.json"))
         except Exception:  # empty glob -> PATH_NOT_FOUND
             return None
+        if "_corrupt_record" in df.columns:
+            # PERMISSIVE mode parks unparsable files in _corrupt_record
+            # with every schema field null — drop them instead of
+            # yielding a meta dict with no id
+            df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
         if "id" not in df.columns:  # dir exists, no parsable metas
             return None
-        return df
+        return df.filter(F.col("id").isNotNull())
 
     def meta_df(self) -> DataFrame:
         """The array catalog as a DataFrame (id + attribute structs) —

@@ -390,12 +390,14 @@ class ChunkStore:
         hi = [stop for _, stop, _ in norm]
 
         def slice_chunks(batches: Iterable[pd.DataFrame]):
+            # walk plain column values via zip — no per-row pandas
+            # Series (iterrows) in the read hot path
             for pdf in batches:
-                rows = []
-                for _, r in pdf.iterrows():
-                    origin = np.asarray(r["origin"], dtype=np.int64)
-                    shape = np.asarray(r["shape"], dtype=np.int64)
-                    arr = np.asarray(r["data"], dtype=np.float64).reshape(shape)
+                offsets, shapes, datas = [], [], []
+                for origin_v, shape_v, data_v in zip(pdf["origin"], pdf["shape"], pdf["data"]):
+                    origin = np.asarray(origin_v, dtype=np.int64)
+                    shape = np.asarray(shape_v, dtype=np.int64)
+                    arr = np.asarray(data_v, dtype=np.float64).reshape(shape)
                     sel, place = [], []
                     for d in range(len(shape)):
                         a = max(lo[d] - origin[d], 0)
@@ -403,14 +405,13 @@ class ChunkStore:
                         sel.append(slice(a, b))
                         place.append(int(origin[d] + a - lo[d]))
                     piece = arr[tuple(sel)]
-                    rows.append(
-                        {
-                            "offset": place,
-                            "shape": list(piece.shape),
-                            "data": piece.ravel(order="C"),
-                        }
-                    )
-                yield pd.DataFrame(rows, columns=["offset", "shape", "data"])
+                    offsets.append(place)
+                    shapes.append(list(piece.shape))
+                    datas.append(piece.ravel(order="C"))
+                yield pd.DataFrame(
+                    {"offset": offsets, "shape": shapes, "data": datas},
+                    columns=["offset", "shape", "data"],
+                )
 
         pieces = scan.mapInPandas(
             slice_chunks, "offset array<long>, shape array<long>, data array<double>"
@@ -455,13 +456,15 @@ class ChunkStore:
 
         def patch_chunks(batches: Iterable[pd.DataFrame]):
             p = patch_bc.value
+            # walk plain column values via zip — no per-row pandas
+            # Series (iterrows) in the update hot path
             for pdf in batches:
-                out_rows = []
-                for _, r in pdf.iterrows():
-                    origin = np.asarray(r["origin"], dtype=np.int64)
-                    shape = np.asarray(r["shape"], dtype=np.int64)
+                origins, shapes, datas = [], [], []
+                for origin_v, shape_v, data_v in zip(pdf["origin"], pdf["shape"], pdf["data"]):
+                    origin = np.asarray(origin_v, dtype=np.int64)
+                    shape = np.asarray(shape_v, dtype=np.int64)
                     # np.array (copy): Arrow hands over read-only buffers
-                    arr = np.array(r["data"], dtype=np.float64).reshape(shape)
+                    arr = np.array(data_v, dtype=np.float64).reshape(shape)
                     sel, src = [], []
                     for d in range(len(shape)):
                         a = max(lo[d] - origin[d], 0)
@@ -469,17 +472,18 @@ class ChunkStore:
                         sel.append(slice(a, b))
                         src.append(slice(int(origin[d] + a - lo[d]), int(origin[d] + b - lo[d])))
                     arr[tuple(sel)] = p[tuple(src)]
-                    out_rows.append(
-                        {
-                            "array_id": r["array_id"],
-                            "chunk_idx": r["chunk_idx"],
-                            "origin": list(origin),
-                            "shape": list(shape),
-                            "data": arr.ravel(order="C"),
-                        }
-                    )
+                    origins.append(list(origin))
+                    shapes.append(list(shape))
+                    datas.append(arr.ravel(order="C"))
                 yield pd.DataFrame(
-                    out_rows, columns=["array_id", "chunk_idx", "origin", "shape", "data"]
+                    {
+                        "array_id": pdf["array_id"].to_numpy(),
+                        "chunk_idx": pdf["chunk_idx"].to_numpy(),
+                        "origin": origins,
+                        "shape": shapes,
+                        "data": datas,
+                    },
+                    columns=["array_id", "chunk_idx", "origin", "shape", "data"],
                 )
 
         updated = self.scan(array_id, idxs).mapInPandas(patch_chunks, CHUNK_SCHEMA)

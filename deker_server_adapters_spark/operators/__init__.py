@@ -8,7 +8,10 @@ the driver's correctness gate (None for non-SQL-expressible ops).
 
 from __future__ import annotations
 
+import json
+import re
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +28,39 @@ class Op:
     description: Optional[str] = None
 
 
+def _last_green_round(repo_root: Path) -> dict[str, int]:
+    """Per-op latest round with a PASSING driver correctness row.
+
+    Parses the ``CORRECTNESS_r*.json`` files the driver drops at the
+    repo root. A row counts as green if its value hash matched, or if
+    the op is rows-only by design (``err == "no_oracle"``) and its
+    Spark side produced rows. Errored/mismatched rows do NOT advance
+    the op — a broken op stays maximally stale so the next rotation
+    fronts it for re-verification.
+    """
+    green: dict[str, int] = {}
+    for p in repo_root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+            )
+            if ok:
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
 def all_ops() -> dict[str, "Op"]:
     from deker_server_adapters_spark.operators import (
         arrays,
@@ -36,34 +72,17 @@ def all_ops() -> dict[str, "Op"]:
         tpch,
     )
 
-    # The driver checks a bounded number of queries per round in registry
-    # order, so rotate: ops with the OLDEST driver CORRECTNESS row lead.
-    # r4 rotation — the 16 ops whose last green row is r2 (they trailed the
-    # r3 registry) go first; everything else follows in module order.
     merged: dict[str, Op] = {}
     for mod in (text, arrays, multimodal, similarity, dedup, events, tpch):
         for name, op in mod.OPS.items():
             if name in merged:
                 raise ValueError(f"duplicate operator name {name!r}")
             merged[name] = op
-    r2_only = [
-        "q1_pricing_summary",
-        "q2_min_price_part",
-        "q3_unshipped_revenue",
-        "q4_order_priority",
-        "q5_local_supplier_volume",
-        "q8_market_share",
-        "q11_important_parts",
-        "q15_top_supplier",
-        "q17_small_quantity_revenue",
-        "q20_heavy_shippers",
-        "q21_last_shippers",
-        "order_key_sets",
-        "customer_balance_distribution",
-        "events_asof_join",
-        "events_running_totals",
-        "events_top_users",
-    ]
-    lead = {n: merged[n] for n in r2_only if n in merged}
-    rest = {n: op for n, op in merged.items() if n not in lead}
-    return {**lead, **rest}
+    # The driver checks a bounded window of queries per round in
+    # registry order, so rotate: stalest ops lead. Staleness is derived
+    # from the driver's own CORRECTNESS_r*.json output (no
+    # hand-maintained list): never-green and last-round-broken ops
+    # first, then ascending by last green round; module order breaks
+    # ties (Python's sort is stable).
+    last_green = _last_green_round(Path(__file__).resolve().parents[2])
+    return dict(sorted(merged.items(), key=lambda kv: last_green.get(kv[0], -1)))

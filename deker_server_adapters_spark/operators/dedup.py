@@ -619,10 +619,16 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components_from_pairs(nd_pairs)
 
 
-def components_from_pairs(nd_pairs: DataFrame) -> DataFrame:
+def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """Min-label propagation over an explicit (doc_a, doc_b) pair table
     — the iterative core of ``dedup_components``, reusable over any
-    edge source (and unit-testable on a known-diameter graph)."""
+    edge source (and unit-testable on a known-diameter graph).
+
+    Converges in O(component diameter) rounds; ``max_rounds`` bounds
+    the work on pathological long-chain graphs — on exhaustion the op
+    WARNS and returns the partially-propagated labels (still a valid
+    clustering refinement, just possibly non-canonical) instead of
+    failing the whole pipeline."""
     pairs = nd_pairs.select("doc_a", "doc_b")
     fwd = pairs
     rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -636,7 +642,7 @@ def components_from_pairs(nd_pairs: DataFrame) -> DataFrame:
     )
     changed = -1
     ckpt_rdds: list = []  # superseded local-checkpoint storage to free
-    for round_no in range(1, 21):  # diameter bound; tiny components converge fast
+    for round_no in range(1, max_rounds + 1):  # diameter bound; tiny components converge fast
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -691,7 +697,7 @@ def components_from_pairs(nd_pairs: DataFrame) -> DataFrame:
         warnings.warn(
             "dedup_components: label propagation did not converge within the "
             "iteration budget; labels may be non-canonical for components "
-            "with diameter > 20",
+            f"with diameter > {max_rounds}",
             RuntimeWarning,
         )
     edges.unpersist()

@@ -312,7 +312,15 @@ class ClusterSession:
         )
 
         self.request_and_apply_config()
-        assert self.config is not None
+        if self.config is None:
+            # reference treats a single seed answering with a
+            # non-cluster config as non-cluster mode
+            # (cluster_config.py:107-123): there is no ring to route
+            # on, so routed requests are a usage error, not an assert
+            raise DekerClusterError(
+                "Cluster routing requested but the server is in "
+                "non-cluster mode (no cluster config applied)"
+            )
 
         def owner_ring() -> HashRing:
             if should_check_status and statuses is not None:

@@ -41,11 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # year() / pandas conversion agree on any driver session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); Spark tops out at
-        # microseconds. Read nanos as raw int64 and truncate to micros
-        # (integer DIV — exact). Oracle SQL applies the identical
-        # truncation so both engines see the same instants.
+        # events.parquet has shipped with three physical ts encodings
+        # across driver data regenerations: TIMESTAMP(NANOS),
+        # TIMESTAMP(MICROS) without timezone, and TIMESTAMP(MICROS)
+        # adjusted-to-UTC. Normalize ALL of them to TIMESTAMP_LTZ at
+        # the scan so every downstream expression (unix_micros, window,
+        # date_trunc) sees one type:
+        # - nanosAsLong reads nanos as raw int64; truncate to micros
+        #   (integer DIV — exact). Oracle SQL applies the identical
+        #   truncation so both engines see the same instants.
+        # - inferTimestampNTZ=false makes a no-timezone micros column
+        #   read as TIMESTAMP_LTZ directly at the file scan (session TZ
+        #   pinned UTC above, so the instant is deterministic) instead
+        #   of TIMESTAMP_NTZ — no post-scan cast, so ts predicates
+        #   still push down to parquet.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":  # nanos file; micros copies read clean
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

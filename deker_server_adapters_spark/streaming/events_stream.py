@@ -20,8 +20,6 @@ batch twins (tests/test_streaming.py).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -33,10 +31,14 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# Schema of the NORMALIZED staging copy written by stream_events_source
+# (ts already truncated to micros TIMESTAMP_LTZ by the batch loader) —
+# NOT the raw driver parquet, whose physical ts encoding has varied
+# across data regenerations (nanos / micros-NTZ / micros-LTZ).
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (as stored in the parquet)
+        StructField("ts", TimestampType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -48,8 +50,14 @@ EVENTS_STREAM_SCHEMA = StructType(
 def stream_events_source(
     spark: SparkSession, sf_dir: str, n_files: int | None = None
 ) -> DataFrame:
-    """File-stream over the events parquet with the same nanos->micros
-    truncation as the batch loader.
+    """File-stream over the events parquet with the same ts
+    normalization as the batch loader.
+
+    Delegates the physical-type handling (nanos bigint / micros NTZ /
+    micros LTZ) to ``sources.tables.load_table`` and stages a
+    normalized parquet copy for the stream to read, so the pinned
+    stream schema never depends on which encoding the driver's data
+    generator used.
 
     ``n_files``: split the input into that many time-ranged files and
     feed them one per micro-batch (maxFilesPerTrigger=1) — exercises
@@ -57,23 +65,16 @@ def stream_events_source(
     """
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")  # pins UTC + normalizes ts
     stream_dir = tempfile.mkdtemp(prefix="deker_events_stream_")
+    # range-partition by ts so lexicographic part order == time order
+    batch.repartitionByRange(n_files or 1, "ts").write.mode("overwrite").parquet(stream_dir)
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if n_files:
-        # range-partition by ts so lexicographic part order == time order
-        batch = spark.read.schema(EVENTS_STREAM_SCHEMA).parquet(
-            os.path.join(sf_dir, "events.parquet")
-        )
-        batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(stream_dir)
         reader = reader.option("maxFilesPerTrigger", 1)
-    else:
-        os.symlink(
-            os.path.join(sf_dir, "events.parquet"), os.path.join(stream_dir, "events.parquet")
-        )
-    df = reader.parquet(stream_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return reader.parquet(stream_dir)
 
 
 def streaming_tumbling_window(
@@ -176,6 +177,7 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     """Per-user cumulative value via applyInPandasWithState — the
     pattern for stateful operators Spark lacks natively. Emits one row
     per input event with the running sum at that event."""
+    import numpy as np
     import pandas as pd
 
     out_schema = (
@@ -185,23 +187,33 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
 
     def update(key, pdfs, state):
         total, seq = state.get if state.exists else (0.0, 0)  # .get is a property
-        rows = []
+        frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _, r in pdf.iterrows():
-                total += float(r["value"])
-                seq += 1
-                rows.append(
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            n = len(vals)
+            if n == 0:
+                continue
+            # cumsum seeded with the carried total reproduces the
+            # sequential ((total+v1)+v2)+... addition order exactly —
+            # vectorized, no per-row Series (iterrows)
+            running = np.cumsum(np.concatenate(([total], vals)))[1:]
+            frames.append(
+                pd.DataFrame(
                     {
-                        "event_id": r["event_id"],
-                        "user_id": key[0],
-                        "ts": r["ts"],
-                        "running_value": round(total, 2),
-                        "event_seq": seq,
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "user_id": np.full(n, key[0], dtype=np.int64),
+                        "ts": pdf["ts"],
+                        "running_value": np.round(running, 2),
+                        "event_seq": np.arange(seq + 1, seq + n + 1, dtype=np.int64),
                     }
                 )
+            )
+            total = float(running[-1])
+            seq += n
         state.update((total, seq))
-        yield pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "running_value", "event_seq"])
+        cols = ["event_id", "user_id", "ts", "running_value", "event_seq"]
+        yield pd.concat(frames)[cols] if frames else pd.DataFrame(columns=cols)
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"

@@ -226,3 +226,29 @@ def test_moved_file_is_served_by_target_ring():
         meta, "read_data", should_check_status=True, statuses={key: FileStatus.NORMAL}
     )
     assert normal == f"ok:{cur_ring.get_node(key)}:read_data"
+
+
+def test_single_seed_non_cluster_ping_is_non_cluster_mode():
+    # reference cluster_config.py:107-123: ONE seed answering with a
+    # non-cluster config is legitimate single-node mode — ping applies
+    # nothing and raises nothing...
+    from deker_server_adapters_spark.plans.cluster import ClusterSession
+
+    config = {**CONFIG, "mode": "single"}
+    transport = FakeTransport(config)
+    sess = ClusterSession(["a"], transport)
+    sess.request_and_apply_config()
+    assert sess.config is None and not sess.closed
+
+
+def test_routed_request_in_non_cluster_mode_raises():
+    # ...but ROUTED requests need a ring; in non-cluster mode that is a
+    # DekerClusterError, not an assert
+    from deker_server_adapters_spark.plans.cluster import ClusterSession
+
+    config = {**CONFIG, "mode": "single"}
+    transport = FakeTransport(config)
+    sess = ClusterSession(["a"], transport)
+    meta = {"id": "arr-1", "primary_attributes": {}}
+    with pytest.raises(DekerClusterError):
+        sess.request_in_cluster(meta, "read_meta")

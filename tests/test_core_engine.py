@@ -356,3 +356,19 @@ def test_write_from_cells_persist_hygiene(warehouse, spark):
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - before == 0, f"persisted RDDs grew by {after - before}"
     np.testing.assert_allclose(arr.read_data(), data)
+
+
+def test_corrupt_meta_file_is_skipped(warehouse):
+    """A truncated/garbage meta json must not poison the catalog scan:
+    PERMISSIVE-mode corrupt records (all-null rows + _corrupt_record)
+    are dropped, healthy arrays still list and resolve."""
+    import os
+
+    coll = warehouse.collections.create("weather", SCHEMA)
+    a = coll.arrays.create({"station": "s1"})
+    meta_dir = os.path.join(coll.path, "meta")
+    with open(os.path.join(meta_dir, "zz_corrupt.json"), "w") as f:
+        f.write('{"id": "broken", "primary_attr')  # truncated mid-key
+    metas = list(coll.arrays)
+    assert [m["id"] for m in metas] == [a.id]
+    assert coll.arrays.get_by_primary_attributes({"station": "s1"}).id == a.id

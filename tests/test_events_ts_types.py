@@ -1,0 +1,107 @@
+"""The driver's data generator has shipped events.parquet with three
+different physical ts encodings across regenerations (TIMESTAMP(NANOS),
+micros without timezone -> Spark TIMESTAMP_NTZ, micros adjusted-to-UTC
+-> TIMESTAMP_LTZ). Round 4 broke because the loader only handled the
+first. These tests pin the invariant: EVERY encoding loads as one
+normalized TIMESTAMP_LTZ with identical instants, and every events
+operator analyzes and runs on all of them.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deker_server_adapters_spark.sources.tables import load_table
+
+N = 40
+BASE_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, micros
+
+
+def _write_events(dir_path: str, ts_type: pa.DataType) -> None:
+    us = [BASE_US + i * 300_000_000 for i in range(N)]  # 5-min spacing
+    if ts_type == pa.timestamp("ns"):
+        ts = pa.array([u * 1000 for u in us], pa.int64()).cast(ts_type)
+    else:
+        ts = pa.array(us, pa.int64()).cast(ts_type)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(N), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([i % 4 for i in range(N)], pa.int64()),
+            "event_type": pa.array(
+                [["click", "view", "purchase", "error"][i % 4] for i in range(N)]
+            ),
+            "value": pa.array([float(i) * 1.5 for i in range(N)]),
+            "props": pa.array(['{"k": %d}' % i for i in range(N)]),
+        }
+    )
+    os.makedirs(dir_path, exist_ok=True)
+    pq.write_table(table, os.path.join(dir_path, "events.parquet"))
+
+
+ENCODINGS = {
+    "nanos": pa.timestamp("ns"),
+    "micros_ntz": pa.timestamp("us"),
+    "micros_ltz": pa.timestamp("us", tz="UTC"),
+}
+
+
+@pytest.fixture(scope="module")
+def encoded_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("events_ts_encodings")
+    dirs = {}
+    for name, ts_type in ENCODINGS.items():
+        d = str(root / name)
+        _write_events(d, ts_type)
+        dirs[name] = d
+    return dirs
+
+
+@pytest.mark.parametrize("enc", list(ENCODINGS))
+def test_loader_normalizes_to_ltz_timestamp(spark, encoded_dirs, enc):
+    ev = load_table(spark, encoded_dirs[enc], "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"  # LTZ, never ntz/bigint
+
+
+def test_all_encodings_agree_on_instants(spark, encoded_dirs):
+    import pyspark.sql.functions as F
+
+    micros = {
+        enc: [
+            r["us"]
+            for r in load_table(spark, d, "events")
+            .select(F.unix_micros("ts").alias("us"))
+            .orderBy("us")
+            .collect()
+        ]
+        for enc, d in encoded_dirs.items()
+    }
+    assert micros["nanos"] == micros["micros_ntz"] == micros["micros_ltz"]
+    assert micros["nanos"][0] == BASE_US
+
+
+@pytest.mark.parametrize("enc", list(ENCODINGS))
+def test_every_events_op_runs_on_encoding(spark, encoded_dirs, enc):
+    """Every batch events operator must analyze AND execute regardless
+    of the parquet's physical ts encoding — this is the regression test
+    for the round-4 unix_micros-on-NTZ breakage."""
+    from deker_server_adapters_spark.operators import events as events_mod
+
+    for name, op in events_mod.OPS.items():
+        df = op.builder(spark, encoded_dirs[enc])
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("enc", list(ENCODINGS))
+def test_stream_source_schema_is_stable(spark, encoded_dirs, enc):
+    from pyspark.sql.types import TimestampType
+
+    from deker_server_adapters_spark.streaming.events_stream import stream_events_source
+
+    stream = stream_events_source(spark, encoded_dirs[enc])
+    assert stream.isStreaming
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)

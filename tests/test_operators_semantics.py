@@ -284,3 +284,34 @@ def test_simhash_table_drops_null_docs(spark, tmp_path):
     # the two token-less docs sketch identically (both [''] after norm)
     sk = {r.doc_id: r.simhash for r in got.itertuples()}
     assert sk[3] == sk[4]
+
+
+def test_components_budget_warns_and_returns_partial(spark):
+    """A diameter-9 path with a round budget of 3 cannot finish: the op
+    must WARN (not raise) and return partially-propagated labels —
+    a valid refinement (every label is some reachable node's id, so
+    no cross-component pollution), just not yet canonical."""
+    import warnings as w
+
+    from deker_server_adapters_spark.operators.dedup import components_from_pairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        labels = components_from_pairs(chain, max_rounds=3)
+        got = {r["doc_id"]: r["canonical_id"] for r in labels.collect()}
+    assert any(
+        issubclass(c.category, RuntimeWarning) and "iteration budget" in str(c.message)
+        for c in caught
+    )
+    assert set(got) == set(range(10))  # every node still labeled
+    assert all(lbl <= i for i, lbl in got.items())  # labels only move down
+    # an adequate budget converges silently to the canonical labeling
+    with w.catch_warnings(record=True) as caught2:
+        w.simplefilter("always")
+        done = components_from_pairs(chain, max_rounds=20)
+        full = {r["doc_id"]: r["canonical_id"] for r in done.collect()}
+    assert not [c for c in caught2 if issubclass(c.category, RuntimeWarning)]
+    assert full == {i: 0 for i in range(10)}
