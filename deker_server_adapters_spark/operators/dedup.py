@@ -632,7 +632,11 @@ def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFram
     pairs = nd_pairs.select("doc_a", "doc_b")
     fwd = pairs
     rev = pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    edges = fwd.unionByName(rev).persist()
+    # persist edges ALREADY HASHED on the per-round join key: the cached
+    # relation's outputPartitioning satisfies the join requirement, so
+    # the (big) edge table is shuffled once here instead of once per
+    # propagation round — at scale the edge shuffle dominates the loop
+    edges = fwd.unionByName(rev).repartition(F.col("doc_b")).persist()
     edges.count()  # materialize once; every round joins this table
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
@@ -642,15 +646,21 @@ def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFram
     )
     changed = -1
     ckpt_rdds: list = []  # superseded local-checkpoint storage to free
+    prev_gen = labels  # the handle persist/unpersist operates on
     for round_no in range(1, max_rounds + 1):  # diameter bound; tiny components converge fast
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nmin"))
         )
+        # carry the did-it-change bit through the SAME join that builds
+        # the new labels (nmin < label; null nmin -> no neighbors -> no
+        # change) — the convergence check is then a filter-count over
+        # the cached generation, not a second labels join per round
         new_labels = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
             F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("chg"),
         )
         # cut lineage every few rounds — each iteration otherwise stacks
         # another join onto the logical plan and planning time grows
@@ -663,13 +673,9 @@ def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFram
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()  # materializes new_labels; the old generation can go
-        )
-        labels.unpersist()  # no-op on checkpoint generations (not persisted)
+        # materializes new_labels; the old generation can go
+        changed = new_labels.filter("chg").count()
+        prev_gen.unpersist()  # no-op on checkpoint generations (not persisted)
         if is_ckpt_round:
             # the new checkpoint is materialized and the previous
             # generation is gone — nothing can reach the older
@@ -688,7 +694,8 @@ def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFram
                 ckpt_rdds.append(new_labels._jdf.queryExecution().analyzed().rdd())
             except Exception:
                 pass
-        labels = new_labels
+        prev_gen = new_labels
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     if changed != 0:
