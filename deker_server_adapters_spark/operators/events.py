@@ -340,6 +340,95 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_df(ev: DataFrame) -> DataFrame:
+    """Ordered funnel click -> view -> purchase: a user advances a
+    stage only with a LATER event of the next type (strict event-time
+    order, not mere co-occurrence). Three per-user min-aggregates
+    chained by equi-joins on user_id — each join input is one row per
+    user, partial aggs combine map-side, nothing is collected or
+    windowed over whole-user event lists (which would skew-OOM on hot
+    users at scale)."""
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(c, "click")
+        .unionByName(stage(v, "click>view"))
+        .unionByName(stage(p, "click>view>purchase"))
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_df(load_table(spark, sf_dir, "events"))
+
+
+FUNNEL_SQL = f"""
+WITH ev AS (SELECT * FROM {EVENTS_DUCK}),
+c AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'click' GROUP BY user_id),
+v AS (SELECT ev.user_id, min(ev.ts) AS t2 FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.event_type = 'view' AND ev.ts > c.t1 GROUP BY ev.user_id),
+p AS (SELECT ev.user_id, min(ev.ts) AS t3 FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'purchase' AND ev.ts > v.t2 GROUP BY ev.user_id)
+SELECT 'click' AS stage, count(*) AS n_users FROM c
+UNION ALL SELECT 'click>view', count(*) FROM v
+UNION ALL SELECT 'click>view>purchase', count(*) FROM p
+"""
+
+
+def retention_df(ev: DataFrame) -> DataFrame:
+    """Day-N retention cohorts: cohort = a user's first active day;
+    for N in 0..7 count users active again N days later. Activity is
+    deduped to (user, day) FIRST, so the cohort join fans out over
+    active-days (bounded at 8/user here), never raw events."""
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_n", F.datediff("day", "cohort_day").cast("long"))
+        .filter(F.col("day_n") <= 7)
+        .groupBy("cohort_day", "day_n")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retention_df(load_table(spark, sf_dir, "events"))
+
+
+RETENTION_SQL = f"""
+WITH ev AS (SELECT * FROM {EVENTS_DUCK}),
+act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM ev),
+first AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT first.cohort_day, datediff('day', first.cohort_day, act.day) AS day_n,
+       count(*) AS n_users
+FROM act JOIN first ON act.user_id = first.user_id
+WHERE datediff('day', first.cohort_day, act.day) <= 7
+GROUP BY first.cohort_day, day_n
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
@@ -362,4 +451,8 @@ OPS = {
     "events_running_totals": Op("events_running_totals", events_running_totals, RUNNING_SQL),
     "events_asof_join": Op("events_asof_join", events_asof_join, ASOF_SQL),
     "events_top_users": Op("events_top_users", events_top_users, TOP_USERS_SQL),
+    "events_funnel": Op("events_funnel", events_funnel, FUNNEL_SQL),
+    "events_retention_cohorts": Op(
+        "events_retention_cohorts", events_retention_cohorts, RETENTION_SQL
+    ),
 }

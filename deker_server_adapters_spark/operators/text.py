@@ -268,6 +268,135 @@ GROUP BY tok
 """
 
 
+def repetition_score_df(docs: DataFrame) -> DataFrame:
+    """Within-document repetition (Gopher-style quality filter): the
+    fraction of word trigrams that are duplicates of an earlier trigram
+    in the same doc. Tokens/trigrams are materialized as their own
+    projections — inlining them into every consumer re-evaluates the
+    regexp per use (the measured 150x trap, docs/PERF.md)."""
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    tg = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 2, 1)), "
+            "i -> array_join(slice(t, i, 3), ' '))"
+        ).alias("tg"),
+    )
+    return tg.select(
+        "doc_id",
+        F.expr("CAST(size(tg) AS BIGINT)").alias("n_trigrams"),
+        F.expr("CAST(size(array_distinct(tg)) AS BIGINT)").alias("n_distinct_trigrams"),
+        F.expr(
+            "round(1.0 - size(array_distinct(tg)) / CAST(size(tg) AS DOUBLE), 4)"
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_score_df(load_table(spark, sf_dir, "documents"))
+
+
+REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents),
+tg AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+         i -> array_to_string(t[i:i+2], ' ')) AS tg
+  FROM toks
+)
+SELECT doc_id,
+       CAST(len(tg) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
+       round(1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE), 4) AS dup_trigram_frac
+FROM tg
+"""
+
+
+# PII patterns. Spark SQL single-quoted literals process backslash
+# escapes ('\\.' -> \.), DuckDB literals do not — hence two spellings.
+_EMAIL_SPARK = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\\\.[a-zA-Z]{2,}"
+_EMAIL_DUCK = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_scan_df(docs: DataFrame) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers): counts per
+    doc plus an md5 of the redacted text (cheap equality witness — the
+    full redacted corpus would be the real sink at scale). Pure regexp,
+    stays in codegen."""
+    redacted = (
+        f"regexp_replace(regexp_replace(text, '{_EMAIL_SPARK}', '<EMAIL>'), "
+        f"'{_PHONE}', '<PHONE>')"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_EMAIL_SPARK}', 0)) AS BIGINT)").alias(
+            "n_emails"
+        ),
+        F.expr(f"CAST(size(regexp_extract_all(text, '{_PHONE}', 0)) AS BIGINT)").alias(
+            "n_phones"
+        ),
+        F.expr(f"md5({redacted})").alias("redacted_md5"),
+    )
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan_df(load_table(spark, sf_dir, "documents"))
+
+
+PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_DUCK}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_DUCK}', '<EMAIL>', 'g'),
+           '{_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+def docs_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag corpus docs sharing any
+    word-5-gram with a (small) benchmark set — the pre-training hygiene
+    scan. The benchmark side is deterministically doc_id % 97 == 0
+    here; in production it is the eval suites. Scale shape: benchmark
+    shingles BROADCAST to the corpus-shingle stream (the corpus side —
+    the 100 TB side — is never shuffled), per-doc distinct shingles
+    bound the join fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(t) - 4, 1)), "
+                "i -> array_join(slice(t, i, 5), ' ')))"
+            )
+        ).alias("shingle"),
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select("shingle").distinct()
+    corpus = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 4, 1) + 1),
+                i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM toks
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*) AS n_contaminated
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
@@ -281,4 +410,11 @@ OPS = {
     "text_quality_score": Op("text_quality_score", text_quality_score, _quality_sql()),
     "text_lang_id": Op("text_lang_id", text_lang_id, _lang_id_sql()),
     "text_fingerprint": Op("text_fingerprint", text_fingerprint, FINGERPRINT_SQL),
+    "text_repetition_score": Op(
+        "text_repetition_score", text_repetition_score, REPETITION_SQL
+    ),
+    "text_pii_scan": Op("text_pii_scan", text_pii_scan, PII_SQL),
+    "docs_benchmark_contamination": Op(
+        "docs_benchmark_contamination", docs_benchmark_contamination, CONTAMINATION_SQL
+    ),
 }

@@ -315,3 +315,93 @@ def test_components_budget_warns_and_returns_partial(spark):
         full = {r["doc_id"]: r["canonical_id"] for r in done.collect()}
     assert not [c for c in caught2 if issubclass(c.category, RuntimeWarning)]
     assert full == {i: 0 for i in range(10)}
+
+
+def test_repetition_score_planted(spark):
+    from deker_server_adapters_spark.operators.text import repetition_score_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # trigrams: 7 total, heavy repeats
+            (2, "one two three four five"),  # all distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_score_df(docs).collect()}
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[1]["n_trigrams"] == 7
+    # "a b c","b c a","c a b" cycle -> 3 distinct of 7
+    assert got[1]["n_distinct_trigrams"] == 3
+    assert got[1]["dup_trigram_frac"] == round(1 - 3 / 7, 4)
+
+
+def test_pii_scan_planted(spark):
+    from deker_server_adapters_spark.operators.text import pii_scan_df
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob@test.org today"),
+            (2, "call 555-123-4567 or 555 987 6543 now"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan_df(docs).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_phones"] == 0
+    assert got[2]["n_phones"] == 2 and got[2]["n_emails"] == 0
+    assert got[3]["n_emails"] == 0 and got[3]["n_phones"] == 0
+    # redaction actually removed the PII: hash equals the clean twin's
+    import hashlib
+
+    expected = hashlib.md5(b"contact <EMAIL> or <EMAIL> today").hexdigest()
+    assert got[1]["redacted_md5"] == expected
+
+
+def test_funnel_planted(spark):
+    import datetime as dt
+
+    from deker_server_adapters_spark.operators.events import funnel_df
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(eid, uid, minutes, etype):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, 1.0, "{}")
+
+    ev = spark.createDataFrame(
+        [
+            # user 1 completes the funnel in order
+            row(1, 1, 0, "click"), row(2, 1, 5, "view"), row(3, 1, 9, "purchase"),
+            # user 2: purchase BEFORE view -> stalls at click>view
+            row(4, 2, 0, "click"), row(5, 2, 3, "purchase"), row(6, 2, 8, "view"),
+            # user 3: view before click -> only the click stage
+            row(7, 3, 5, "view"), row(8, 3, 9, "click"),
+            # user 4: never clicks
+            row(9, 4, 1, "view"), row(10, 4, 2, "purchase"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_df(ev).collect()}
+    assert got == {"click": 3, "click>view": 2, "click>view>purchase": 1}
+
+
+def test_retention_planted(spark):
+    import datetime as dt
+
+    from deker_server_adapters_spark.operators.events import retention_df
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    def row(eid, uid, days):
+        return (eid, t0 + dt.timedelta(days=days), uid, "click", 1.0, "{}")
+
+    # users 1,2 start day 0; user 1 returns day 1 and 3; user 2 only day 9
+    # (beyond the 7-day horizon); user 3 starts day 1, returns day 2
+    ev = spark.createDataFrame(
+        [row(1, 1, 0), row(2, 1, 1), row(3, 1, 3), row(4, 2, 0), row(5, 2, 9),
+         row(6, 3, 1), row(7, 3, 2)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["cohort_day"].day, r["day_n"]): r["n_users"] for r in retention_df(ev).collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (1, 3): 1, (2, 0): 1, (2, 1): 1}
