@@ -36,3 +36,19 @@ def test_rows_only_ops_run(spark, sf_dir, name):
     df = _OPS[name].builder(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_rolling_1h_parity_at_sf001(spark):
+    """events_rolling_1h value-parity pinned at sf0.01 regardless of
+    the suite's SF: its RANGE frame orders by unix_micros(ts) only, so
+    ts-tied peers must share frames identically in both engines — the
+    denser sf0.01 events table actually exercises ties (VERDICT r4
+    item 7)."""
+    op = _OPS["events_rolling_1h"]
+    con = duckdb_con("/root/testdata/sf0.01")
+    try:
+        ok, msg = compare(op.builder(spark, "/root/testdata/sf0.01"),
+                          con.execute(op.oracle).fetchdf())
+    finally:
+        con.close()
+    assert ok, msg

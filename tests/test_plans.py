@@ -149,3 +149,28 @@ def test_primary_attr_lookup_is_pruned_catalyst_plan(spark, tmp_path):
     # and the filter is evaluated in the distributed plan, not in Python
     assert "Filter" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_benchmark_side_broadcast(spark, sf_dir):
+    """The benchmark shingle set must broadcast to the corpus-shingle
+    stream — the 100 TB corpus side never shuffles for the join; a
+    sort-merge join here would shuffle the whole corpus by shingle."""
+    plan = physical_plan(_plan(spark, sf_dir, "docs_benchmark_contamination"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_no_event_list_collection(spark, sf_dir):
+    """Funnel stages chain per-user aggregates; no collect_list /
+    per-user window over raw event lists (skew-OOM shape on hot users)
+    and no Python eval in the plan."""
+    plan = physical_plan(_plan(spark, sf_dir, "events_funnel"))
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_new_text_ops_are_pure_codegen(spark, sf_dir):
+    for name in ("text_repetition_score", "text_pii_scan"):
+        plan = physical_plan(_plan(spark, sf_dir, name))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
