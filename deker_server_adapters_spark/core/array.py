@@ -335,8 +335,14 @@ class ArrayAdapter:
     def meta_df(self) -> DataFrame:
         """The array catalog as a DataFrame (id + attribute structs) —
         metadata queries scale with Spark instead of a driver loop
-        (find-by-attribute over millions of arrays)."""
-        return self.spark.read.json(os.path.join(self._meta_dir(), "*.json"))
+        (find-by-attribute over millions of arrays). Same corrupt-file
+        hygiene as the internal catalog scan."""
+        df = self._catalog_df()
+        if df is None:
+            raise DekerArrayNotExistsError(
+                f"no array metadata under {self._meta_dir()}"
+            )
+        return df
 
     def cells_df(self, array_ids: list[str] | None = None) -> DataFrame:
         """Cross-array long view: (array_id, dims..., value) for many

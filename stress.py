@@ -39,10 +39,14 @@ def scale_tables(spark, src_dir: str, k: int, out_dir: str) -> None:
             for c in key_cols[name]:
                 scaled = scaled.withColumn(c, F.col(c) + F.col("__rep") * shift)
             if name == "events":
-                # spread replicas in time so sessions/windows stay realistic
+                # spread replicas in time so sessions/windows stay
+                # realistic (loader always yields timestamp ts now)
                 scaled = scaled.withColumn(
-                    "ts", F.col("ts") + (F.col("__rep") * F.lit(86_400_000_000)).cast("long")
-                ) if dict(df.dtypes)["ts"] == "bigint" else scaled
+                    "ts",
+                    F.timestamp_micros(
+                        F.unix_micros("ts") + F.col("__rep") * F.lit(86_400_000_000)
+                    ),
+                )
             if name == "documents":
                 # make replica texts distinct so dedup has k-sized groups
                 scaled = scaled.withColumn(
