@@ -282,8 +282,46 @@ GROUP BY day
 """
 
 
+def deker_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same slice-aggregate as ``array_slice_agg`` but read through
+    ``spark.read.format("deker")`` — value-checks the whole custom
+    Python Data Source path (collection schema -> chunk-aligned
+    partitions -> pushed dim filters -> Arrow cell batches) against the
+    DuckDB oracle, not just the engine-internal cell_df view."""
+    from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
+    from deker_server_adapters_spark.sources.deker_datasource import register
+
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_ds_"))
+    schema = ArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
+    )
+    coll = wh.collections.create("events_grid", schema)
+    coll.arrays.create_from_cells(_event_cells(spark, sf_dir))
+    register(spark)
+    cells = (
+        spark.read.format("deker")
+        .option("path", wh.root)
+        .option("collection", "events_grid")
+        .load()
+    )
+    return (
+        cells.filter((F.col("day") >= 5) & (F.col("day") < 15) & (F.col("hour") < 12))
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
 OPS = {
     "array_slice_agg": Op("array_slice_agg", array_slice_agg, ARRAY_SLICE_SQL, headline=True),
+    "deker_datasource_scan": Op(
+        "deker_datasource_scan", deker_datasource_scan, ARRAY_SLICE_SQL
+    ),
     "array_update_roundtrip": Op("array_update_roundtrip", array_update_roundtrip, ARRAY_UPDATE_SQL),
     "varray_cell_table": Op("varray_cell_table", varray_cell_table, VARRAY_CELL_SQL),
     "hash_ring_assignment": Op("hash_ring_assignment", hash_ring_assignment, HASH_RING_SQL),

@@ -1,0 +1,273 @@
+"""``spark.read.format("deker")`` — the array warehouse as a Spark table.
+
+The Python Data Source API (Spark 4) front door for the chunked array
+engine in ``core/``: any collection reads as a long-format cell table
+
+    array_id string, <dim name> bigint ..., value double
+
+with the scan parallelized one task per stored CHUNK (Spark's
+parallelism aligns with the storage grid, exactly like the pruned
+parquet scan inside ``ChunkStore``) and filter pushdown at two levels:
+
+- ``array_id`` equality/IN prunes whole chunk DIRECTORIES at planning
+  time (no file even listed for other arrays);
+- dimension-range predicates prune non-overlapping chunks at planning
+  time via the collection's chunk grid, then mask cells inside the
+  surviving chunks with vectorized NumPy — both are consumed, so Spark
+  re-evaluates neither.
+
+``value`` predicates (and anything else) are left for Spark.
+
+Reference parity: this is the "DataFrame I/O for multidimensional
+arrays via a custom data source" surface — the reference adapter's
+read path (base.py:111-205) exposed through Spark's own reader API
+instead of an HTTP client. Reads are Arrow ``RecordBatch`` streams, so
+cells never pass through per-row Python objects. The source is
+read-only by design: writes go through the engine's copy-on-write
+chunk API (``core/storage.py``), which Spark's writer contract cannot
+express (subset PUT semantics, 413 limits).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def register(spark) -> None:
+    """Register the source and enable Python-source filter pushdown
+    (Spark refuses to plan a pushFilters() reader without the conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(DekerDataSource)
+
+
+def _load_collection_meta(root: str, collection: str) -> dict:
+    meta_path = os.path.join(root, "collections", collection, "collection.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"deker: no collection {collection!r} under {root!r} "
+            f"(expected {meta_path})"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def _grid_geometry(meta: dict) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(shape, chunk_shape) from collection.json — mirrors
+    core/array.py:_grid + core/storage.py:default_chunk_grid without
+    importing Spark-session-bound classes (the reader must pickle)."""
+    dims = meta["schema"]["dimensions"]
+    shape = tuple(int(d["size"]) for d in dims)
+    if meta.get("type") == "varray":
+        splits = tuple(int(g) for g in meta["schema"]["vgrid"])
+    else:
+        inner = math.prod(shape[1:]) if len(shape) > 1 else 1
+        rows = max(1, min(shape[0], (1 << 20) // max(inner, 1) or 1))
+        splits = (math.ceil(shape[0] / rows),) + (1,) * (len(shape) - 1)
+    chunk_shape = tuple(math.ceil(s / g) for s, g in zip(shape, splits))
+    return shape, chunk_shape
+
+
+def _chunk_box(
+    idx: int, shape: Sequence[int], chunk_shape: Sequence[int]
+) -> list[tuple[int, int]]:
+    splits = [math.ceil(s / c) for s, c in zip(shape, chunk_shape)]
+    pos = []
+    for g in reversed(splits):
+        pos.append(idx % g)
+        idx //= g
+    pos = list(reversed(pos))
+    return [
+        (p * c, min((p + 1) * c, s)) for p, c, s in zip(pos, chunk_shape, shape)
+    ]
+
+
+@dataclass
+class DekerChunkPartition(InputPartition):
+    array_id: str
+    chunk_idx: int
+    files: tuple[str, ...]
+
+
+class DekerDataSource(DataSource):
+    """Usage::
+
+        spark.dataSource.register(DekerDataSource)
+        cells = (spark.read.format("deker")
+                 .option("path", warehouse_root)
+                 .option("collection", "weather").load())
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "deker"
+
+    def _root_and_collection(self) -> tuple[str, str]:
+        root = self.options.get("path")
+        coll = self.options.get("collection")
+        if not root or not coll:
+            raise ValueError(
+                "deker format needs .option('path', warehouse_root) and "
+                ".option('collection', name)"
+            )
+        return root, coll
+
+    def schema(self) -> StructType:
+        root, coll = self._root_and_collection()
+        meta = _load_collection_meta(root, coll)
+        fields = [StructField("array_id", StringType(), False)]
+        fields += [
+            StructField(d["name"], LongType(), False)
+            for d in meta["schema"]["dimensions"]
+        ]
+        fields.append(StructField("value", DoubleType(), True))
+        return StructType(fields)
+
+    def reader(self, schema: StructType) -> "DekerReader":
+        root, coll = self._root_and_collection()
+        return DekerReader(root, coll, schema)
+
+
+class DekerReader(DataSourceReader):
+    def __init__(self, root: str, collection: str, schema: StructType):
+        meta = _load_collection_meta(root, collection)
+        self.chunks_dir = os.path.join(root, "collections", collection, "chunks")
+        self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
+        self.shape, self.chunk_shape = _grid_geometry(meta)
+        self.read_cols = [f.name for f in schema.fields]  # column pruning
+        self.array_ids: set[str] | None = None  # None = all arrays
+        # per-dim [lo, hi) bounds, tightened by pushed filters
+        self.bounds = [[0, s] for s in self.shape]
+
+    # -- pushdown ---------------------------------------------------------
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        dim_pos = {n: i for i, n in enumerate(self.dim_names)}
+        for f in filters:
+            col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
+            if col == "array_id" and isinstance(f, EqualTo):
+                ids = {f.value}
+                self.array_ids = ids if self.array_ids is None else self.array_ids & ids
+            elif col == "array_id" and isinstance(f, In):
+                ids = set(f.value)
+                self.array_ids = ids if self.array_ids is None else self.array_ids & ids
+            elif col in dim_pos and isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual)
+            ):
+                d, b = dim_pos[col], self.bounds[dim_pos[col]]
+                v = int(f.value)
+                if isinstance(f, EqualTo):
+                    b[0], b[1] = max(b[0], v), min(b[1], v + 1)
+                elif isinstance(f, GreaterThan):
+                    b[0] = max(b[0], v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    b[0] = max(b[0], v)
+                elif isinstance(f, LessThan):
+                    b[1] = min(b[1], v)
+                else:  # LessThanOrEqual
+                    b[1] = min(b[1], v + 1)
+            else:
+                yield f  # value predicates etc. stay with Spark
+
+    # -- planning ---------------------------------------------------------
+
+    def _chunk_overlaps(self, chunk_idx: int) -> bool:
+        box = _chunk_box(chunk_idx, self.shape, self.chunk_shape)
+        return all(
+            lo < b_stop and b_start < hi
+            for (b_start, b_stop), (lo, hi) in zip(box, self.bounds)
+        )
+
+    def partitions(self) -> list[DekerChunkPartition]:
+        parts: list[DekerChunkPartition] = []
+        if not os.path.isdir(self.chunks_dir):
+            return [DekerChunkPartition("", -1, ())]  # empty store: 1 no-op task
+        for adir in sorted(os.listdir(self.chunks_dir)):
+            if not adir.startswith("array_id="):
+                continue
+            array_id = adir.split("=", 1)[1]
+            if self.array_ids is not None and array_id not in self.array_ids:
+                continue  # directory-level prune
+            for cdir in sorted(os.listdir(os.path.join(self.chunks_dir, adir))):
+                if not cdir.startswith("chunk_idx="):
+                    continue
+                chunk_idx = int(cdir.split("=", 1)[1])
+                if not self._chunk_overlaps(chunk_idx):
+                    continue  # grid-level prune
+                files = tuple(
+                    sorted(
+                        glob.glob(
+                            os.path.join(self.chunks_dir, adir, cdir, "*.parquet")
+                        )
+                    )
+                )
+                if files:
+                    parts.append(DekerChunkPartition(array_id, chunk_idx, files))
+        return parts or [DekerChunkPartition("", -1, ())]
+
+    # -- execution --------------------------------------------------------
+
+    def read(self, partition: DekerChunkPartition):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not partition.files:
+            return
+        ndim = len(self.shape)
+        want_dims = [n for n in self.dim_names if n in self.read_cols]
+        for path in partition.files:
+            table = pq.read_table(path, columns=["origin", "shape", "data"])
+            for origin_v, shape_v, data_v in zip(
+                table["origin"].to_pylist(),
+                table["shape"].to_pylist(),
+                table["data"].to_pylist(),
+            ):
+                shape = tuple(int(s) for s in shape_v)
+                origin = np.asarray(origin_v, dtype=np.int64)
+                values = np.asarray(data_v, dtype=np.float64)
+                # absolute index per dim for every cell, vectorized
+                idx = np.indices(shape).reshape(ndim, -1) + origin[:, None]
+                mask = np.ones(values.shape[0], dtype=bool)
+                for d, (lo, hi) in enumerate(self.bounds):
+                    if lo > 0 or hi < self.shape[d]:
+                        mask &= (idx[d] >= lo) & (idx[d] < hi)
+                if not mask.any():
+                    continue
+                idx, values = idx[:, mask], values[mask]
+                cols, names = [], []
+                for name in self.read_cols:
+                    if name == "array_id":
+                        cols.append(
+                            pa.array([partition.array_id] * values.shape[0], pa.string())
+                        )
+                    elif name in want_dims:
+                        cols.append(pa.array(idx[self.dim_names.index(name)], pa.int64()))
+                    else:  # value
+                        cols.append(pa.array(values, pa.float64()))
+                    names.append(name)
+                yield pa.RecordBatch.from_arrays(cols, names=names)

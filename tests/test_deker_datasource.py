@@ -1,0 +1,136 @@
+"""spark.read.format("deker"): the array warehouse as a Spark table
+with chunk-aligned partitions and planning-time pruning."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deker_server_adapters_spark.core import (
+    ArraySchema,
+    DimensionSchema,
+    Warehouse,
+)
+from deker_server_adapters_spark.sources.deker_datasource import (
+    DekerDataSource,
+    DekerReader,
+    register,
+)
+
+SCHEMA = ArraySchema(
+    dtype="float64",
+    dimensions=(DimensionSchema("x", 20), DimensionSchema("y", 12)),
+)
+
+
+@pytest.fixture()
+def filled(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    coll = wh.collections.create("weather", SCHEMA)
+    rng = np.random.default_rng(7)
+    arrays = {}
+    for _ in range(2):
+        data = rng.normal(size=(20, 12))
+        a = coll.arrays.create(data=data)
+        arrays[a.id] = data
+    register(spark)
+    return str(tmp_path / "wh"), arrays
+
+
+def _read(spark, root):
+    return (
+        spark.read.format("deker")
+        .option("path", root)
+        .option("collection", "weather")
+        .load()
+    )
+
+
+def test_reads_every_cell_of_every_array(spark, filled):
+    root, arrays = filled
+    df = _read(spark, root)
+    assert df.columns == ["array_id", "x", "y", "value"]
+    rows = df.collect()
+    assert len(rows) == 2 * 20 * 12
+    got = {}
+    for r in rows:
+        got.setdefault(r["array_id"], np.zeros((20, 12)))[r["x"], r["y"]] = r["value"]
+    for aid, data in arrays.items():
+        np.testing.assert_allclose(got[aid], data)
+
+
+def test_filters_prune_and_still_answer_correctly(spark, filled):
+    root, arrays = filled
+    aid, data = next(iter(arrays.items()))
+    df = (
+        _read(spark, root)
+        .filter(f"array_id = '{aid}'")
+        .filter("x >= 3 AND x < 7 AND y = 5")
+    )
+    rows = df.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["array_id"] == aid and 3 <= r["x"] < 7 and r["y"] == 5
+        assert r["value"] == pytest.approx(data[r["x"], r["y"]])
+
+
+def test_value_filters_are_left_to_spark(spark, filled):
+    root, arrays = filled
+    aid, data = next(iter(arrays.items()))
+    n = _read(spark, root).filter(f"array_id = '{aid}' AND value > 0").count()
+    assert n == int((data > 0).sum())
+
+
+def test_reader_prunes_partitions_at_planning(filled):
+    """Directory- and grid-level pruning happens in partitions(), not
+    as a post-scan filter: the reader plans strictly fewer tasks once
+    array_id / dim predicates are pushed."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    root, arrays = filled
+    aid = next(iter(arrays))
+    ds = DekerDataSource({"path": root, "collection": "weather"})
+    all_parts = DekerReader(root, "weather", ds.schema()).partitions()
+    assert {p.array_id for p in all_parts} == set(arrays)
+
+    pruned = DekerReader(root, "weather", ds.schema())
+    leftover = list(
+        pruned.pushFilters(
+            [
+                EqualTo(("array_id",), aid),
+                GreaterThanOrEqual(("x",), 0),
+                LessThan(("x",), 1),  # first slab only
+            ]
+        )
+    )
+    assert leftover == []  # everything consumed
+    parts = pruned.partitions()
+    assert {p.array_id for p in parts} == {aid}
+    assert len(parts) < sum(1 for p in all_parts if p.array_id == aid) or len(parts) == 1
+
+
+def test_empty_collection_reads_zero_rows(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    wh.collections.create("empty", SCHEMA)
+    register(spark)
+    df = (
+        spark.read.format("deker")
+        .option("path", str(tmp_path / "wh2"))
+        .option("collection", "empty")
+        .load()
+    )
+    assert df.count() == 0
+
+
+def test_joins_with_relational_tables(spark, filled):
+    """The point of the long format: array cells join/aggregate with
+    ordinary tables in one Catalyst plan."""
+    from pyspark.sql import functions as F
+
+    root, _ = filled
+    per_x = (
+        _read(spark, root)
+        .groupBy("x")
+        .agg(F.round(F.avg("value"), 6).alias("mean_value"))
+    )
+    assert per_x.count() == 20
