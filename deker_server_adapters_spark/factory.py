@@ -13,6 +13,13 @@ from deker_server_adapters_spark.core.collection import CollectionAdapter, Wareh
 from deker_server_adapters_spark.plans.cluster import ClusterConfig
 
 
+def get_api_version() -> str:
+    """API version parity (reference utils/version.py:1-3): collection
+    metadata written by this engine is compatible with the reference's
+    v1 resource layout."""
+    return "v1"
+
+
 class AdaptersFactory:
     """Produces the engine adapters for a storage root.
 

@@ -397,6 +397,92 @@ GROUP BY s.doc_id
 """
 
 
+_SEQ_LEN = 512
+_PACK_BUCKETS = 32
+
+
+def pack_sequences_df(docs: DataFrame, seq_len: int = _SEQ_LEN,
+                      buckets: int = _PACK_BUCKETS) -> DataFrame:
+    """Training-sequence packing: every doc's GLOBAL token offset in
+    doc_id order, and the fixed-length sequence ids its tokens land in
+    (concatenate-then-chunk pretraining layout).
+
+    A naive global cumsum is a window over ONE partition — the whole
+    corpus through a single task. This is the distributed prefix-sum
+    instead:
+
+    1. per-doc token counts (codegen);
+    2. docs hashed into ``buckets`` doc_id-range buckets; per-bucket
+       totals (tiny: one row per bucket) come to the driver;
+    3. exclusive prefix over bucket totals broadcasts back as the
+       bucket's base offset;
+    4. the cumsum window runs PER BUCKET (partitionBy bucket), so the
+       widest window partition is corpus/buckets — pick buckets ~
+       cluster parallelism at scale.
+
+    The DuckDB oracle computes the same offsets with one global window,
+    which is exactly the luxury a single-node engine has and Spark
+    must not emulate."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_tokens")
+    )
+    max_id = toks.agg(F.max("doc_id")).first()[0] or 0
+    span = (int(max_id) + buckets) // buckets  # ceil((max_id+1)/buckets)
+    toks = toks.withColumn("bucket", (F.col("doc_id") / span).cast("long"))
+    totals = dict(
+        toks.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )  # <= `buckets` rows: bounded driver traffic by construction
+    bases, acc = {}, 0
+    for b in range(buckets + 1):
+        bases[b] = acc
+        acc += int(totals.get(b, 0))
+    base_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in bases.items() for x in kv]),
+        F.col("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "token_offset", base_expr + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "token_offset",
+            F.expr(f"token_offset DIV {seq_len}").alias("first_seq"),
+            F.expr(
+                f"(token_offset + greatest(n_tokens, 1) - 1) DIV {seq_len}"
+            ).alias("last_seq"),
+        )
+    )
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences_df(load_table(spark, sf_dir, "documents"))
+
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens FROM documents
+), o AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, token_offset,
+       token_offset // {_SEQ_LEN} AS first_seq,
+       (token_offset + greatest(n_tokens, 1) - 1) // {_SEQ_LEN} AS last_seq
+FROM o
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
@@ -417,4 +503,5 @@ OPS = {
     "docs_benchmark_contamination": Op(
         "docs_benchmark_contamination", docs_benchmark_contamination, CONTAMINATION_SQL
     ),
+    "docs_pack_sequences": Op("docs_pack_sequences", docs_pack_sequences, PACK_SQL),
 }

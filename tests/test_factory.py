@@ -85,3 +85,9 @@ def test_migration_statuses():
     assert all(statuses[k] == FileStatus.UNMOVED for k in moving[1:])
     stay = [k for k in keys if k not in moving]
     assert all(statuses[k] == FileStatus.NORMAL for k in stay)
+
+
+def test_get_api_version():
+    from deker_server_adapters_spark.factory import get_api_version
+
+    assert get_api_version() == "v1"

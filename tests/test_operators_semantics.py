@@ -405,3 +405,26 @@ def test_retention_planted(spark):
         (r["cohort_day"].day, r["day_n"]): r["n_users"] for r in retention_df(ev).collect()
     }
     assert got == {(1, 0): 2, (1, 1): 1, (1, 3): 1, (2, 0): 1, (2, 1): 1}
+
+
+def test_pack_sequences_prefix_sum_across_buckets(spark):
+    """Global token offsets must be contiguous across BUCKET boundaries
+    (the whole point of the distributed prefix-sum): offset[i] =
+    offset[i-1] + n_tokens[i-1] in doc_id order, for a bucket count
+    that forces several bucket handoffs."""
+    from deker_server_adapters_spark.operators.text import pack_sequences_df
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        pack_sequences_df(docs, seq_len=10, buckets=4).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    off = 0
+    for r in rows:
+        assert r["token_offset"] == off, r
+        assert r["first_seq"] == off // 10
+        assert r["last_seq"] == (off + r["n_tokens"] - 1) // 10
+        off += r["n_tokens"]
