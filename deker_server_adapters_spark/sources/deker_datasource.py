@@ -40,6 +40,7 @@ from typing import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -113,6 +114,55 @@ class DekerChunkPartition(InputPartition):
     files: tuple[str, ...]
 
 
+def _chunk_cell_batches(
+    partition: DekerChunkPartition,
+    shape: Sequence[int],
+    dim_names: Sequence[str],
+    bounds: Sequence[Sequence[int]],
+    read_cols: Sequence[str],
+):
+    """Expand one chunk partition's parquet rows into Arrow cell
+    batches — shared by the batch and stream readers."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not partition.files:
+        return
+    ndim = len(shape)
+    for path in partition.files:
+        table = pq.read_table(path, columns=["origin", "shape", "data"])
+        for origin_v, shape_v, data_v in zip(
+            table["origin"].to_pylist(),
+            table["shape"].to_pylist(),
+            table["data"].to_pylist(),
+        ):
+            cshape = tuple(int(s) for s in shape_v)
+            origin = np.asarray(origin_v, dtype=np.int64)
+            values = np.asarray(data_v, dtype=np.float64)
+            # absolute index per dim for every cell, vectorized
+            idx = np.indices(cshape).reshape(ndim, -1) + origin[:, None]
+            mask = np.ones(values.shape[0], dtype=bool)
+            for d, (lo, hi) in enumerate(bounds):
+                if lo > 0 or hi < shape[d]:
+                    mask &= (idx[d] >= lo) & (idx[d] < hi)
+            if not mask.any():
+                continue
+            idx, values = idx[:, mask], values[mask]
+            cols, names = [], []
+            for name in read_cols:
+                if name == "array_id":
+                    cols.append(
+                        pa.array([partition.array_id] * values.shape[0], pa.string())
+                    )
+                elif name in dim_names:
+                    cols.append(pa.array(idx[list(dim_names).index(name)], pa.int64()))
+                else:  # value
+                    cols.append(pa.array(values, pa.float64()))
+                names.append(name)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
 class DekerDataSource(DataSource):
     """Usage::
 
@@ -150,6 +200,10 @@ class DekerDataSource(DataSource):
     def reader(self, schema: StructType) -> "DekerReader":
         root, coll = self._root_and_collection()
         return DekerReader(root, coll, schema)
+
+    def streamReader(self, schema: StructType) -> "DekerStreamReader":
+        root, coll = self._root_and_collection()
+        return DekerStreamReader(root, coll, schema)
 
 
 class DekerReader(DataSourceReader):
@@ -232,42 +286,60 @@ class DekerReader(DataSourceReader):
     # -- execution --------------------------------------------------------
 
     def read(self, partition: DekerChunkPartition):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        yield from _chunk_cell_batches(
+            partition, self.shape, self.dim_names, self.bounds, self.read_cols
+        )
 
-        if not partition.files:
-            return
-        ndim = len(self.shape)
-        want_dims = [n for n in self.dim_names if n in self.read_cols]
-        for path in partition.files:
-            table = pq.read_table(path, columns=["origin", "shape", "data"])
-            for origin_v, shape_v, data_v in zip(
-                table["origin"].to_pylist(),
-                table["shape"].to_pylist(),
-                table["data"].to_pylist(),
-            ):
-                shape = tuple(int(s) for s in shape_v)
-                origin = np.asarray(origin_v, dtype=np.int64)
-                values = np.asarray(data_v, dtype=np.float64)
-                # absolute index per dim for every cell, vectorized
-                idx = np.indices(shape).reshape(ndim, -1) + origin[:, None]
-                mask = np.ones(values.shape[0], dtype=bool)
-                for d, (lo, hi) in enumerate(self.bounds):
-                    if lo > 0 or hi < self.shape[d]:
-                        mask &= (idx[d] >= lo) & (idx[d] < hi)
-                if not mask.any():
-                    continue
-                idx, values = idx[:, mask], values[mask]
-                cols, names = [], []
-                for name in self.read_cols:
-                    if name == "array_id":
-                        cols.append(
-                            pa.array([partition.array_id] * values.shape[0], pa.string())
-                        )
-                    elif name in want_dims:
-                        cols.append(pa.array(idx[self.dim_names.index(name)], pa.int64()))
-                    else:  # value
-                        cols.append(pa.array(values, pa.float64()))
-                    names.append(name)
-                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+class DekerStreamReader(DataSourceStreamReader):
+    """Chunk CHANGEFEED: each micro-batch emits the cells of chunk
+    files that appeared since the last offset — a freshly created array
+    streams once; a copy-on-write subset update streams the rewritten
+    chunks again (downstream recompute semantics, like a CDC feed of
+    chunk versions).
+
+    Offsets are the seen-file set (parquet part files are immutable;
+    COW rewrites create NEW files). That grows with the store — at
+    100 TB you'd swap the directory walk for a manifest/commit log; the
+    offset contract here is the same either way."""
+
+    def __init__(self, root: str, collection: str, schema: StructType):
+        meta = _load_collection_meta(root, collection)
+        self.chunks_dir = os.path.join(root, "collections", collection, "chunks")
+        self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
+        self.shape, self.chunk_shape = _grid_geometry(meta)
+        self.read_cols = [f.name for f in schema.fields]
+        self.bounds = [[0, s] for s in self.shape]  # streams: no pushdown
+
+    def _current_files(self) -> dict[str, bool]:
+        pattern = os.path.join(
+            self.chunks_dir, "array_id=*", "chunk_idx=*", "*.parquet"
+        )
+        return {p: True for p in sorted(glob.glob(pattern))}
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def latestOffset(self) -> dict:
+        return {"files": self._current_files()}
+
+    def partitions(self, start: dict, end: dict) -> list[DekerChunkPartition]:
+        seen = start.get("files", {})
+        fresh = [p for p in end.get("files", {}) if p not in seen]
+        by_chunk: dict[tuple[str, int], list[str]] = {}
+        for path in fresh:
+            adir, cdir = path.split(os.sep)[-3:-1]
+            key = (adir.split("=", 1)[1], int(cdir.split("=", 1)[1]))
+            by_chunk.setdefault(key, []).append(path)
+        return [
+            DekerChunkPartition(aid, cidx, tuple(sorted(files)))
+            for (aid, cidx), files in sorted(by_chunk.items())
+        ]
+
+    def read(self, partition: DekerChunkPartition):
+        yield from _chunk_cell_batches(
+            partition, self.shape, self.dim_names, self.bounds, self.read_cols
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derived from immutable files; nothing to ack
