@@ -56,6 +56,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 
@@ -114,12 +115,32 @@ class DekerChunkPartition(InputPartition):
     files: tuple[str, ...]
 
 
+def _dim_meta(meta: dict) -> dict[str, dict]:
+    """Per-dim label / time decoration for ``labels=true`` reads."""
+    from datetime import datetime, timezone
+
+    out: dict[str, dict] = {}
+    for d in meta["schema"]["dimensions"]:
+        m: dict = {}
+        if "labels" in d:
+            m["labels"] = list(d["labels"])
+        if d.get("start_iso"):
+            start = datetime.fromisoformat(d["start_iso"])
+            if start.tzinfo is None:
+                start = start.replace(tzinfo=timezone.utc)
+            m["start_us"] = int(start.timestamp() * 1_000_000)
+            m["step_us"] = int(d["step_seconds"] * 1_000_000)
+        out[d["name"]] = m
+    return out
+
+
 def _chunk_cell_batches(
     partition: DekerChunkPartition,
     shape: Sequence[int],
     dim_names: Sequence[str],
     bounds: Sequence[Sequence[int]],
     read_cols: Sequence[str],
+    dim_meta: dict[str, dict] | None = None,
 ):
     """Expand one chunk partition's parquet rows into Arrow cell
     batches — shared by the batch and stream readers."""
@@ -130,6 +151,8 @@ def _chunk_cell_batches(
     if not partition.files:
         return
     ndim = len(shape)
+    dim_meta = dim_meta or {}
+    dim_pos = {n: i for i, n in enumerate(dim_names)}
     for path in partition.files:
         table = pq.read_table(path, columns=["origin", "shape", "data"])
         for origin_v, shape_v, data_v in zip(
@@ -155,8 +178,17 @@ def _chunk_cell_batches(
                     cols.append(
                         pa.array([partition.array_id] * values.shape[0], pa.string())
                     )
-                elif name in dim_names:
-                    cols.append(pa.array(idx[list(dim_names).index(name)], pa.int64()))
+                elif name in dim_pos:
+                    cols.append(pa.array(idx[dim_pos[name]], pa.int64()))
+                elif name.endswith("_label") and name[:-6] in dim_pos:
+                    lab = np.asarray(dim_meta[name[:-6]]["labels"], dtype=object)
+                    cols.append(pa.array(lab[idx[dim_pos[name[:-6]]]], pa.string()))
+                elif name.endswith("_ts") and name[:-3] in dim_pos:
+                    m = dim_meta[name[:-3]]
+                    micros = m["start_us"] + idx[dim_pos[name[:-3]]] * m["step_us"]
+                    cols.append(
+                        pa.array(micros, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+                    )
                 else:  # value
                     cols.append(pa.array(values, pa.float64()))
                 names.append(name)
@@ -189,11 +221,14 @@ class DekerDataSource(DataSource):
     def schema(self) -> StructType:
         root, coll = self._root_and_collection()
         meta = _load_collection_meta(root, coll)
+        with_labels = str(self.options.get("labels", "false")).lower() == "true"
         fields = [StructField("array_id", StringType(), False)]
-        fields += [
-            StructField(d["name"], LongType(), False)
-            for d in meta["schema"]["dimensions"]
-        ]
+        for d in meta["schema"]["dimensions"]:
+            fields.append(StructField(d["name"], LongType(), False))
+            if with_labels and "labels" in d:
+                fields.append(StructField(f"{d['name']}_label", StringType(), False))
+            if with_labels and d.get("start_iso"):
+                fields.append(StructField(f"{d['name']}_ts", TimestampType(), False))
         fields.append(StructField("value", DoubleType(), True))
         return StructType(fields)
 
@@ -211,6 +246,7 @@ class DekerReader(DataSourceReader):
         meta = _load_collection_meta(root, collection)
         self.chunks_dir = os.path.join(root, "collections", collection, "chunks")
         self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
+        self.dim_meta = _dim_meta(meta)
         self.shape, self.chunk_shape = _grid_geometry(meta)
         self.read_cols = [f.name for f in schema.fields]  # column pruning
         self.array_ids: set[str] | None = None  # None = all arrays
@@ -287,7 +323,8 @@ class DekerReader(DataSourceReader):
 
     def read(self, partition: DekerChunkPartition):
         yield from _chunk_cell_batches(
-            partition, self.shape, self.dim_names, self.bounds, self.read_cols
+            partition, self.shape, self.dim_names, self.bounds, self.read_cols,
+            self.dim_meta,
         )
 
 
@@ -307,6 +344,7 @@ class DekerStreamReader(DataSourceStreamReader):
         meta = _load_collection_meta(root, collection)
         self.chunks_dir = os.path.join(root, "collections", collection, "chunks")
         self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
+        self.dim_meta = _dim_meta(meta)
         self.shape, self.chunk_shape = _grid_geometry(meta)
         self.read_cols = [f.name for f in schema.fields]
         self.bounds = [[0, s] for s in self.shape]  # streams: no pushdown
@@ -338,7 +376,8 @@ class DekerStreamReader(DataSourceStreamReader):
 
     def read(self, partition: DekerChunkPartition):
         yield from _chunk_cell_batches(
-            partition, self.shape, self.dim_names, self.bounds, self.read_cols
+            partition, self.shape, self.dim_names, self.bounds, self.read_cols,
+            self.dim_meta,
         )
 
     def commit(self, end: dict) -> None:

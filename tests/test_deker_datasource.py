@@ -176,3 +176,40 @@ def test_stream_reader_chunk_changefeed(spark, tmp_path):
     for y in range(12):
         assert latest[(arr.id, 0, y)] == -1.0
         assert latest[(arr.id, 19, y)] == data[19, y]
+
+
+def test_labeled_and_time_dims_decorated(spark, tmp_path):
+    """option('labels','true'): labeled dims gain a <dim>_label string
+    column, time dims a <dim>_ts timestamp column — Deker's dimension
+    model surfaced as real queryable columns."""
+    from deker_server_adapters_spark.core import ArraySchema, DimensionSchema
+
+    schema = ArraySchema(
+        dtype="float64",
+        dimensions=(
+            DimensionSchema("t", 4, start_iso="2024-01-01T00:00:00", step_seconds=3600),
+            DimensionSchema("layer", 3, labels=("surface", "mid", "high")),
+        ),
+    )
+    wh = Warehouse(spark, str(tmp_path / "whl"))
+    coll = wh.collections.create("weather", schema)
+    data = np.arange(12, dtype=np.float64).reshape(4, 3)
+    coll.arrays.create(data=data)
+    register(spark)
+    df = (
+        spark.read.format("deker")
+        .option("path", str(tmp_path / "whl"))
+        .option("collection", "weather")
+        .option("labels", "true")
+        .load()
+    )
+    assert df.columns == ["array_id", "t", "t_ts", "layer", "layer_label", "value"]
+    rows = {(r["t"], r["layer"]): r for r in df.collect()}
+    assert len(rows) == 12
+    r = rows[(2, 1)]
+    assert r["layer_label"] == "mid"
+    assert r["t_ts"].isoformat().startswith("2024-01-01T02:00:00")
+    assert r["value"] == data[2, 1]
+    # label columns are queryable like any other column
+    n = df.filter("layer_label = 'surface' AND t_ts >= '2024-01-01 01:00:00'").count()
+    assert n == 3
