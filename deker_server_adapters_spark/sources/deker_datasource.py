@@ -18,6 +18,11 @@ parquet scan inside ``ChunkStore``) and filter pushdown at two levels:
 
 ``value`` predicates (and anything else) are left for Spark.
 
+Partition planning walks the chunk directory tree on the driver —
+O(surviving chunks) after pruning, the same cost class as Spark's own
+file-source listing. A 100 TB deployment swaps the walk for a
+manifest/metastore lookup; the partition contract stays identical.
+
 Reference parity: this is the "DataFrame I/O for multidimensional
 arrays via a custom data source" surface — the reference adapter's
 read path (base.py:111-205) exposed through Spark's own reader API
@@ -288,7 +293,7 @@ class DekerReader(DataSourceReader):
     def _chunk_overlaps(self, chunk_idx: int) -> bool:
         box = _chunk_box(chunk_idx, self.shape, self.chunk_shape)
         return all(
-            lo < b_stop and b_start < hi
+            lo < hi and lo < b_stop and b_start < hi  # empty range -> no chunk
             for (b_start, b_stop), (lo, hi) in zip(box, self.bounds)
         )
 

@@ -107,3 +107,51 @@ def test_read_slice_matches_numpy(spark, tmp_path_factory, case, rnd):
     got = store.read_slice("a1", grid, norm, np.dtype("float64"))
     want = ref[bounds]
     np.testing.assert_allclose(got, want)
+
+
+def _engine_producible(shape, splits) -> bool:
+    """The engine only creates grids whose splits survive the
+    splits -> chunk_shape -> splits roundtrip (vgrid divides evenly;
+    default_chunk_grid derives splits as ceil(size/rows)). A redundant
+    split count (e.g. 3 splits of size-2 chunks over 4 cells) would
+    mint trailing empty chunks and is unreachable."""
+    return all(
+        g == math.ceil(s / math.ceil(s / g)) for s, g in zip(shape, splits)
+    )
+
+
+@given(shape_and_grid())
+@settings(max_examples=200, deadline=None)
+def test_datasource_chunk_box_matches_chunkgrid(case):
+    """The data source re-derives chunk geometry without the engine's
+    Spark-bound classes; its box math must agree with ChunkGrid for
+    every chunk of any engine-producible shape/grid."""
+    from hypothesis import assume
+
+    from deker_server_adapters_spark.sources.deker_datasource import _chunk_box
+
+    shape, splits = case
+    assume(_engine_producible(shape, splits))
+    grid = ChunkGrid(shape, splits)
+    for idx in range(grid.n_chunks):
+        assert _chunk_box(idx, shape, grid.chunk_shape) == grid.chunk_box(idx)
+
+
+@given(shape_grid_bounds())
+@settings(max_examples=200, deadline=None)
+def test_datasource_pruning_matches_overlapping_chunks(case):
+    """Planning-time chunk pruning in the reader must keep exactly the
+    chunks ChunkGrid.overlapping_chunks keeps for the same bounds."""
+    from deker_server_adapters_spark.sources.deker_datasource import DekerReader
+
+    from hypothesis import assume
+
+    shape, splits, bounds = case
+    assume(_engine_producible(shape, splits))
+    grid = ChunkGrid(shape, splits)
+    norm = normalize_bounds(bounds, shape)
+    reader = DekerReader.__new__(DekerReader)  # pure geometry, no meta IO
+    reader.shape, reader.chunk_shape = shape, grid.chunk_shape
+    reader.bounds = [[start, stop] for start, stop, _ in norm]
+    got = {i for i in range(grid.n_chunks) if reader._chunk_overlaps(i)}
+    assert got == set(grid.overlapping_chunks(norm))
