@@ -343,40 +343,48 @@ def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_df(ev: DataFrame) -> DataFrame:
     """Ordered funnel click -> view -> purchase: a user advances a
     stage only with a LATER event of the next type (strict event-time
-    order, not mere co-occurrence). Three per-user min-aggregates
-    chained by equi-joins on user_id — each join input is one row per
-    user, partial aggs combine map-side, nothing is collected or
-    windowed over whole-user event lists (which would skew-OOM on hot
-    users at scale)."""
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
+    order, not mere co-occurrence).
 
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count("*").alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
+    Single-shuffle shape: ONE scan of events, ONE hash-partition by
+    user_id, three stacked window-mins over that same partitioning
+    (each stage's threshold references the previous stage's column, so
+    no joins and no re-scan per stage — the naive form re-filters the
+    base table once per stage and equi-joins the chain). A missing
+    earlier stage makes the threshold NULL, which nulls the comparison
+    and so the later stage — inner-join semantics for free. No
+    event-list collection: windows carry one timestamp per row."""
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).over(w),
         )
-
-    return (
-        stage(c, "click")
-        .unionByName(stage(v, "click>view"))
-        .unionByName(stage(p, "click>view>purchase"))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "t1", "t2", "t3").distinct()
+    counts = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    return counts.selectExpr(
+        "stack(3, 'click', n1, 'click>view', n2, 'click>view>purchase', n3) "
+        "AS (stage, n_users)"
     )
 
 
