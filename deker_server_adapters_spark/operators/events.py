@@ -408,12 +408,15 @@ UNION ALL SELECT 'click>view>purchase', count(*) FROM p
 def retention_df(ev: DataFrame) -> DataFrame:
     """Day-N retention cohorts: cohort = a user's first active day;
     for N in 0..7 count users active again N days later. Activity is
-    deduped to (user, day) FIRST, so the cohort join fans out over
-    active-days (bounded at 8/user here), never raw events."""
+    deduped to (user, day) FIRST so later stages fan out over
+    active-days, never raw events; the cohort day is a window-min over
+    the same rows — no self-join, no second scan of the events table
+    (a join of act against groupBy(act) plans the distinct twice:
+    DataFrames get no cross-branch subplan reuse)."""
     act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
-    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    w = Window.partitionBy("user_id")
     return (
-        act.join(first, "user_id")
+        act.withColumn("cohort_day", F.min("day").over(w))
         .withColumn("day_n", F.datediff("day", "cohort_day").cast("long"))
         .filter(F.col("day_n") <= 7)
         .groupBy("cohort_day", "day_n")

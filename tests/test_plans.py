@@ -178,3 +178,11 @@ def test_new_text_ops_are_pure_codegen(spark, sf_dir):
     for name in ("text_repetition_score", "text_pii_scan"):
         plan = physical_plan(_plan(spark, sf_dir, name))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_retention_no_join_single_scan(spark, sf_dir):
+    """Retention: distinct user-days + window cohort min + final agg —
+    3 shuffles, no self-join, single events scan."""
+    df = _plan(spark, sf_dir, "events_retention_cohorts")
+    assert count_shuffles(df) <= 3
+    assert "Join" not in physical_plan(df)
