@@ -186,3 +186,14 @@ def test_retention_no_join_single_scan(spark, sf_dir):
     df = _plan(spark, sf_dir, "events_retention_cohorts")
     assert count_shuffles(df) <= 3
     assert "Join" not in physical_plan(df)
+
+
+def test_pack_sequences_window_is_bucketed_not_global(spark, sf_dir):
+    """The cumsum window must partition on the range bucket — a global
+    ORDER BY window (SinglePartition) would pull the whole corpus
+    through one task, which is the exact shape the distributed
+    prefix-sum exists to avoid."""
+    plan = physical_plan(_plan(spark, sf_dir, "docs_pack_sequences"))
+    window_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert window_lines, plan
+    assert "hashpartitioning(bucket" in plan
