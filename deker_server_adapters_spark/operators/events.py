@@ -440,6 +440,57 @@ GROUP BY first.cohort_day, day_n
 """
 
 
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3). The per-type moments come
+    from DECIMAL sums (sum, sum of squares) so both engines compute
+    bit-identical means/variances — stddev_samp implementations differ
+    (Welford vs sum-of-squares) and would jitter the last float bits
+    across engines, flipping rounded z at boundaries. The stats table
+    is 5 rows, broadcast back onto the stream: a window over
+    partitionBy(event_type) would squeeze 100 TB through 5 tasks."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("s1"),
+        F.sum((F.col("value").cast("decimal(30,6)") * F.col("value").cast("decimal(30,6)"))).alias("s2"),
+    ).select(
+        "event_type",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 2))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+ANOMALY_SQL = f"""
+WITH ev AS (SELECT * FROM {EVENTS_DUCK}),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(30,6))) AS s1,
+         sum(CAST(value AS DECIMAL(30,6)) * CAST(value AS DECIMAL(30,6))) AS s2
+  FROM ev GROUP BY event_type
+), m AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std
+  FROM stats
+)
+SELECT ev.event_id, ev.event_type, ev.value,
+       round((ev.value - m.mean) / m.std, 2) AS z
+FROM ev JOIN m ON ev.event_type = m.event_type
+WHERE abs(round((ev.value - m.mean) / m.std, 2)) > 3
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
@@ -465,5 +516,8 @@ OPS = {
     "events_funnel": Op("events_funnel", events_funnel, FUNNEL_SQL),
     "events_retention_cohorts": Op(
         "events_retention_cohorts", events_retention_cohorts, RETENTION_SQL
+    ),
+    "events_anomaly_zscore": Op(
+        "events_anomaly_zscore", events_anomaly_zscore, ANOMALY_SQL
     ),
 }

@@ -483,6 +483,50 @@ FROM o
 """
 
 
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Scale shape: tf is one
+    shuffle on (doc_id, tok) with map-side combine; document
+    frequencies are a vocabulary-sized table BROADCAST back onto the
+    tf stream (the corpus-sized side never reshuffles for the join);
+    ranking windows on doc_id. Ranking orders by the ROUNDED score
+    with the token as tiebreak so both engines rank identically."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.tok, round(tf.tf * ln(n.n / dfreq.df), 4) AS tfidf
+  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn FROM s)
+WHERE rn <= 3
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
@@ -504,4 +548,5 @@ OPS = {
         "docs_benchmark_contamination", docs_benchmark_contamination, CONTAMINATION_SQL
     ),
     "docs_pack_sequences": Op("docs_pack_sequences", docs_pack_sequences, PACK_SQL),
+    "docs_tfidf_topk": Op("docs_tfidf_topk", docs_tfidf_topk, TFIDF_SQL),
 }
