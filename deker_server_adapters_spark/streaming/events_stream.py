@@ -218,3 +218,20 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def streaming_anomaly_zscore(events: DataFrame, stats: DataFrame) -> DataFrame:
+    """STREAM-STATIC join: score a live event stream against
+    batch-computed per-type moments (the deploy pattern for the batch
+    ``events_anomaly_zscore`` — stats refresh on a batch cadence, the
+    stream only broadcasts-joins and filters, no streaming state at
+    all). ``stats`` must carry (event_type, mean, std)."""
+    from pyspark.sql import functions as F
+
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 2))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
