@@ -99,3 +99,66 @@ def test_approx_distinct_within_bound(spark, sf_dir):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05, (t, n, approx[t])
+
+
+def test_zorder_layout_tightens_both_dims(spark, sf_dir):
+    """Z-order over (user_id, value) must shrink per-partition spans of
+    BOTH columns vs a single-column range layout (which leaves the
+    other column's span at ~full range) — that span is exactly the
+    per-file min/max a parquet scan prunes on."""
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.plans.layout import zorder_layout
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    n_parts = 16
+
+    def mean_spans(df):
+        spans = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("u_span"),
+                (F.max("value") - F.min("value")).alias("v_span"),
+            )
+            .agg(F.avg("u_span").alias("u"), F.avg("v_span").alias("v"))
+            .first()
+        )
+        return float(spans["u"]), float(spans["v"])
+
+    single = ev.repartitionByRange(n_parts, "user_id")
+    zed = zorder_layout(ev, ["user_id", "value"], n_parts)
+    u_single, v_single = mean_spans(single)
+    u_z, v_z = mean_spans(zed)
+    # single-column layout: near-zero user span, near-full value span
+    assert v_z < v_single / 2, (v_z, v_single)
+    # z-order trades a little user locality for value locality but must
+    # still beat the full user range by a wide margin
+    full_u = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    assert u_z < full_u / 2, (u_z, full_u)
+
+
+def test_zvalue_orders_like_morton():
+    """The interleaved code must order pure powers correctly: points
+    close in both dims get close z-values; the code for (1,0) and
+    (0,1) differ only in adjacent bits."""
+    from deker_server_adapters_spark.plans.layout import zvalue
+    from deker_server_adapters_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 2)], "a long, b long"
+    )
+    out = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zvalue([F.col("a"), F.col("b")]).alias("z")
+        ).collect()
+    }
+    assert out[(0, 0)] == 0
+    assert out[(1, 0)] == 1  # a is bit 0
+    assert out[(0, 1)] == 2  # b is bit 1
+    assert out[(1, 1)] == 3
+    assert out[(2, 2)] == 12  # next bit pair
