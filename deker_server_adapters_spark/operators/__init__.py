@@ -54,7 +54,7 @@ def _last_green_round(repo_root: Path) -> dict[str, int]:
             if not isinstance(row, dict):
                 continue
             ok = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) >= 0
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
             )
             if ok:
                 green[name] = max(green.get(name, 0), rnd)

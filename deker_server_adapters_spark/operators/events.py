@@ -440,29 +440,49 @@ GROUP BY first.cohort_day, day_n
 """
 
 
-def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type z-score outliers (|z| > 3). The per-type moments come
-    from DECIMAL sums (sum, sum of squares) so both engines compute
-    bit-identical means/variances — stddev_samp implementations differ
-    (Welford vs sum-of-squares) and would jitter the last float bits
-    across engines, flipping rounded z at boundaries. The stats table
-    is 5 rows, broadcast back onto the stream: a window over
-    partitionBy(event_type) would squeeze 100 TB through 5 tasks."""
-    ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(30,6)")).alias("s1"),
-        F.sum((F.col("value").cast("decimal(30,6)") * F.col("value").cast("decimal(30,6)"))).alias("s2"),
-    ).select(
-        "event_type",
-        "n",
-        (F.col("s1").cast("double") / F.col("n")).alias("mean"),
-        F.sqrt(
-            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"))
-            / (F.col("n") - 1)
-        ).alias("std"),
+def anomaly_stats_df(ev: DataFrame) -> DataFrame:
+    """Per-type (mean, std) from DECIMAL sums (sum, sum of squares) so
+    both engines compute bit-identical moments — stddev_samp
+    implementations differ (Welford vs sum-of-squares) and would
+    jitter the last float bits across engines, flipping rounded z at
+    boundaries. Degenerate groups are NULLed, not divided: n=1 has no
+    sample variance (nullif(n-1)) and float rounding can push the
+    zero-variance numerator epsilon-negative (greatest 0) — under
+    Spark's default ANSI mode a bare division would abort the query
+    with DIVIDE_BY_ZERO where DuckDB yields NULL."""
+    dec = F.col("value").cast("decimal(30,6)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("s1"),
+            F.sum(dec * dec).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n",
+            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
+            F.sqrt(
+                F.greatest(
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n"),
+                    F.lit(0.0),
+                )
+                / F.nullif(F.col("n") - 1, F.lit(0))
+            ).alias("std"),
+        )
     )
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3). The stats table is 5 rows,
+    broadcast back onto the stream: a window over
+    partitionBy(event_type) would squeeze 100 TB through 5 tasks.
+    std=0 or n=1 groups yield NULL z (nullif) and are filtered —
+    matching the oracle, where double/0 is NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = anomaly_stats_df(ev)
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("z", F.round(z, 2))
@@ -481,13 +501,14 @@ stats AS (
 ), m AS (
   SELECT event_type,
          CAST(s1 AS DOUBLE) / n AS mean,
-         sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std
+         sqrt(greatest(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n, 0.0)
+              / nullif(n - 1, 0)) AS std
   FROM stats
 )
 SELECT ev.event_id, ev.event_type, ev.value,
-       round((ev.value - m.mean) / m.std, 2) AS z
+       round((ev.value - m.mean) / nullif(m.std, 0.0), 2) AS z
 FROM ev JOIN m ON ev.event_type = m.event_type
-WHERE abs(round((ev.value - m.mean) / m.std, 2)) > 3
+WHERE abs(round((ev.value - m.mean) / nullif(m.std, 0.0), 2)) > 3
 """
 
 

@@ -437,7 +437,9 @@ def pack_sequences_df(docs: DataFrame, seq_len: int = _SEQ_LEN,
     bases, acc = {}, 0
     for b in range(buckets + 1):
         bases[b] = acc
-        acc += int(totals.get(b, 0))
+        # a bucket of all-NULL-text docs sums to NULL, not 0: the key
+        # exists, so .get(b, 0) would still hand int() a None
+        acc += int(totals.get(b) or 0)
     base_expr = F.element_at(
         F.create_map(*[F.lit(x) for kv in bases.items() for x in kv]),
         F.col("bucket"),
@@ -489,7 +491,11 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequencies are a vocabulary-sized table BROADCAST back onto the
     tf stream (the corpus-sized side never reshuffles for the join);
     ranking windows on doc_id. Ranking orders by the ROUNDED score
-    with the token as tiebreak so both engines rank identically."""
+    with the token as tiebreak so both engines rank identically.
+    Cross-engine caveat: ln() is a single per-row transcendental (not
+    an accumulation, so the dsum rule doesn't apply) — JVM and libm
+    may differ by 1 ulp, which only matters if tf*ln(N/df) lands
+    within half an ulp of a 1e-4 rounding boundary (~1e-12/row)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")

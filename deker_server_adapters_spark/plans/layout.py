@@ -22,10 +22,11 @@ from pyspark.sql import functions as F
 _BITS = 16  # per-column resolution; 2 cols * 16 bits = 32-bit z-value
 
 
-def _rank16(col: Column, lo: float, hi: float) -> Column:
+def _rank16(col: Column, lo: float | None, hi: float | None) -> Column:
     """Normalize a numeric column to a 16-bit integer rank via the
-    broadcast [lo, hi] range (degenerate range -> rank 0)."""
-    if hi <= lo:
+    broadcast [lo, hi] range (degenerate or unknown range — empty
+    input, all-NULL column — -> rank 0)."""
+    if lo is None or hi is None or hi <= lo:
         return F.lit(0)
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(float(hi - lo))
     clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))

@@ -84,17 +84,18 @@ def _load_collection_meta(root: str, collection: str) -> dict:
 
 
 def _grid_geometry(meta: dict) -> tuple[tuple[int, ...], tuple[int, ...]]:
-    """(shape, chunk_shape) from collection.json — mirrors
-    core/array.py:_grid + core/storage.py:default_chunk_grid without
-    importing Spark-session-bound classes (the reader must pickle)."""
+    """(shape, chunk_shape) from collection.json — the SAME
+    default_chunk_grid the engine writes with (imported, not copied:
+    any drift would silently prune chunks that do overlap). Runs on
+    the driver; only the resulting tuples are pickled to tasks."""
+    from deker_server_adapters_spark.core.storage import default_chunk_grid
+
     dims = meta["schema"]["dimensions"]
     shape = tuple(int(d["size"]) for d in dims)
     if meta.get("type") == "varray":
         splits = tuple(int(g) for g in meta["schema"]["vgrid"])
     else:
-        inner = math.prod(shape[1:]) if len(shape) > 1 else 1
-        rows = max(1, min(shape[0], (1 << 20) // max(inner, 1) or 1))
-        splits = (math.ceil(shape[0] / rows),) + (1,) * (len(shape) - 1)
+        splits = default_chunk_grid(shape)
     chunk_shape = tuple(math.ceil(s / g) for s, g in zip(shape, splits))
     return shape, chunk_shape
 
@@ -374,10 +375,15 @@ class DekerStreamReader(DataSourceStreamReader):
             adir, cdir = path.split(os.sep)[-3:-1]
             key = (adir.split("=", 1)[1], int(cdir.split("=", 1)[1]))
             by_chunk.setdefault(key, []).append(path)
-        return [
+        parts = [
             DekerChunkPartition(aid, cidx, tuple(sorted(files)))
             for (aid, cidx), files in sorted(by_chunk.items())
         ]
+        # a deletion-only offset change (delete_array between triggers)
+        # plans a batch with no fresh files: ship one no-op partition
+        # rather than zero, mirroring the batch reader's empty-store
+        # guard
+        return parts or [DekerChunkPartition("", -1, ())]
 
     def read(self, partition: DekerChunkPartition):
         yield from _chunk_cell_batches(

@@ -69,11 +69,16 @@ def stream_events_source(
 
     batch = load_table(spark, sf_dir, "events")  # pins UTC + normalizes ts
     stream_dir = tempfile.mkdtemp(prefix="deker_events_stream_")
-    # range-partition by ts so lexicographic part order == time order
-    batch.repartitionByRange(n_files or 1, "ts").write.mode("overwrite").parquet(stream_dir)
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if n_files:
+        # range-partition by ts so lexicographic part order == time
+        # order across the per-trigger files
+        batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(stream_dir)
         reader = reader.option("maxFilesPerTrigger", 1)
+    else:
+        # single micro-batch: file order is irrelevant, skip the
+        # global range sort a 1-partition repartitionByRange would be
+        batch.write.mode("overwrite").parquet(stream_dir)
     return reader.parquet(stream_dir)
 
 
@@ -225,10 +230,12 @@ def streaming_anomaly_zscore(events: DataFrame, stats: DataFrame) -> DataFrame:
     batch-computed per-type moments (the deploy pattern for the batch
     ``events_anomaly_zscore`` — stats refresh on a batch cadence, the
     stream only broadcasts-joins and filters, no streaming state at
-    all). ``stats`` must carry (event_type, mean, std)."""
+    all). ``stats`` must carry (event_type, mean, std), e.g. from
+    ``operators.events.anomaly_stats_df``; std=0 rows yield NULL z and
+    are filtered, same as the batch op."""
     from pyspark.sql import functions as F
 
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
     return (
         events.join(F.broadcast(stats), "event_type")
         .withColumn("z", F.round(z, 2))

@@ -428,3 +428,43 @@ def test_pack_sequences_prefix_sum_across_buckets(spark):
         assert r["first_seq"] == off // 10
         assert r["last_seq"] == (off + r["n_tokens"] - 1) // 10
         off += r["n_tokens"]
+
+
+def test_anomaly_stats_degenerate_groups_null_not_crash(spark):
+    """Spark 4 runs ANSI mode by default: a bare /(n-1) or /std aborts
+    the query with DIVIDE_BY_ZERO for single-event or zero-variance
+    types. Those groups must yield NULL std (filtered downstream),
+    matching DuckDB's double/0 -> NULL."""
+    import datetime as dt
+
+    from deker_server_adapters_spark.operators.events import anomaly_stats_df
+    from deker_server_adapters_spark.streaming.events_stream import (
+        streaming_anomaly_zscore,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, 1, "lonely", 5.0, "{}"),          # n=1: no sample variance
+            (2, t0, 1, "flat", 2.0, "{}"),            # zero variance
+            (3, t0, 2, "flat", 2.0, "{}"),
+            (4, t0, 3, "normal", 1.0, "{}"),
+            (5, t0, 4, "normal", 2.0, "{}"),
+            (6, t0, 5, "normal", 300.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    stats = {r["event_type"]: r for r in anomaly_stats_df(ev).collect()}
+    assert stats["lonely"]["std"] is None
+    assert stats["flat"]["std"] == 0.0
+    assert stats["normal"]["std"] > 0
+    # the batch scoring pipeline (same exprs) survives and drops both
+    from pyspark.sql import functions as F
+
+    z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
+    scored = (
+        ev.join(F.broadcast(anomaly_stats_df(ev)), "event_type")
+        .withColumn("z", F.round(z, 2))
+        .filter(F.abs(F.col("z")) > 3)
+    )
+    assert {r["event_type"] for r in scored.collect()} <= {"normal"}

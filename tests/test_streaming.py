@@ -220,34 +220,16 @@ def test_streaming_sessionization_matches_batch_sessions(spark, sf_dir):
 def test_streaming_anomaly_equals_batch(spark, sf_dir):
     """Stream-static join twin: batch moments + live stream give the
     same outliers as the all-batch op."""
-    from deker_server_adapters_spark.operators.events import events_anomaly_zscore
+    from deker_server_adapters_spark.operators.events import (
+        anomaly_stats_df,
+        events_anomaly_zscore,
+    )
     from deker_server_adapters_spark.sources.tables import load_table
     from deker_server_adapters_spark.streaming.events_stream import (
         streaming_anomaly_zscore,
     )
 
-    ev = load_table(spark, sf_dir, "events")
-    stats = (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(30,6)")).alias("s1"),
-            F.sum(
-                F.col("value").cast("decimal(30,6)") * F.col("value").cast("decimal(30,6)")
-            ).alias("s2"),
-        )
-        .select(
-            "event_type",
-            (F.col("s1").cast("double") / F.col("n")).alias("mean"),
-            F.sqrt(
-                (
-                    F.col("s2").cast("double")
-                    - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("n")
-                )
-                / (F.col("n") - 1)
-            ).alias("std"),
-        )
-    )
+    stats = anomaly_stats_df(load_table(spark, sf_dir, "events"))
     src = stream_events_source(spark, sf_dir)
     _run_stream(streaming_anomaly_zscore(src, stats), "t_anomaly", "append")
     got = (
