@@ -213,3 +213,42 @@ def test_labeled_and_time_dims_decorated(spark, tmp_path):
     # label columns are queryable like any other column
     n = df.filter("layer_label = 'surface' AND t_ts >= '2024-01-01 01:00:00'").count()
     assert n == 3
+
+
+def test_varray_collection_multi_chunk(spark, tmp_path):
+    """A varray collection reads through format('deker') with one scan
+    partition per vgrid chunk (the multi-chunk geometry path: splits
+    from the vgrid, not default_chunk_grid) and reassembles exactly."""
+    from deker_server_adapters_spark.core import DimensionSchema, VArraySchema
+
+    vschema = VArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("x", 12), DimensionSchema("y", 8)),
+        vgrid=(3, 2),
+    )
+    wh = Warehouse(spark, str(tmp_path / "whv"))
+    coll = wh.collections.create("grid", vschema)
+    data = np.arange(96, dtype=np.float64).reshape(12, 8)
+    va = coll.varrays.create(data=data)
+    register(spark)
+
+    ds = DekerDataSource({"path": str(tmp_path / "whv"), "collection": "grid"})
+    parts = DekerReader(str(tmp_path / "whv"), "grid", ds.schema()).partitions()
+    assert len(parts) == 6  # 3x2 vgrid -> one partition per chunk
+
+    df = (
+        spark.read.format("deker")
+        .option("path", str(tmp_path / "whv"))
+        .option("collection", "grid")
+        .load()
+    )
+    got = np.zeros((12, 8))
+    for r in df.collect():
+        got[r["x"], r["y"]] = r["value"]
+    np.testing.assert_allclose(got, data)
+    # dim-range pushdown prunes to the chunks overlapping one vgrid row
+    pruned = DekerReader(str(tmp_path / "whv"), "grid", ds.schema())
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    list(pruned.pushFilters([GreaterThanOrEqual(("x",), 0), LessThan(("x",), 4)]))
+    assert len(pruned.partitions()) == 2  # first vgrid row: 1x2 chunks
