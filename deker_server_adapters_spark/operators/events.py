@@ -512,6 +512,35 @@ WHERE abs(round((ev.value - m.mean) / nullif(m.std, 0.0), 2)) > 3
 """
 
 
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (Markov bigrams over each
+    user's time-ordered stream): lag over one user_id partitioning,
+    then a global (prev, curr) count — the input to funnel mining /
+    next-event prediction. Ordering ties broken by event_id so both
+    engines see identical sequences."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+TRANSITIONS_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM {EVENTS_DUCK}
+)
+SELECT prev_type, event_type AS curr_type, count(*) AS n_transitions
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, curr_type
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
@@ -540,5 +569,8 @@ OPS = {
     ),
     "events_anomaly_zscore": Op(
         "events_anomaly_zscore", events_anomaly_zscore, ANOMALY_SQL
+    ),
+    "events_type_transitions": Op(
+        "events_type_transitions", events_type_transitions, TRANSITIONS_SQL
     ),
 }
