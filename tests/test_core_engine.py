@@ -354,7 +354,10 @@ def test_write_from_cells_persist_hygiene(warehouse, spark):
     before = spark.sparkContext._jsc.getPersistentRDDs().size()
     arr = coll.arrays.create_from_cells(cells, primary_attributes={"station": "sX"})
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
-    assert after - before == 0, f"persisted RDDs grew by {after - before}"
+    # no-growth, not exact-zero: Spark's ContextCleaner releases other
+    # tests' unreferenced caches asynchronously, so the count can DROP
+    # between the two samples in a full-suite run
+    assert after <= before, f"persisted RDDs grew by {after - before}"
     np.testing.assert_allclose(arr.read_data(), data)
 
 
