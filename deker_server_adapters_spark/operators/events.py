@@ -568,7 +568,14 @@ OPS = {
         "events_retention_cohorts", events_retention_cohorts, RETENTION_SQL
     ),
     "events_anomaly_zscore": Op(
-        "events_anomaly_zscore", events_anomaly_zscore, ANOMALY_SQL
+        "events_anomaly_zscore",
+        events_anomaly_zscore,
+        ANOMALY_SQL,
+        description=(
+            "decimal-exact moments (bit-identical across engines); "
+            "single-event / zero-variance types yield NULL z and are "
+            "filtered, not divided (ANSI-safe)"
+        ),
     ),
     "events_type_transitions": Op(
         "events_type_transitions", events_type_transitions, TRANSITIONS_SQL

@@ -551,8 +551,32 @@ OPS = {
     ),
     "text_pii_scan": Op("text_pii_scan", text_pii_scan, PII_SQL),
     "docs_benchmark_contamination": Op(
-        "docs_benchmark_contamination", docs_benchmark_contamination, CONTAMINATION_SQL
+        "docs_benchmark_contamination",
+        docs_benchmark_contamination,
+        CONTAMINATION_SQL,
+        description=(
+            "benchmark set here = doc_id % 97 == 0 (deterministic stand-in "
+            "for eval suites); word-5-gram exact overlap, benchmark side "
+            "broadcast"
+        ),
     ),
-    "docs_pack_sequences": Op("docs_pack_sequences", docs_pack_sequences, PACK_SQL),
-    "docs_tfidf_topk": Op("docs_tfidf_topk", docs_tfidf_topk, TFIDF_SQL),
+    "docs_pack_sequences": Op(
+        "docs_pack_sequences",
+        docs_pack_sequences,
+        PACK_SQL,
+        description=(
+            "seq_len=512, 32 doc_id-range buckets; pick buckets ~ cluster "
+            "parallelism at scale (widest cumsum window = corpus/buckets)"
+        ),
+    ),
+    "docs_tfidf_topk": Op(
+        "docs_tfidf_topk",
+        docs_tfidf_topk,
+        TFIDF_SQL,
+        description=(
+            "ranks by round(tfidf,4) with token tiebreak; cross-engine ln() "
+            "1-ulp boundary risk ~1e-12/row (per-row transcendental, not an "
+            "accumulation)"
+        ),
+    ),
 }
