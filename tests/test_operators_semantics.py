@@ -468,3 +468,21 @@ def test_anomaly_stats_degenerate_groups_null_not_crash(spark):
         .filter(F.abs(F.col("z")) > 3)
     )
     assert {r["event_type"] for r in scored.collect()} <= {"normal"}
+
+
+def test_ann_int8_recall_vs_exact(spark, sf_dir):
+    """int8 quantization noise (~1/254 per component at 64 dims) must
+    barely move the top-k: high overlap with the exact baseline."""
+    from deker_server_adapters_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_int8_cosine,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_int8_cosine(spark, sf_dir).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
