@@ -330,6 +330,40 @@ GROUP BY day
 """
 
 
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-user frequencies via a count-min sketch — the mergeable
+    frequency sketch that replaces exact per-key counts at 100 TB:
+    partial sketches combine map-side, the merged sketch is a few KB
+    on the driver, and probing k candidate keys is O(k) with error
+    <= eps*N at the chosen confidence (CMS never underestimates).
+
+    Here the candidate set is the exact top-10 (cheap at test scale)
+    so the pytest can bound estimate-vs-exact; in production the
+    candidates come from a prior round or a sample. No oracle: sketch
+    internals are engine-specific (rows-only check + error-bound
+    pytest, like the HLL op)."""
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    sk_bytes = ev.agg(
+        F.expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)")
+    ).head()[0]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_bytes)
+    )
+    rows = [
+        (int(r["user_id"]), int(r["exact_n"]), int(cms.estimateCount(int(r["user_id"]))))
+        for r in top.collect()  # O(10) driver probe of the merged sketch
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_n long, cms_estimate long"
+    ).orderBy(F.desc("exact_n"), "user_id")
+
+
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct users per type — the sketch that replaces exact
     distinct at 100 TB (no oracle: sketch estimates are engine-
@@ -550,6 +584,16 @@ OPS = {
         "events_approx_distinct_users", events_approx_distinct_users, None
     ),
     "events_approx_quantiles": Op("events_approx_quantiles", events_approx_quantiles, None),
+    "events_heavy_hitters_cms": Op(
+        "events_heavy_hitters_cms",
+        events_heavy_hitters_cms,
+        None,
+        description=(
+            "count-min sketch (eps=1e-4, conf=0.99, seed 42): mergeable "
+            "map-side sketch, O(k) driver probe; estimates never "
+            "underestimate, error bound pytest-checked"
+        ),
+    ),
     "events_props_json": Op("events_props_json", events_props_json, PROPS_JSON_SQL),
     "events_distinct_users_daily": Op(
         "events_distinct_users_daily", events_distinct_users_daily, DISTINCT_USERS_SQL

@@ -486,3 +486,17 @@ def test_ann_int8_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_cms_heavy_hitters_error_bound(spark, sf_dir):
+    """CMS never underestimates; overestimate bounded by eps*N (with
+    slack for the probabilistic confidence)."""
+    from deker_server_adapters_spark.operators.events import events_heavy_hitters_cms
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    rows = events_heavy_hitters_cms(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"]
+        assert r["cms_estimate"] - r["exact_n"] <= max(3, 0.001 * n_events)
