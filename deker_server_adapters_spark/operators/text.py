@@ -422,7 +422,18 @@ def pack_sequences_df(docs: DataFrame, seq_len: int = _SEQ_LEN,
 
     The DuckDB oracle computes the same offsets with one global window,
     which is exactly the luxury a single-node engine has and Spark
-    must not emulate."""
+    must not emulate.
+
+    Cross-engine gotcha (the r5 driver-red root cause): DuckDB's
+    ``sum`` over BIGINT yields HUGEINT (int128), and the pandas/Arrow
+    fetch path materializes HUGEINT as float64 — so an un-cast oracle
+    hands a type-sensitive value hasher ``32.0`` where Spark says
+    ``32``. Row counts and lenient schema checks still pass, which is
+    exactly the r5 symptom (rows ✓ schema ✓ hash ✗, local
+    ``fetchall``-style compare green). PACK_SQL therefore CASTs every
+    sum-derived column back to BIGINT; ``tests/test_oracle_parity.py::
+    test_oracle_dtype_kinds_match`` guards the whole registry against
+    this class."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -430,7 +441,9 @@ def pack_sequences_df(docs: DataFrame, seq_len: int = _SEQ_LEN,
     )
     max_id = toks.agg(F.max("doc_id")).first()[0] or 0
     span = (int(max_id) + buckets) // buckets  # ceil((max_id+1)/buckets)
-    toks = toks.withColumn("bucket", (F.col("doc_id") / span).cast("long"))
+    # integer DIV, not double divide-then-cast: exact for doc_ids past
+    # 2^53 where float64 spacing would misassign boundary docs
+    toks = toks.withColumn("bucket", F.expr(f"doc_id DIV {span}"))
     totals = dict(
         toks.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
     )  # <= `buckets` rows: bounded driver traffic by construction
@@ -474,13 +487,17 @@ WITH t AS (
   SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens FROM documents
 ), o AS (
   SELECT doc_id, n_tokens,
-         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+         -- sum(BIGINT) is HUGEINT in DuckDB; un-cast it reaches pandas
+         -- as float64 and breaks type-sensitive value hashes (r5 red)
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS token_offset
   FROM t
 )
 SELECT doc_id, n_tokens, token_offset,
-       token_offset // {_SEQ_LEN} AS first_seq,
-       (token_offset + greatest(n_tokens, 1) - 1) // {_SEQ_LEN} AS last_seq
+       CAST(token_offset // {_SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST((token_offset + greatest(n_tokens, 1) - 1) // {_SEQ_LEN} AS BIGINT)
+           AS last_seq
 FROM o
 """
 

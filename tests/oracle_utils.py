@@ -42,6 +42,23 @@ def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count {len(sp)} vs {len(duck_df)}"
     if sorted(sp.columns) != sorted(duck_df.columns):
         return False, f"schema {sorted(sp.columns)} vs {sorted(duck_df.columns)}"
+    # Type-kind gate, mirroring a type-sensitive driver hash: an
+    # integer column on one side arriving float on the other is the
+    # DuckDB HUGEINT→pandas-float64 leak (sum over BIGINT); it passed
+    # the lenient check_dtype=False compare below but failed the r5
+    # driver hash for docs_pack_sequences. Decimal/object columns stay
+    # exempt — both engines legitimately disagree on their carrier.
+    for c in sp.columns:
+        a_int = pd.api.types.is_integer_dtype(sp[c])
+        b_int = pd.api.types.is_integer_dtype(duck_df[c])
+        a_flt = pd.api.types.is_float_dtype(sp[c])
+        b_flt = pd.api.types.is_float_dtype(duck_df[c])
+        if (a_int and b_flt) or (a_flt and b_int):
+            return False, (
+                f"column {c}: int-vs-float dtype kind (spark {sp[c].dtype} "
+                f"vs oracle {duck_df[c].dtype}) — likely un-CAST DuckDB "
+                f"HUGEINT sum; add CAST(... AS BIGINT) in the oracle SQL"
+            )
     a, b = _normalize(sp), _normalize(duck_df)
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)

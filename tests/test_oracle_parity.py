@@ -5,6 +5,7 @@ against DuckDB on the same parquet."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.operators import all_ops
 from tests.oracle_utils import compare, duckdb_con
@@ -36,6 +37,51 @@ def test_rows_only_ops_run(spark, sf_dir, name):
     df = _OPS[name].builder(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_pack_tokenization_cross_engine(spark):
+    """Per-doc token counts must agree Spark-vs-DuckDB EXACTLY at the
+    driver's correctness SF: one token of drift in any doc cascades
+    through every later doc's token_offset in docs_pack_sequences, so
+    this isolates tokenizer divergence from the prefix-sum/window logic
+    (VERDICT r5 item 1a)."""
+    from deker_server_adapters_spark.operators.text import _TOKENS, _TOKENS_DUCK
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb_con(sf)
+    try:
+        duck = dict(
+            con.execute(
+                f"SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT)"
+                " FROM documents"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    sp = dict(
+        load_table(spark, sf, "documents")
+        .select("doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)"))
+        .collect()
+    )
+    assert set(sp) == set(duck), "doc_id sets differ"
+    mism = {d: (sp[d], duck[d]) for d in sp if sp[d] != duck[d]}
+    assert not mism, f"{len(mism)} token-count mismatches, e.g. {list(mism.items())[:5]}"
+
+
+def test_pack_sequences_parity_at_sf001(spark):
+    """docs_pack_sequences value-parity pinned at sf0.01 (the driver's
+    correctness SF) regardless of the suite's SF — the r5 driver-red
+    row; its root cause (HUGEINT→float64 oracle dtype leak) is now
+    also caught structurally by compare()'s type-kind gate."""
+    op = _OPS["docs_pack_sequences"]
+    con = duckdb_con("/root/testdata/sf0.01")
+    try:
+        ok, msg = compare(op.builder(spark, "/root/testdata/sf0.01"),
+                          con.execute(op.oracle).fetchdf())
+    finally:
+        con.close()
+    assert ok, msg
 
 
 def test_rolling_1h_parity_at_sf001(spark):
