@@ -210,14 +210,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sigs = minhash_signatures(spark, sf_dir)
     n_bands = _MINHASH_K // _BAND_SIZE
+    # Band keys stay as raw long columns (k0..k{B-1}), not a concat_ws
+    # string: the shuffle hashes/compares two longs instead of building
+    # and hashing a string per banded row.
+    key_cols = ", ".join(f"sig[{{b}}*{_BAND_SIZE} + {i}]" for i in range(_BAND_SIZE))
     stack_args = ", ".join(
-        f"{b}, concat_ws(',', "
-        + ", ".join(f"sig[{b * _BAND_SIZE + i}]" for i in range(_BAND_SIZE))
-        + ")"
-        for b in range(n_bands)
+        f"{b}, " + key_cols.format(b=b) for b in range(n_bands)
     )
+    key_names = ", ".join(f"k{i}" for i in range(_BAND_SIZE))
     bands = sigs.select(
-        "doc_id", "sig", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_key)")
+        "doc_id",
+        "sig",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, {key_names})"),
     ).hint("SHUFFLE_HASH")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -231,20 +235,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     est = F.round(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
+    band_match = " AND ".join(
+        f"a.sig[bb*{_BAND_SIZE} + {i}] = b.sig[bb*{_BAND_SIZE} + {i}]"
+        for i in range(_BAND_SIZE)
+    )
+    # A pair sharing several bands would emit several rows; instead of
+    # a trailing .distinct() (a whole extra shuffle over the pair
+    # table), keep the row only at the FIRST band the signatures agree
+    # on — computable per-row since both full sigs ride the join.
+    first_band = F.expr(
+        f"filter(sequence(0, {n_bands - 1}), bb -> {band_match})[0]"
+    )
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    for i in range(_BAND_SIZE):
+        cond = cond & (F.col(f"a.k{i}") == F.col(f"b.k{i}"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, cond)
+        .filter(F.col("a.band") == first_band)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             est.alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= 0.5)
-        .distinct()  # a pair may share several bands
     )
 
 
