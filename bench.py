@@ -32,17 +32,25 @@ def main() -> None:
 
     # One warmup execution per query: whole-stage-codegen classes are
     # compiled per unique expression tree, so timing the first run
-    # measures the JIT, not the engine. The measured pass reports
+    # measures the JIT, not the engine. The measured passes report
     # steady-state throughput (codegen cache hot, OS page cache warm —
     # the regime a long-lived cluster actually runs in).
     for op in ops.values():
         op.builder(spark, sf_dir).count()
 
+    # Min of N timed passes per query: a single pass on a shared box
+    # measures the neighbors as much as the plan (r5 drifted ~13%
+    # uniformly from background load). The min is the best estimate of
+    # the plan's intrinsic cost; pass count is env-tunable.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
     for name, op in ops.items():
-        t0 = time.perf_counter()
-        op.builder(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            op.builder(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
