@@ -412,7 +412,16 @@ def funnel_df(ev: DataFrame) -> DataFrame:
             ).over(w),
         )
     )
-    per_user = staged.select("user_id", "t1", "t2", "t3").distinct()
+    # t1-t3 are per-user constants, so one row per user falls out of a
+    # groupBy on the user_id partitioning the windows already
+    # established — Catalyst collapses it onto the same exchange. A
+    # .distinct() over (user_id, t1, t2, t3) would re-shuffle on all
+    # four columns instead.
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t1").alias("t1"),
+        F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"),
+    )
     counts = per_user.agg(
         F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
     )

@@ -163,12 +163,14 @@ def test_contamination_benchmark_side_broadcast(spark, sf_dir):
 
 def test_funnel_no_event_list_collection(spark, sf_dir):
     """Funnel: one scan, one user_id partitioning feeding all three
-    stacked stage windows, plus the per-user distinct — 2 shuffles
-    total, no joins, no collect_list (skew-OOM shape on hot users),
-    no Python eval."""
+    stacked stage windows AND the per-user groupBy (single-column agg
+    keys collapse onto the window exchange — exactly 2 shuffles: the
+    user_id hash partition and the final SinglePartition count), no
+    joins, no collect_list (skew-OOM shape on hot users), no Python
+    eval."""
     df = _plan(spark, sf_dir, "events_funnel")
     plan = physical_plan(df)
-    assert count_shuffles(df) <= 2
+    assert count_shuffles(df) == 2
     assert "collect_list" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
