@@ -336,13 +336,23 @@ class ArrayAdapter:
         """The array catalog as a DataFrame (id + attribute structs) —
         metadata queries scale with Spark instead of a driver loop
         (find-by-attribute over millions of arrays). Same corrupt-file
-        hygiene as the internal catalog scan."""
+        hygiene as the internal catalog scan.
+
+        An existing collection with no arrays yet is a legitimate
+        catalog state and yields an EMPTY DataFrame (id + empty
+        attribute structs); the exception is reserved for a collection
+        whose meta dir does not exist at all (ADVICE r5)."""
         df = self._catalog_df()
-        if df is None:
-            raise DekerArrayNotExistsError(
-                f"no array metadata under {self._meta_dir()}"
+        if df is not None:
+            return df
+        if os.path.isdir(self._meta_dir()):
+            return self.spark.createDataFrame(
+                [],
+                "id string, primary_attributes struct<>, custom_attributes struct<>",
             )
-        return df
+        raise DekerArrayNotExistsError(
+            f"no array metadata under {self._meta_dir()}"
+        )
 
     def cells_df(self, array_ids: list[str] | None = None) -> DataFrame:
         """Cross-array long view: (array_id, dims..., value) for many

@@ -16,12 +16,11 @@ queries.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.sources.scratch import scratch_dir
 from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
 
 _N_NODES = 5
@@ -56,7 +55,7 @@ def _event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_slice_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
 
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_"))
+    wh = Warehouse(spark, scratch_dir("deker_spark_"))
     schema = ArraySchema(
         dtype="float64",
         dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
@@ -102,7 +101,7 @@ GROUP BY day
 def varray_cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deker_server_adapters_spark.core import DimensionSchema, VArraySchema, Warehouse
 
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_"))
+    wh = Warehouse(spark, scratch_dir("deker_spark_"))
     schema = VArraySchema(
         dtype="float64",
         dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
@@ -236,7 +235,7 @@ def array_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     update/clear semantics are value-checked, not just unit-tested."""
     from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
 
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_"))
+    wh = Warehouse(spark, scratch_dir("deker_spark_"))
     schema = ArraySchema(
         dtype="float64",
         dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
@@ -291,7 +290,7 @@ def deker_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
     from deker_server_adapters_spark.sources.deker_datasource import register
 
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="deker_spark_ds_"))
+    wh = Warehouse(spark, scratch_dir("deker_spark_ds_"))
     schema = ArraySchema(
         dtype="float64",
         dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),

@@ -160,7 +160,19 @@ def _chunk_cell_batches(
     dim_meta = dim_meta or {}
     dim_pos = {n: i for i, n in enumerate(dim_names)}
     for path in partition.files:
-        table = pq.read_table(path, columns=["origin", "shape", "data"])
+        try:
+            table = pq.read_table(path, columns=["origin", "shape", "data"])
+        except FileNotFoundError:
+            # COW race: a concurrent chunk rewrite (dynamic partition
+            # overwrite) can delete a file between offset planning and
+            # read. The deleted file's cells are superseded by the
+            # rewritten chunk file the next batch will pick up, so
+            # skipping is correct — raising would wedge a restarted
+            # stream forever on a WAL offset whose files are gone.
+            import warnings
+
+            warnings.warn(f"deker chunk file vanished (COW rewrite?): {path}")
+            continue
         for origin_v, shape_v, data_v in zip(
             table["origin"].to_pylist(),
             table["shape"].to_pylist(),
@@ -342,9 +354,16 @@ class DekerStreamReader(DataSourceStreamReader):
     chunk versions).
 
     Offsets are the seen-file set (parquet part files are immutable;
-    COW rewrites create NEW files). That grows with the store — at
-    100 TB you'd swap the directory walk for a manifest/commit log; the
-    offset contract here is the same either way."""
+    COW rewrites create NEW files), stored as a sorted list of paths
+    RELATIVE to the chunks dir to keep the serialized offset small.
+    The set still grows with the store, and Spark re-serializes the
+    full offset into the offset/commit log EVERY micro-batch — an
+    O(total files ever) write per trigger. That is the same tradeoff
+    Structured Streaming's built-in file source makes (its seen-file
+    map exists because mtime watermarks lose races with slow writers);
+    at 100 TB you'd swap the directory walk for a manifest/commit log
+    whose offsets are monotonic commit ids, keeping this exact offset
+    contract with O(1) offsets."""
 
     def __init__(self, root: str, collection: str, schema: StructType):
         meta = _load_collection_meta(root, collection)
@@ -355,21 +374,27 @@ class DekerStreamReader(DataSourceStreamReader):
         self.read_cols = [f.name for f in schema.fields]
         self.bounds = [[0, s] for s in self.shape]  # streams: no pushdown
 
-    def _current_files(self) -> dict[str, bool]:
+    def _current_files(self) -> list[str]:
         pattern = os.path.join(
             self.chunks_dir, "array_id=*", "chunk_idx=*", "*.parquet"
         )
-        return {p: True for p in sorted(glob.glob(pattern))}
+        return sorted(
+            os.path.relpath(p, self.chunks_dir) for p in glob.glob(pattern)
+        )
 
     def initialOffset(self) -> dict:
-        return {"files": {}}
+        return {"files": []}
 
     def latestOffset(self) -> dict:
         return {"files": self._current_files()}
 
     def partitions(self, start: dict, end: dict) -> list[DekerChunkPartition]:
-        seen = start.get("files", {})
-        fresh = [p for p in end.get("files", {}) if p not in seen]
+        seen = set(start.get("files", ()))  # list (current) or dict (legacy)
+        fresh = [
+            os.path.join(self.chunks_dir, p)
+            for p in end.get("files", ())
+            if p not in seen
+        ]
         by_chunk: dict[tuple[str, int], list[str]] = {}
         for path in fresh:
             adir, cdir = path.split(os.sep)[-3:-1]

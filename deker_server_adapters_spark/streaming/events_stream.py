@@ -63,22 +63,29 @@ def stream_events_source(
     feed them one per micro-batch (maxFilesPerTrigger=1) — exercises
     state carried across triggers instead of a single giant batch.
     """
-    import tempfile
-
+    from deker_server_adapters_spark.sources.scratch import staged_dir
     from deker_server_adapters_spark.sources.tables import load_table
 
-    batch = load_table(spark, sf_dir, "events")  # pins UTC + normalizes ts
-    stream_dir = tempfile.mkdtemp(prefix="deker_events_stream_")
+    # The normalized copy is deterministic per (sf_dir, n_files): cache
+    # it so repeated calls in one process (bench rounds, test suites)
+    # stage once instead of accumulating temp copies (ADVICE r5). The
+    # dirs are removed at process exit.
+    stream_dir, staged = staged_dir("deker_events_stream_", sf_dir, n_files)
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if not staged:
+        batch = load_table(spark, sf_dir, "events")  # pins UTC + normalizes ts
+        if n_files:
+            # range-partition by ts so lexicographic part order == time
+            # order across the per-trigger files
+            batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(
+                stream_dir
+            )
+        else:
+            # single micro-batch: file order is irrelevant, skip the
+            # global range sort a 1-partition repartitionByRange would be
+            batch.write.mode("overwrite").parquet(stream_dir)
     if n_files:
-        # range-partition by ts so lexicographic part order == time
-        # order across the per-trigger files
-        batch.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(stream_dir)
         reader = reader.option("maxFilesPerTrigger", 1)
-    else:
-        # single micro-batch: file order is irrelevant, skip the
-        # global range sort a 1-partition repartitionByRange would be
-        batch.write.mode("overwrite").parquet(stream_dir)
     return reader.parquet(stream_dir)
 
 

@@ -142,6 +142,15 @@ class TestArrays:
             )
         assert e.value.limit == 10 and e.value.requested == 240
 
+    def test_meta_df_empty_collection_yields_empty_df(self, warehouse):
+        """A created-but-empty collection is a legitimate catalog state:
+        meta_df() returns an empty DataFrame, not an exception (the
+        exception is reserved for a missing collection) — ADVICE r5."""
+        coll = warehouse.collections.create("empty_cat", SCHEMA)
+        df = coll.arrays.meta_df()
+        assert df.count() == 0
+        assert "id" in df.columns
+
     def test_meta_df_and_ensemble_cells(self, warehouse):
         coll = warehouse.collections.create("ens", SCHEMA)
         rng = np.random.RandomState(23)

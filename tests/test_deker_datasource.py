@@ -136,6 +136,43 @@ def test_joins_with_relational_tables(spark, filled):
     assert per_x.count() == 20
 
 
+def test_chunk_read_tolerates_vanished_file(spark, tmp_path):
+    """COW race tolerance: a chunk file deleted between offset planning
+    and read is skipped with a warning (its cells are superseded by the
+    rewritten chunk the next batch picks up) — a raise here would wedge
+    a restarted stream forever on a WAL offset whose files are gone
+    (ADVICE r5)."""
+    import warnings
+
+    from deker_server_adapters_spark.sources.deker_datasource import (
+        DekerChunkPartition,
+        _chunk_cell_batches,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "whv"))
+    coll = wh.collections.create("weather", SCHEMA)
+    data = np.arange(20 * 12, dtype=np.float64).reshape(20, 12)
+    coll.arrays.create(data=data)
+    chunks_dir = tmp_path / "whv" / "collections" / "weather" / "chunks"
+    files = sorted(str(p) for p in chunks_dir.rglob("*.parquet"))
+    assert files
+    part = DekerChunkPartition(
+        array_id="whatever",
+        chunk_idx=0,
+        files=(str(tmp_path / "gone.parquet"), *files),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        batches = list(
+            _chunk_cell_batches(
+                part, (20, 12), ["x", "y"], [(0, 20), (0, 12)],
+                ["array_id", "x", "y", "value"],
+            )
+        )
+    assert any("vanished" in str(x.message) for x in w)
+    assert sum(b.num_rows for b in batches) == 20 * 12
+
+
 def test_stream_reader_chunk_changefeed(spark, tmp_path):
     """readStream over the warehouse: a new array streams its cells in
     the next micro-batch; a COW subset update streams the rewritten
