@@ -330,38 +330,102 @@ GROUP BY day
 """
 
 
-def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-user frequencies via a count-min sketch — the mergeable
-    frequency sketch that replaces exact per-key counts at 100 TB:
-    partial sketches combine map-side, the merged sketch is a few KB
-    on the driver, and probing k candidate keys is O(k) with error
-    <= eps*N at the chosen confidence (CMS never underestimates).
+# Count-min sketch geometry: depth x width counters, portable md5-based
+# row hashes (same affine-over-md5 scheme the minhash family uses, so
+# DuckDB mirrors the sketch bit-for-bit).
+_CMS_D = 5
+_CMS_W = 8192
+_CMS_P = 2147483647
+_CMS_A = (769, 1543, 3079, 6151, 12289)
+_CMS_B = (7, 131, 523, 2053, 8209)
+_CMS_SAMPLE_PCT = 2  # deterministic candidate sample: md5(event_id) % 100 < 2
+_H32 = "CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+_CMS_BUCKETS = ", ".join(
+    f"(({a} * h + {b}) % {_CMS_P}) % {_CMS_W}" for a, b in zip(_CMS_A, _CMS_B)
+)
 
-    Here the candidate set is the exact top-10 (cheap at test scale)
-    so the pytest can bound estimate-vs-exact; in production the
-    candidates come from a prior round or a sample. No oracle: sketch
-    internals are engine-specific (rows-only check + error-bound
-    pytest, like the HLL op)."""
-    ev = load_table(spark, sf_dir, "events")
-    top = (
-        ev.groupBy("user_id")
-        .agg(F.count("*").alias("exact_n"))
-        .orderBy(F.desc("exact_n"), "user_id")
+
+def heavy_hitters_cms_df(ev: DataFrame) -> DataFrame:
+    """Heavy-hitter frequencies via a count-min sketch, end-to-end in
+    DataFrame ops (no JVM sketch object, so it runs under Spark Connect
+    and has an exact DuckDB oracle).
+
+    The sketch IS an aggregation: one md5 per event, D affine bucket
+    ids, posexplode, groupBy (j, bucket) — map-side partial aggregation
+    bounds the shuffle at D*W rows per task, so the merged sketch is a
+    <=D*W-row table (a few hundred KB) no matter how many events went
+    in; partial sketches combine associatively exactly like the
+    classic byte-array form. Candidates come from a DETERMINISTIC 2%
+    event sample (md5 gate on event_id), never an exact corpus-wide
+    top-k groupBy — at 100 TB the exact top-k is the cost the sketch
+    exists to avoid (r5 verdict item 6). Probing is a broadcast of
+    10*D probe rows joined against the sketch table + a min per key:
+    O(k*D) regardless of N. CMS never underestimates; the error bound
+    vs exact counts is pytest-checked."""
+    hu = _H32.format(col="user_id")
+    sketch = (
+        ev.select(F.expr(hu).alias("h"))
+        .select(F.posexplode(F.expr(f"array({_CMS_BUCKETS})")).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = (
+        ev.filter(F.expr(f"{_H32.format(col='event_id')} % 100 < {_CMS_SAMPLE_PCT}"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("sample_n"))
+        .orderBy(F.desc("sample_n"), "user_id")
         .limit(10)
     )
-    sk_bytes = ev.agg(
-        F.expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)")
-    ).head()[0]
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        bytes(sk_bytes)
+    probes = cand.select("user_id", "sample_n", F.expr(hu).alias("h")).select(
+        "user_id",
+        "sample_n",
+        F.posexplode(F.expr(f"array({_CMS_BUCKETS})")).alias("j", "bucket"),
     )
-    rows = [
-        (int(r["user_id"]), int(r["exact_n"]), int(cms.estimateCount(int(r["user_id"]))))
-        for r in top.collect()  # O(10) driver probe of the merged sketch
-    ]
-    return spark.createDataFrame(
-        rows, "user_id long, exact_n long, cms_estimate long"
-    ).orderBy(F.desc("exact_n"), "user_id")
+    return (
+        F.broadcast(probes)
+        .join(sketch, ["j", "bucket"])
+        .groupBy("user_id", "sample_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .orderBy(F.desc("sample_n"), "user_id")
+    )
+
+
+def events_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters_cms_df(load_table(spark, sf_dir, "events"))
+
+
+_CMS_SEEDS_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+)
+_H32_DUCK = (
+    "CAST(CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)"
+)
+
+CMS_SQL = f"""
+WITH seeds(j, a, b) AS (VALUES {_CMS_SEEDS_VALUES}),
+h AS (
+  SELECT {_H32_DUCK.format(col='user_id')} AS h FROM events
+), sk AS (
+  SELECT s.j, ((s.a * h.h + s.b) % {_CMS_P}) % {_CMS_W} AS bucket,
+         count(*) AS cnt
+  FROM h CROSS JOIN seeds s
+  GROUP BY 1, 2
+), cand AS (
+  SELECT user_id, count(*) AS sample_n FROM events
+  WHERE {_H32_DUCK.format(col='event_id')} % 100 < {_CMS_SAMPLE_PCT}
+  GROUP BY user_id
+  ORDER BY sample_n DESC, user_id
+  LIMIT 10
+), probes AS (
+  SELECT c.user_id, c.sample_n, s.j,
+         ((s.a * {_H32_DUCK.format(col='c.user_id')} + s.b) % {_CMS_P}) % {_CMS_W}
+             AS bucket
+  FROM cand c CROSS JOIN seeds s
+)
+SELECT p.user_id, p.sample_n, CAST(min(sk.cnt) AS BIGINT) AS cms_estimate
+FROM probes p JOIN sk ON sk.j = p.j AND sk.bucket = p.bucket
+GROUP BY p.user_id, p.sample_n
+"""
 
 
 def events_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,10 +660,11 @@ OPS = {
     "events_heavy_hitters_cms": Op(
         "events_heavy_hitters_cms",
         events_heavy_hitters_cms,
-        None,
+        CMS_SQL,
         description=(
-            "count-min sketch (eps=1e-4, conf=0.99, seed 42): mergeable "
-            "map-side sketch, O(k) driver probe; estimates never "
+            f"count-min sketch as a bounded (d={_CMS_D}, w={_CMS_W}) "
+            "aggregate table with portable md5 hashing; candidates from "
+            "a deterministic 2% event sample; estimates never "
             "underestimate, error bound pytest-checked"
         ),
     ),
