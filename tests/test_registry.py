@@ -19,6 +19,8 @@ def test_last_green_round_parses_and_skips_failures(tmp_path):
         "op_a": {"hash_match": True, "err": None},
         "op_b": {"hash_match": None, "err": "AnalysisException: boom"},  # broken r2
         "op_d": {"hash_match": False, "err": None},  # value mismatch
+        # rows-only op that produced ZERO rows: ran, but proved nothing
+        "op_e": {"hash_match": None, "spark_rows": 0, "err": "no_oracle"},
     }))
     (tmp_path / "garbage.json").write_text("not correctness")
     (tmp_path / "CORRECTNESS_r03.json").write_text("{ truncated")  # unreadable
@@ -28,6 +30,14 @@ def test_last_green_round_parses_and_skips_failures(tmp_path):
     assert green["op_b"] == 1  # r2 failure must NOT advance it
     assert green["op_c"] == 1  # rows-only-by-design counts as checked
     assert "op_d" not in green  # never green -> maximally stale
+    assert "op_e" not in green  # rows-only with 0 rows proves nothing
+
+    # the ordering contract the driver's check window depends on:
+    # never-green/broken first, then ascending last-green round
+    names = ["op_a", "op_b", "op_c", "op_d", "op_e"]
+    ordered = sorted(names, key=lambda n: green.get(n, -1))
+    assert set(ordered[:2]) == {"op_d", "op_e"}  # maximally stale lead
+    assert ordered[-1] == "op_a"  # freshest green last
 
 
 def test_all_ops_orders_stale_first():
