@@ -316,11 +316,67 @@ def deker_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deker_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slice-aggregate again, but the array is ingested through the
+    WRITER half of the custom data source: a dense cell DataFrame goes
+    in via ``df.write.format("deker")`` (per-task run-length chunk
+    append, no imposed shuffle), then reads back through the same
+    pushdown reader — value-checking the full write->read loop against
+    the DuckDB oracle. The input is densified (grid left-join,
+    fill 0.0) because bulk ingest writes exactly the cells it is given;
+    fill materialization is the engine-create path's job
+    (reference create+write flow, base.py:111-160)."""
+    from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
+    from deker_server_adapters_spark.sources.deker_datasource import register
+
+    root = scratch_dir("deker_spark_wr_")
+    wh = Warehouse(spark, root)
+    schema = ArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
+    )
+    wh.collections.create("events_grid", schema)
+    register(spark)
+    grid = spark.range(_N_DAYS).select(F.col("id").alias("day")).crossJoin(
+        spark.range(_N_HOURS).select(F.col("id").alias("hour"))
+    )
+    dense = grid.join(_event_cells(spark, sf_dir), ["day", "hour"], "left").select(
+        F.lit("ev").alias("array_id"),
+        "day",
+        "hour",
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+    )
+    (
+        dense.write.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .mode("append")
+        .save()
+    )
+    cells = (
+        spark.read.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .load()
+    )
+    return (
+        cells.filter((F.col("day") >= 5) & (F.col("day") < 15) & (F.col("hour") < 12))
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
 OPS = {
     "array_slice_agg": Op("array_slice_agg", array_slice_agg, ARRAY_SLICE_SQL, headline=True),
     "deker_datasource_scan": Op(
         "deker_datasource_scan", deker_datasource_scan, ARRAY_SLICE_SQL
     ),
+    "deker_write_scan": Op("deker_write_scan", deker_write_scan, ARRAY_SLICE_SQL),
     "array_update_roundtrip": Op("array_update_roundtrip", array_update_roundtrip, ARRAY_UPDATE_SQL),
     "varray_cell_table": Op("varray_cell_table", varray_cell_table, VARRAY_CELL_SQL),
     "hash_ring_assignment": Op("hash_ring_assignment", hash_ring_assignment, HASH_RING_SQL),

@@ -27,10 +27,16 @@ Reference parity: this is the "DataFrame I/O for multidimensional
 arrays via a custom data source" surface — the reference adapter's
 read path (base.py:111-205) exposed through Spark's own reader API
 instead of an HTTP client. Reads are Arrow ``RecordBatch`` streams, so
-cells never pass through per-row Python objects. The source is
-read-only by design: writes go through the engine's copy-on-write
-chunk API (``core/storage.py``), which Spark's writer contract cannot
-express (subset PUT semantics, 413 limits).
+cells never pass through per-row Python objects.
+
+Writes: ``df.write.format("deker").mode("append")`` is BULK CELL
+INGEST (the reference create+write flow, base.py:111-160) — each task
+run-length-encodes its cells into chunk-aligned sub-box rows and
+appends them under the owning chunk directory, shuffle-free and
+append-only. Subset updates/clears stay on the engine's copy-on-write
+API (``core/storage.py``), which Spark's writer contract cannot
+express (subset PUT semantics, 413 limits); ``mode("overwrite")`` is
+rejected for the same reason.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -54,6 +61,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -258,6 +266,17 @@ class DekerDataSource(DataSource):
         root, coll = self._root_and_collection()
         return DekerStreamReader(root, coll, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "DekerWriter":
+        if overwrite:
+            raise ValueError(
+                "deker writes are append-only bulk ingest; subset "
+                "updates/clears go through the engine's copy-on-write "
+                "API (core/storage.py), not mode('overwrite')"
+            )
+        root, coll = self._root_and_collection()
+        create = str(self.options.get("create_arrays", "true")).lower() == "true"
+        return DekerWriter(root, coll, schema, create_arrays=create)
+
 
 class DekerReader(DataSourceReader):
     def __init__(self, root: str, collection: str, schema: StructType):
@@ -418,3 +437,173 @@ class DekerStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets are derived from immutable files; nothing to ack
+
+
+@dataclass
+class DekerWriteCommit(WriterCommitMessage):
+    files: tuple[str, ...]
+    array_ids: tuple[str, ...]
+
+
+class DekerWriter(DataSourceArrowWriter):
+    """Bulk cell ingest: ``cells_df.write.format("deker")``.
+
+    Input schema must be the cell table (array_id, <dims...>, value).
+    Each task, independently and WITHOUT any imposed shuffle:
+
+    1. assigns every cell its owning chunk via the same mixed-radix
+       grid arithmetic the engine stores with (imported geometry, so
+       writer and reader can never drift);
+    2. sorts its cells in C order and run-length-encodes maximal runs
+       along the last dimension into sub-box rows
+       (origin=[.., run_start], shape=[1,..,1,run_len]) — the patch
+       form ``read_slice`` and the batch/stream readers already place
+       by origin/shape, so a chunk assembled from many tasks' runs
+       reads back exactly;
+    3. appends one parquet file per (array_id, chunk) it touched,
+       named by task/write UUID (never overwrites — COW-compatible).
+
+    Memory per task is bounded by that task's input cells (the same
+    class as a shuffle writer's buffer). Chunk-ALIGNED input (e.g.
+    ``df.repartition("array_id")`` or a full-array partition per task)
+    yields one file and maximal runs per chunk; scattered input still
+    writes correctly, just with shorter runs and more files.
+
+    Append-only contract: writing a cell that already exists in the
+    collection double-materializes it (exactly like appending duplicate
+    rows to a parquet table) — bulk ingest targets NEW array ids, which
+    ``commit`` registers in the catalog (``create_arrays`` option,
+    default true) with empty attributes; pre-created arrays keep their
+    metadata. ``abort`` removes every file the failed write produced.
+
+    Reference parity: create+write flow of base.py:111-160; the subset
+    PUT path (base.py:272-311) deliberately stays on the engine API.
+    """
+
+    def __init__(
+        self, root: str, collection: str, schema: StructType, create_arrays: bool
+    ):
+        meta = _load_collection_meta(root, collection)
+        self.root = root
+        self.collection = collection
+        self.collection_dir = os.path.join(root, "collections", collection)
+        self.chunks_dir = os.path.join(self.collection_dir, "chunks")
+        self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
+        self.shape, self.chunk_shape = _grid_geometry(meta)
+        self.create_arrays = create_arrays
+        cols = [f.name for f in schema.fields]
+        expected = ["array_id", *self.dim_names, "value"]
+        if sorted(cols) != sorted(expected):
+            raise ValueError(
+                f"deker writer needs cell-table columns {expected}, got {cols}"
+            )
+
+    def write(self, iterator) -> DekerWriteCommit:
+        import uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        splits = [math.ceil(s / c) for s, c in zip(self.shape, self.chunk_shape)]
+        ndim = len(self.shape)
+        # per (array_id, chunk_idx): list of (origin, shape, data) runs
+        buf: dict[tuple[str, int], list[tuple[list, list, "np.ndarray"]]] = {}
+        for batch in iterator:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            aid = cols["array_id"].to_pylist()
+            coords = np.stack(
+                [np.asarray(cols[n], dtype=np.int64) for n in self.dim_names]
+            )
+            vals = np.asarray(cols["value"], dtype=np.float64)
+            for d in range(ndim):
+                bad = (coords[d] < 0) | (coords[d] >= self.shape[d])
+                if bad.any():
+                    j = int(np.argmax(bad))
+                    raise ValueError(
+                        f"cell {self.dim_names[d]}={int(coords[d][j])} outside "
+                        f"dimension size {self.shape[d]}"
+                    )
+            chunk_idx = np.zeros(len(vals), dtype=np.int64)
+            for d in range(ndim):
+                chunk_idx = chunk_idx * splits[d] + coords[d] // self.chunk_shape[d]
+            # C-order sort key within each (array, chunk) group
+            flat = np.zeros(len(vals), dtype=np.int64)
+            for d in range(ndim):
+                flat = flat * self.shape[d] + coords[d]
+            aid_codes, aid_inv = np.unique(np.asarray(aid, dtype=object), return_inverse=True)
+            order = np.lexsort((flat, chunk_idx, aid_inv))
+            s_aid, s_chunk, s_flat = aid_inv[order], chunk_idx[order], flat[order]
+            s_coords, s_vals = coords[:, order], vals[order]
+            # run break: new (array, chunk), any non-last coord change,
+            # or last coord not consecutive. The flat index alone is
+            # NOT enough: (x, last_max) -> (x+1, 0) is flat-consecutive
+            # but a box at origin [x, last_max] may not spill past the
+            # row end, so the last coord must itself advance by 1.
+            brk = np.ones(len(s_vals), dtype=bool)
+            if len(s_vals) > 1:
+                brk[1:] = (
+                    (s_aid[1:] != s_aid[:-1])
+                    | (s_chunk[1:] != s_chunk[:-1])
+                    | (s_flat[1:] != s_flat[:-1] + 1)
+                    | (s_coords[-1][1:] != s_coords[-1][:-1] + 1)
+                )
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(s_vals))
+            for a, b in zip(starts, ends):
+                key = (str(aid_codes[s_aid[a]]), int(s_chunk[a]))
+                origin = [int(c) for c in s_coords[:, a]]
+                shape = [1] * (ndim - 1) + [int(b - a)]
+                buf.setdefault(key, []).append((origin, shape, s_vals[a:b]))
+
+        task_id = uuid.uuid4().hex
+        files, array_ids = [], set()
+        for (array_id, cidx), runs in sorted(buf.items()):
+            d = os.path.join(
+                self.chunks_dir, f"array_id={array_id}", f"chunk_idx={cidx}"
+            )
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{task_id}.parquet")
+            table = pa.table(
+                {
+                    "origin": pa.array([r[0] for r in runs], pa.list_(pa.int64())),
+                    "shape": pa.array([r[1] for r in runs], pa.list_(pa.int64())),
+                    "data": pa.array(
+                        [r[2] for r in runs], pa.list_(pa.float64())
+                    ),
+                }
+            )
+            pq.write_table(table, path)
+            files.append(path)
+            array_ids.add(array_id)
+        return DekerWriteCommit(files=tuple(files), array_ids=tuple(sorted(array_ids)))
+
+    def commit(self, messages) -> None:
+        """Register written array ids in the catalog (pure JSON file
+        I/O — the commit hook runs without a SparkSession). Arrays
+        created elsewhere keep their metadata."""
+        if not self.create_arrays:
+            return
+        meta_dir = os.path.join(self.collection_dir, "meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        for m in messages:
+            for array_id in getattr(m, "array_ids", ()):
+                mp = os.path.join(meta_dir, f"{array_id.replace(':', '__')}.json")
+                if not os.path.exists(mp):
+                    with open(mp, "w") as f:
+                        json.dump(
+                            {
+                                "id": array_id,
+                                "primary_attributes": {},
+                                "custom_attributes": {},
+                            },
+                            f,
+                        )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for path in getattr(m, "files", ()):
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass

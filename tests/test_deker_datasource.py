@@ -136,6 +136,161 @@ def test_joins_with_relational_tables(spark, filled):
     assert per_x.count() == 20
 
 
+class TestWriter:
+    """spark.write.format('deker'): bulk cell ingest, per-task
+    run-length chunk append (reference create+write flow,
+    base.py:111-160)."""
+
+    def _cells_df(self, spark, data, array_id="a1", n_parts=5):
+        rows = [
+            (array_id, i, j, float(data[i, j]))
+            for i in range(data.shape[0])
+            for j in range(data.shape[1])
+        ]
+        return spark.createDataFrame(
+            rows, "array_id string, x long, y long, value double"
+        ).repartition(n_parts)
+
+    def test_roundtrip_scattered_input(self, spark, tmp_path):
+        """Cells scattered across 5 arbitrary partitions write correctly
+        (short runs, many files) and read back exactly via BOTH the
+        engine read_data path and the datasource reader."""
+        root = str(tmp_path / "whw")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        rng = np.random.RandomState(7)
+        data = rng.rand(20, 12)
+        (
+            self._cells_df(spark, data).write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+        got = wh.collections.read("w").arrays.get_by_id("a1").read_data(
+            (slice(None), slice(None))
+        )
+        np.testing.assert_allclose(got, data)
+        pdf = (
+            spark.read.format("deker").option("path", root)
+            .option("collection", "w").load().toPandas()
+        )
+        assert len(pdf) == 240
+        chk = np.full((20, 12), np.nan)
+        chk[pdf["x"], pdf["y"]] = pdf["value"]
+        np.testing.assert_allclose(chk, data)
+
+    def test_aligned_input_compresses_to_runs(self, spark, tmp_path):
+        """Chunk-aligned input (1 partition) produces maximal last-dim
+        runs: 240 cells -> one sub-box row per x-row, not per cell."""
+        from deker_server_adapters_spark.core.storage import CHUNK_SCHEMA
+
+        root = str(tmp_path / "whr")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        data = np.arange(240, dtype=np.float64).reshape(20, 12)
+        (
+            self._cells_df(spark, data, n_parts=1).write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+        n_rows = (
+            spark.read.schema(CHUNK_SCHEMA)
+            .parquet(root + "/collections/w/chunks").count()
+        )
+        assert n_rows == 20  # maximal runs given C-order row bound
+        got = wh.collections.read("w").arrays.get_by_id("a1").read_data(
+            (slice(None), slice(None))
+        )
+        np.testing.assert_allclose(got, data)
+
+    def test_run_never_crosses_row_boundary(self, spark, tmp_path):
+        """(x, last_max) -> (x+1, 0) is flat-index-consecutive but must
+        break the run — a box spilling past the row end corrupts
+        neighbors (the writer's one subtle encoding rule)."""
+        root = str(tmp_path / "whb")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        data = np.zeros((20, 12))
+        data[3, 11], data[4, 0] = 1.0, 2.0  # consecutive flat indices
+        rows = [("a1", 3, 11, 1.0), ("a1", 4, 0, 2.0)]
+        df = spark.createDataFrame(
+            rows, "array_id string, x long, y long, value double"
+        ).coalesce(1)
+        df.write.format("deker").option("path", root).option(
+            "collection", "w"
+        ).mode("append").save()
+        pdf = (
+            spark.read.format("deker").option("path", root)
+            .option("collection", "w").load().toPandas()
+        )
+        assert len(pdf) == 2
+        assert {(r.x, r.y, r.value) for r in pdf.itertuples()} == {
+            (3, 11, 1.0), (4, 0, 2.0)
+        }
+
+    def test_overwrite_mode_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "who")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        df = self._cells_df(spark, np.zeros((20, 12)))
+        with pytest.raises(Exception, match="append-only"):
+            df.write.format("deker").option("path", root).option(
+                "collection", "w"
+            ).mode("overwrite").save()
+
+    def test_bad_schema_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "whs2")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        df = spark.createDataFrame([("a1", 0, 0.0)], "array_id string, x long, value double")
+        with pytest.raises(Exception, match="cell-table columns"):
+            df.write.format("deker").option("path", root).option(
+                "collection", "w"
+            ).mode("append").save()
+
+    def test_out_of_bounds_cell_fails_write(self, spark, tmp_path):
+        root = str(tmp_path / "whoob")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        df = spark.createDataFrame(
+            [("a1", 99, 0, 1.0)], "array_id string, x long, y long, value double"
+        )
+        with pytest.raises(Exception, match="outside dimension"):
+            df.write.format("deker").option("path", root).option(
+                "collection", "w"
+            ).mode("append").save()
+
+    def test_commit_registers_arrays_and_keeps_existing_meta(self, spark, tmp_path):
+        from deker_server_adapters_spark.core import AttributeSchema
+
+        schema = ArraySchema(
+            dtype="float64",
+            dimensions=(DimensionSchema("x", 20), DimensionSchema("y", 12)),
+            attributes=(AttributeSchema("note", "string", primary=False),),
+        )
+        root = str(tmp_path / "whm")
+        wh = Warehouse(spark, root)
+        coll = wh.collections.create("w", schema)
+        coll.arrays.create(custom_attributes={"note": "pre"}, id_="pre1")
+        register(spark)
+        data = np.ones((20, 12))
+        for aid in ("pre1", "new1"):
+            (
+                self._cells_df(spark, data, array_id=aid).write.format("deker")
+                .option("path", root).option("collection", "w")
+                .mode("append").save()
+            )
+        coll = wh.collections.read("w")
+        assert coll.arrays.get_by_id("new1") is not None  # registered
+        pre = coll.arrays.get_by_id("pre1")
+        assert pre.custom_attributes == {"note": "pre"}  # untouched
+
+
 def test_chunk_read_tolerates_vanished_file(spark, tmp_path):
     """COW race tolerance: a chunk file deleted between offset planning
     and read is skipped with a warning (its cells are superseded by the
