@@ -5,6 +5,14 @@ scaling cliff (quadratic pair blowup, skewed shuffle, driver
 materialization) — exactly what a 100 TB deployment would hit.
 
 Usage: python stress.py [K] (default 10)
+       python stress.py [K] --skew   (skewed-user events mode)
+
+``--skew`` additionally gives ONE user ~10%% of ALL events in the
+scaled copy and runs the user_id-partitioned window family
+(sessionization / running totals / rolling 1h) — the repo's most
+skew-exposed plans. Window partitions do NOT get AQE skew splitting
+(that's join-only), so this measures the real straggler cost of a hot
+key at 10x data.
 """
 
 from __future__ import annotations
@@ -16,7 +24,9 @@ import tempfile
 import time
 
 
-def scale_tables(spark, src_dir: str, k: int, out_dir: str) -> None:
+def scale_tables(
+    spark, src_dir: str, k: int, out_dir: str, skew_events: bool = False
+) -> None:
     from pyspark.sql import functions as F
 
     from deker_server_adapters_spark.sources.tables import TABLES, load_table
@@ -52,24 +62,45 @@ def scale_tables(spark, src_dir: str, k: int, out_dir: str) -> None:
                 scaled = scaled.withColumn(
                     "text", F.concat(F.col("text"), F.lit(" rep"), F.col("__rep"))
                 )
+            if name == "events" and skew_events:
+                # ONE hot user owns ~10% of all events across every
+                # replica — deterministic gate so reruns see the same
+                # skew
+                scaled = scaled.withColumn(
+                    "user_id",
+                    F.when(
+                        F.expr("pmod(xxhash64(event_id), 10) = 0"), F.lit(424242)
+                    ).otherwise(F.col("user_id")),
+                )
             scaled = scaled.drop("__rep")
         else:
             scaled = df
         scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
 
 
+def _force(df) -> None:
+    """Evaluate EVERY output column: a bare count() lets Catalyst prune
+    projection-only operators (a trailing Window with no downstream
+    consumer disappears entirely), silently timing just the scan."""
+    from pyspark.sql import functions as F
+
+    df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
+
 def run(ops, spark, sf_dir) -> dict[str, float]:
     timings = {}
     for name, op in ops.items():
-        op.builder(spark, sf_dir).count()  # warm codegen
+        _force(op.builder(spark, sf_dir))  # warm codegen
         t0 = time.perf_counter()
-        op.builder(spark, sf_dir).count()
+        _force(op.builder(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     return timings
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skew = "--skew" in sys.argv[1:]
+    k = int(args[0]) if args else 10
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from deker_server_adapters_spark.operators import all_ops
@@ -79,13 +110,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out_dir = tempfile.mkdtemp(prefix="deker_stress_")
-    scale_tables(spark, base, k, out_dir)
+    scale_tables(spark, base, k, out_dir, skew_events=skew)
 
-    ops = {n: o for n, o in all_ops().items() if o.headline}
+    if skew:
+        window_family = (
+            "events_sessionization",
+            "events_running_totals",
+            "events_rolling_1h",
+        )
+        ops = {n: all_ops()[n] for n in window_family}
+    else:
+        ops = {n: o for n, o in all_ops().items() if o.headline}
     t1 = run(ops, spark, base)
     tk = run(ops, spark, out_dir)
     report = {
         "k": k,
+        "skew": skew,
         "base_sec": t1,
         "scaled_sec": tk,
         "ratio": {n: round(tk[n] / max(t1[n], 1e-3), 1) for n in ops},
