@@ -704,6 +704,86 @@ GROUP BY prev_type, curr_type
 """
 
 
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-gap statistics (engagement-cadence
+    signal): lag over the same user_id partitioning every other
+    temporal op uses, gaps in integer microseconds (exact — the only
+    double is the final avg, rounded). One shuffle; the window and the
+    groupBy share the user_id hash partitioning so Catalyst plans a
+    single Exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select("user_id", (F.unix_micros("ts") - F.col("prev_us")).alias("gap_us"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+    )
+
+
+INTER_ARRIVAL_SQL = f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM {EVENTS_DUCK}
+)
+SELECT user_id, count(*) AS n_gaps,
+       min(us - prev_us) AS min_gap_us,
+       max(us - prev_us) AS max_gap_us,
+       round(avg(us - prev_us), 4) AS avg_gap_us
+FROM seq
+WHERE prev_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def events_wau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU). Distinct
+    counts don't compose across window frames, so the scalable form is
+    the COVERAGE EXPLODE: each (day, user) pair covers the next 7
+    window-end days (bounded 7x fan-out of the already-deduped daily
+    pairs — tiny vs raw events), then one exact countDistinct per
+    window day. No range join, no per-day self-join over the event
+    table; report days are semi-joined back to days with actual
+    activity so the output has no trailing ghost days."""
+    ev = load_table(spark, sf_dir, "events")
+    # day as truncated TIMESTAMP, not DATE — the repo's cross-engine
+    # day representation (DATE surfaces as different pandas dtypes from
+    # the two fetch paths and breaks type-sensitive value hashes)
+    du = ev.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    cov = du.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    return (
+        cov.join(days, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+WAU_SQL = f"""
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM {EVENTS_DUCK}),
+cov AS (
+  SELECT unnest(list_transform(range(7), i -> day + to_days(CAST(i AS INT)))) AS day, user_id
+  FROM du
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT c.day AS day, count(DISTINCT c.user_id) AS wau
+FROM cov c SEMI JOIN days d ON c.day = d.day
+GROUP BY c.day
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
@@ -753,5 +833,17 @@ OPS = {
     ),
     "events_type_transitions": Op(
         "events_type_transitions", events_type_transitions, TRANSITIONS_SQL
+    ),
+    "events_inter_arrival": Op(
+        "events_inter_arrival", events_inter_arrival, INTER_ARRIVAL_SQL
+    ),
+    "events_wau_rolling": Op(
+        "events_wau_rolling",
+        events_wau_rolling,
+        WAU_SQL,
+        description=(
+            "coverage-explode form: daily-distinct pairs fan out 7x, one "
+            "exact countDistinct per window day; no range join"
+        ),
     ),
 }

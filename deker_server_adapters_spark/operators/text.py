@@ -550,6 +550,153 @@ WHERE rn <= 3
 """
 
 
+def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-chain document filter: each rule is an
+    independent boolean column plus the combined keep decision, so a
+    pipeline can audit WHY a doc was dropped (per-rule pass rates are
+    one groupBy away). All rules are codegen'd Catalyst expressions
+    over one scan — rule count adds CPU, not passes over the data.
+
+    Rules (thresholds follow the published Gopher heuristics, adapted
+    to the synthetic corpus): token-count bounds, mean-token-length
+    bounds, punctuation-density cap, must-contain-a-stopword."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"), "text")
+    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tokens = "size(t)"
+    mean_len = f"length(array_join(t, '')) / CAST({n_tokens} AS DOUBLE)"
+    punct = "length(regexp_replace(text, '[^.!?,;:#]', '')) / CAST(length(text) AS DOUBLE)"
+    has_stop = f"size(filter(t, x -> x IN ({sw}))) > 0"
+    return toks.select(
+        "doc_id",
+        F.expr(f"{n_tokens} BETWEEN 12 AND 90").alias("rule_word_count"),
+        F.expr(f"{mean_len} BETWEEN 4.0 AND 5.0").alias("rule_mean_word_len"),
+        F.expr(f"{punct} <= 0.2").alias("rule_punct_ratio"),
+        F.expr(has_stop).alias("rule_has_stopword"),
+        F.expr(
+            f"({n_tokens} BETWEEN 12 AND 90) AND ({mean_len} BETWEEN 4.0 AND 5.0)"
+            f" AND ({punct} <= 0.2) AND ({has_stop})"
+        ).alias("keep"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tokens = "len(t)"
+    mean_len = f"length(array_to_string(t, '')) / CAST({n_tokens} AS DOUBLE)"
+    punct = (
+        "length(regexp_replace(text, '[^.!?,;:#]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+    )
+    has_stop = f"len(list_filter(t, x -> x IN ({sw}))) > 0"
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS t, text FROM documents)
+SELECT doc_id,
+       {n_tokens} BETWEEN 12 AND 90 AS rule_word_count,
+       {mean_len} BETWEEN 4.0 AND 5.0 AS rule_mean_word_len,
+       {punct} <= 0.2 AS rule_punct_ratio,
+       {has_stop} AS rule_has_stopword,
+       ({n_tokens} BETWEEN 12 AND 90) AND ({mean_len} BETWEEN 4.0 AND 5.0)
+           AND ({punct} <= 0.2) AND ({has_stop}) AS keep
+FROM toks
+"""
+
+
+def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram language-model scoring (perplexity-style quality
+    signal): MLE word-bigram model fit on the corpus itself, then each
+    document scored as mean log P(w_i | w_{i-1}).
+
+    Scale shape: per-doc bigram counts are one (doc_id, w1, w2)
+    shuffle with map-side combine; the model is a vocabulary-bigram
+    table derived from the SAME exploded stream (one extra agg, no
+    second scan) and joined back BROADCAST — at 100 TB you'd prune the
+    model to top-|V| unigrams first so the broadcast stays bounded;
+    the corpus-sized side never reshuffles for the join. Mean logprob
+    is a double accumulation rounded to 1e-4 (same cross-engine
+    boundary-risk class as docs_tfidf_topk, ~1e-12/doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
+        F.expr("size(t) >= 2")
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    uni = model.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
+    probs = model.join(uni, "w1").select(
+        "w1", "w2", (F.col("c_ab") / F.col("c_a")).alias("p")
+    )
+    return (
+        doc_bg.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * F.log("p")) / F.sum("n"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+NGRAM_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(t) - 1),
+                i -> {{'w1': t[i + 1], 'w2': t[i + 2]}})) AS s
+  FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg
+), doc_bg AS (
+  SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY doc_id, w1, w2
+), model AS (
+  SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY w1, w2
+), uni AS (
+  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM model GROUP BY w1
+), probs AS (
+  SELECT m.w1, m.w2, m.c_ab / CAST(u.c_a AS DOUBLE) AS p
+  FROM model m JOIN uni u ON m.w1 = u.w1
+)
+SELECT d.doc_id,
+       CAST(sum(d.n) AS BIGINT) AS n_bigrams,
+       round(sum(d.n * ln(p.p)) / sum(d.n), 4) AS avg_logprob
+FROM doc_bg d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
+GROUP BY d.doc_id
+"""
+
+
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix over the LID
+    heuristic — the evaluation companion to ``text_lang_id`` (at most
+    |langs|^2 rows out of one agg; the per-doc scores never leave the
+    executors)."""
+    return (
+        text_lang_id(spark, sf_dir)
+        .groupBy(
+            F.col("labeled_lang"),
+            F.coalesce("predicted_lang", F.lit("unknown")).alias("predicted_lang"),
+        )
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH lid AS ({_lang_id_sql()})
+SELECT labeled_lang, COALESCE(predicted_lang, 'unknown') AS predicted_lang,
+       count(*) AS n_docs
+FROM lid
+GROUP BY labeled_lang, COALESCE(predicted_lang, 'unknown')
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
@@ -585,6 +732,27 @@ OPS = {
             "seq_len=512, 32 doc_id-range buckets; pick buckets ~ cluster "
             "parallelism at scale (widest cumsum window = corpus/buckets)"
         ),
+    ),
+    "docs_quality_filter": Op(
+        "docs_quality_filter",
+        docs_quality_filter,
+        _quality_filter_sql(),
+        description=(
+            "Gopher-style rule chain; per-rule booleans + combined keep so "
+            "drop reasons are auditable with one groupBy"
+        ),
+    ),
+    "docs_ngram_lm_score": Op(
+        "docs_ngram_lm_score",
+        docs_ngram_lm_score,
+        NGRAM_LM_SQL,
+        description=(
+            "MLE word-bigram LM fit on the corpus, mean log-prob per doc; "
+            "model broadcast — prune to top-|V| unigrams at scale"
+        ),
+    ),
+    "docs_lang_confusion": Op(
+        "docs_lang_confusion", docs_lang_confusion, _lang_confusion_sql()
     ),
     "docs_tfidf_topk": Op(
         "docs_tfidf_topk",
