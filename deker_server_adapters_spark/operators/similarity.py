@@ -308,6 +308,90 @@ def ann_int8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 5
+
+
+def kmeans_assignments(
+    emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Scale shape: centroids are a k x dim driver-side list (a few KB)
+    compiled into ONE codegen'd argmin expression per iteration —
+    the corpus is scanned once per iteration, never reshuffled on a
+    key, and the only aggregation is the (cluster, dim) mean (k*dim
+    output rows, map-side combined). That is the canonical
+    cluster-scale k-means: data stays put, centroids travel.
+
+    Determinism: seeds are the md5-smallest vec_ids (same device as
+    the IVF coarse quantizer), ties in the argmin break to the lowest
+    cluster id, and the per-dim means are rounded to 1e-9 before
+    compilation into the next iteration's expression so float jitter
+    in the avg can't flip assignments between runs."""
+    from deker_server_adapters_spark.functions.hashing import h32
+
+    seeds = (
+        emb.withColumn("hk", h32(F.col("vec_id")))
+        .orderBy("hk", "vec_id")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [list(map(float, r.embedding)) for r in sorted(seeds, key=lambda r: r.vec_id)]
+
+    def dist_expr(c: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        return (
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> (x - y) * (x - y)),"
+            " 0D, (acc, v) -> acc + v)"
+        )
+
+    def assign(cs: list[list[float]]) -> DataFrame:
+        dists = "array(" + ", ".join(dist_expr(c) for c in cs) + ")"
+        return emb.withColumn(
+            "dists", F.expr(dists)
+        ).withColumn(
+            "cluster",
+            (F.expr("array_position(dists, array_min(dists))") - 1).cast("int"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        rows = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
+            )
+            .groupBy("cluster", "d")
+            .agg(F.avg("v").alias("cv"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, {})[r.d] = r.cv
+        cents = [
+            [round(by_cluster[c][d], 9) for d in range(len(cents[0]))]
+            if c in by_cluster
+            else cents[c]  # empty cluster keeps its centroid
+            for c in range(len(cents))
+        ]
+    return assign(cents), cents
+
+
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster summary (size + mean within-cluster squared
+    distance) after ``_KMEANS_ITERS`` Lloyd iterations. Rows-only op
+    (iterative — no SQL-expressible oracle); assignment parity vs a
+    NumPy reference implementation is pytest-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_assignments(emb)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg(F.expr("array_min(dists)")), 6).alias("avg_sqdist"),
+    )
+
+
 OPS = {
     "ann_cosine_topk": Op("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True),
     "ann_lsh_cosine": Op("ann_lsh_cosine", ann_lsh_cosine, None),
@@ -322,4 +406,14 @@ OPS = {
         ),
     ),
     "label_centroids": Op("label_centroids", label_centroids, CENTROID_SQL),
+    "embeddings_kmeans": Op(
+        "embeddings_kmeans",
+        embeddings_kmeans,
+        None,
+        description=(
+            f"Lloyd's k-means, k={_KMEANS_K}, {_KMEANS_ITERS} iterations; "
+            "centroids travel (broadcast expression), data never "
+            "reshuffles; NumPy-parity pytest"
+        ),
+    ),
 }

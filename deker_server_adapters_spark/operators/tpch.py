@@ -977,6 +977,128 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
 
 
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over brands co-purchased in one order:
+    support and lift per brand pair. Scale shape: lineitem joins the
+    small part dim BROADCAST, the per-order brand set is deduped
+    (bounded at |brands| per order, so the within-order self-join fans
+    out at most |brands|^2/2 pairs per order — a constant, not data-
+    sized), and the scalar order total rides a broadcast 1-row agg.
+    Never an all-pairs join over orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    single = ob.groupBy("brand").agg(F.count("*").alias("n_single"))
+    total = ob.agg(F.countDistinct("okey").alias("n_orders"))
+    return (
+        pairs.join(
+            broadcast(single.select(F.col("brand").alias("brand_a"),
+                                    F.col("n_single").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            broadcast(single.select(F.col("brand").alias("brand_b"),
+                                    F.col("n_single").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_both
+  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY brand_a, brand_b
+), single AS (
+  SELECT brand, count(*) AS n_single FROM ob GROUP BY brand
+), total AS (
+  SELECT count(DISTINCT okey) AS n_orders FROM ob
+)
+SELECT p.brand_a, p.brand_b, p.n_both,
+       round(p.n_both / CAST(t.n_orders AS DOUBLE), 6) AS support,
+       round((p.n_both * t.n_orders) / CAST(sa.n_single * sb.n_single AS DOUBLE), 4) AS lift
+FROM pairs p
+JOIN single sa ON p.brand_a = sa.brand
+JOIN single sb ON p.brand_b = sb.brand
+CROSS JOIN total t
+"""
+
+
+def order_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency histogram: integer-day delay between
+    o_orderdate and each lineitem's l_shipdate, bucketed by week.
+    Day-boundary counting (datediff) on both engines; load_table pins
+    the session TZ to UTC so the date conversion is deterministic.
+    One fact-fact shuffle join on orderkey, then a tiny bucket agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    days = F.datediff("l_shipdate", "o_orderdate").cast("long")
+    return (
+        joined.select(days.alias("latency_days"))
+        .select(F.expr("latency_days DIV 7").alias("week_bucket"), "latency_days")
+        .groupBy("week_bucket")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min("latency_days").alias("min_days"),
+            F.max("latency_days").alias("max_days"),
+            davg(F.col("latency_days")).alias("avg_days"),
+        )
+    )
+
+
+LATENCY_HIST_SQL = """
+WITH d AS (
+  SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS latency_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT latency_days // 7 AS week_bucket,
+       count(*) AS n_lineitems,
+       min(latency_days) AS min_days,
+       max(latency_days) AS max_days,
+       round(CAST(sum(CAST(latency_days AS DECIMAL(30,6))) AS DOUBLE) / count(latency_days), 4) AS avg_days
+FROM d
+GROUP BY week_bucket
+"""
+
+
 OPS = {
     "q1_pricing_summary": Op("q1_pricing_summary", q1_pricing_summary, Q1_SQL, headline=True),
     "order_key_sets": Op("order_key_sets", order_key_sets, ORDER_SETS_SQL),
@@ -1021,4 +1143,18 @@ OPS = {
         "customers_without_orders", customers_without_orders, NO_ORDERS_SQL
     ),
     "repeat_buyers": Op("repeat_buyers", repeat_buyers, REPEAT_BUYERS_SQL),
+    "orders_market_basket": Op(
+        "orders_market_basket",
+        orders_market_basket,
+        MARKET_BASKET_SQL,
+        description=(
+            "brand-pair support/lift; per-order fan-out bounded at "
+            "|brands|^2/2 — never an all-pairs join over orders"
+        ),
+    ),
+    "order_ship_latency_histogram": Op(
+        "order_ship_latency_histogram",
+        order_ship_latency_histogram,
+        LATENCY_HIST_SQL,
+    ),
 }

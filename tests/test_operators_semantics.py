@@ -540,3 +540,50 @@ def test_cms_candidates_are_sample_derived(spark, sf_dir):
     }
     out_users = {r["user_id"] for r in events_heavy_hitters_cms(spark, sf_dir).collect()}
     assert out_users <= sampled_users
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """Distributed Lloyd's must produce byte-identical assignments to a
+    single-node NumPy reference run from the same seeds: same argmin
+    tie-break (lowest cluster id) and same 1e-9 centroid rounding, so
+    the distributed form is the reference algorithm, not an
+    approximation of it."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        kmeans_assignments,
+    )
+    from deker_server_adapters_spark.functions.hashing import h32
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_assignments(emb)
+    got = {r.vec_id: r.cluster for r in assigned.select("vec_id", "cluster").collect()}
+
+    pdf = (
+        emb.withColumn("hk", h32(F.col("vec_id")))
+        .select("vec_id", "embedding", "hk")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.array([list(map(float, e)) for e in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    seed_ids = sorted(
+        pdf.sort_values(["hk", "vec_id"]).head(_KMEANS_K)["vec_id"].tolist()
+    )
+    C = X[np.isin(ids, seed_ids)].astype(float)
+    for _ in range(_KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # argmin takes the first (lowest) index on ties
+        C = np.array(
+            [
+                np.round(X[a == c].mean(axis=0), 9) if (a == c).any() else C[c]
+                for c in range(_KMEANS_K)
+            ]
+        )
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
+
+    assert np.allclose(np.array(cents), C, atol=1e-9)
+    mism = {v: (got[v], want[v]) for v in want if got[v] != want[v]}
+    assert not mism, f"{len(mism)} assignment mismatches, e.g. {list(mism.items())[:5]}"
