@@ -784,6 +784,72 @@ GROUP BY c.day
 """
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: per purchase, how many of the same user's
+    error events land in the following hour (p.ts, p.ts + 1h].
+
+    Scale shape — the canonical bucketed range join: a naive theta
+    join on the time inequality is a BroadcastNestedLoopJoin (pair
+    blowup); instead each purchase interval explodes into the <=2
+    hour-bins it covers, errors carry their single bin, the join is a
+    plain EQUI-join on (user_id, bin), and the exact inequality is a
+    residual filter. Fan-out is bounded by interval/bin ratio (2
+    here), the join shuffles on high-cardinality keys, and zero-match
+    purchases ride back on one left join against the purchase table."""
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    p_bins = purchases.withColumn(
+        "bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"p_us DIV {hour_us}"),
+                    F.expr(f"(p_us + {hour_us}) DIV {hour_us}"),
+                )
+            )
+        ),
+    )
+    e_bins = errors.withColumn("bin", F.expr(f"e_us DIV {hour_us}"))
+    matched = (
+        p_bins.join(
+            e_bins,
+            (F.col("user_id") == F.col("e_user")) & (p_bins.bin == e_bins.bin),
+        )
+        .filter((F.col("e_us") > F.col("p_us")) & (F.col("e_us") <= F.col("p_us") + hour_us))
+        .groupBy("purchase_event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return purchases.join(matched, "purchase_event_id", "left").select(
+        "purchase_event_id",
+        "user_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_errors_1h"),
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS p_us
+  FROM {EVENTS_DUCK} WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_us(ts) AS e_us FROM {EVENTS_DUCK} WHERE event_type = 'error'
+)
+SELECT p.purchase_event_id, p.user_id,
+       CAST(count(e.e_us) AS BIGINT) AS n_errors_1h
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id AND e.e_us > p.p_us AND e.e_us <= p.p_us + 3600000000
+GROUP BY p.purchase_event_id, p.user_id
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
@@ -836,6 +902,16 @@ OPS = {
     ),
     "events_inter_arrival": Op(
         "events_inter_arrival", events_inter_arrival, INTER_ARRIVAL_SQL
+    ),
+    "events_range_join": Op(
+        "events_range_join",
+        events_range_join,
+        RANGE_JOIN_SQL,
+        description=(
+            "bucketed range join: intervals explode into <=2 hour-bins, "
+            "equi-join on (user_id, bin) + residual inequality — never a "
+            "nested-loop theta join"
+        ),
     ),
     "events_wau_rolling": Op(
         "events_wau_rolling",

@@ -112,7 +112,10 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="deker_stress_")
     scale_tables(spark, base, k, out_dir, skew_events=skew)
 
-    if skew:
+    explicit = os.environ.get("SPARK_GRAFT_STRESS_OPS")
+    if explicit:
+        ops = {n: all_ops()[n] for n in explicit.split(",") if n}
+    elif skew:
         window_family = (
             "events_sessionization",
             "events_running_totals",

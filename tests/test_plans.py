@@ -199,3 +199,52 @@ def test_pack_sequences_window_is_bucketed_not_global(spark, sf_dir):
     window_lines = [l for l in plan.splitlines() if "Window" in l]
     assert window_lines, plan
     assert "hashpartitioning(bucket" in plan
+
+
+def test_market_basket_part_dim_broadcast_no_bnlj(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "orders_market_basket"))
+    assert "BroadcastHashJoin" in plan
+    # the within-order pair join is an equi-join on okey, never a
+    # cartesian / nested-loop over orders
+    assert "CartesianProduct" not in plan
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    # the only BNLJ allowed is the 1-row order-total scalar ride-along
+    assert bnlj <= 1, plan
+
+
+def test_wau_no_range_join(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "events_wau_rolling"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_lm_model_broadcast_onto_doc_stream(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "docs_ngram_lm_score"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_no_shuffle(spark, sf_dir):
+    """The argmin assignment is a map-only expression — the corpus is
+    scanned, never reshuffled; only the final summary agg exchanges."""
+    from deker_server_adapters_spark.operators.similarity import kmeans_assignments
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_assignments(emb, iters=1)
+    assert count_shuffles(assigned) == 0
+
+
+def test_inter_arrival_single_exchange(spark, sf_dir):
+    # the lag window and the groupBy share the user_id hash
+    # partitioning -> exactly one Exchange
+    df = _plan(spark, sf_dir, "events_inter_arrival")
+    assert count_shuffles(df) == 1
+
+
+def test_range_join_is_binned_equi_join(spark, sf_dir):
+    """The time-interval join must be the bucketed equi-join form —
+    a theta join on the raw inequality plans a nested loop."""
+    plan = physical_plan(_plan(spark, sf_dir, "events_range_join"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
