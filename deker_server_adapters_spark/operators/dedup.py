@@ -167,7 +167,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shingle *set*.) At 100 TB this is the difference between
     a map-only stage and an exploded 12x shuffle.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures_df(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """DF-level core of ``minhash_signatures`` — reusable over any
+    (doc_id, text) relation (e.g. the quality-filtered corpus in
+    ``docs_dedup_pipeline``)."""
     # Materialize tokens, then shingles, then base hashes as separate
     # projections: inlining the split/regexp chain inside the shingle
     # lambda makes Catalyst re-split the text per element (O(n^2)).
@@ -208,7 +214,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature build to construct the broadcast side (no exchange to
     reuse) — measured 1.9x slower at sf0.1 despite the smaller table.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    return minhash_pairs_df(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs_df(docs: DataFrame) -> DataFrame:
+    """DF-level core of ``dedup_minhash_lsh`` — near-dup pairs over any
+    (doc_id, text) relation."""
+    sigs = minhash_signatures_df(docs)
     n_bands = _MINHASH_K // _BAND_SIZE
     # Band keys stay as raw long columns (k0..k{B-1}), not a concat_ws
     # string: the shuffle hashes/compares two longs instead of building
@@ -769,9 +781,128 @@ GROUP BY src
 """
 
 
+def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation flagship: quality filter → exact
+    dedup → near-dup clustering, one status per document with an
+    auditable drop reason (``dropped_quality`` / ``dropped_exact_dup``
+    / ``dropped_near_dup`` / ``kept``).
+
+    Each stage only processes the previous stage's survivors — the
+    order matters at scale (the cheap codegen quality rules run on the
+    full corpus; the minhash/CC machinery only sees the quality-kept,
+    exact-deduped remainder). Stage primitives are the registry's own
+    (``quality_keep_spark``, ``minhash_pairs_df``,
+    ``components_from_pairs``), so this op can't drift from its parts.
+    The oracle replays the identical cascade with a recursive-CTE
+    transitive closure for the clustering stage."""
+    from deker_server_adapters_spark.operators.text import quality_keep_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", F.expr(_TOKENS).alias("t"))
+    flagged = toks.select(
+        "doc_id", "text", F.expr(quality_keep_spark()).alias("q_keep")
+    )
+    kept_q = flagged.filter("q_keep").select("doc_id", "text")
+    hashed = kept_q.select("doc_id", "text", F.expr(f"md5({_NORM})").alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("exact_canon"))
+    ex = hashed.join(canon, "h").select(
+        "doc_id", "text", (F.col("doc_id") != F.col("exact_canon")).alias("is_exact_dup")
+    )
+    survivors = ex.filter(~F.col("is_exact_dup")).select("doc_id", "text")
+    labels = components_from_pairs(minhash_pairs_df(survivors))
+    return (
+        docs.select("doc_id")
+        .join(flagged.select("doc_id", "q_keep"), "doc_id", "left")
+        .join(ex.select("doc_id", "is_exact_dup"), "doc_id", "left")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(~F.col("q_keep"), "dropped_quality")
+            .when(F.col("is_exact_dup"), "dropped_exact_dup")
+            .when(F.col("canonical_id") < F.col("doc_id"), "dropped_near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+def _pipeline_sql() -> str:
+    from deker_server_adapters_spark.operators.text import quality_keep_duck
+
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, {_TOKENS_DUCK} AS t FROM documents
+), q AS (
+  SELECT doc_id, text, {quality_keep_duck()} AS q_keep FROM base
+), kq AS (
+  SELECT doc_id, text FROM q WHERE q_keep
+), ex AS (
+  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5({_NORM_DUCK})) AS exact_canon
+  FROM kq
+), surv AS (
+  SELECT doc_id, text FROM ex WHERE doc_id = exact_canon
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM surv
+), hv AS (
+  SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+  FROM sh
+), seeds(seed, a, b) AS (
+  VALUES {_MH_SEEDS_VALUES}
+), sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, min((a * h + b) % {_MH_P}) AS minh
+  FROM hv, seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+  HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+), edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT doc_a AS src, doc_a AS dst FROM edges
+  UNION
+  SELECT r.src, e.doc_b AS dst
+  FROM reach r JOIN edges e ON r.dst = e.doc_a
+), labels AS (
+  SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CASE WHEN NOT q.q_keep THEN 'dropped_quality'
+            WHEN e.doc_id IS NOT NULL AND e.doc_id != e.exact_canon THEN 'dropped_exact_dup'
+            WHEN l.canonical_id < d.doc_id THEN 'dropped_near_dup'
+            ELSE 'kept' END AS status
+FROM documents d
+JOIN q ON d.doc_id = q.doc_id
+LEFT JOIN ex e ON d.doc_id = e.doc_id
+LEFT JOIN labels l ON d.doc_id = l.doc_id
+"""
+
+
 OPS = {
     "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),
     "dedup_components": Op("dedup_components", dedup_components, COMPONENTS_SQL, headline=True),
+    "docs_dedup_pipeline": Op(
+        "docs_dedup_pipeline",
+        docs_dedup_pipeline,
+        _pipeline_sql(),
+        description=(
+            "composed curation cascade (quality -> exact -> near-dup CC) "
+            "with auditable per-doc drop reasons; built from the "
+            "registry's own stage primitives"
+        ),
+    ),
     "dedup_levenshtein": Op("dedup_levenshtein", dedup_levenshtein, LEVENSHTEIN_SQL),
     "dedup_ngram_jaccard": Op("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": Op("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),

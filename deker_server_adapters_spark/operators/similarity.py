@@ -379,6 +379,88 @@ def kmeans_assignments(
     return assign(cents), cents
 
 
+_PCA_K = 4
+
+
+def pca_moments(emb: DataFrame) -> tuple[int, "list[float]", "list[list[float]]"]:
+    """One distributed pass: (n, sum vector, Gram matrix X'X).
+
+    The canonical tall-skinny PCA split (same shape Spark MLlib's
+    RowMatrix uses): each Arrow batch contributes a d-vector and a
+    d x d partial Gram computed in NumPy (BLAS — no per-element
+    Python), partials are exploded to (idx, value) and summed in one
+    tiny shuffle (4096·batches rows), and only the d x d result ever
+    reaches the driver. The corpus is scanned once and never
+    reshuffled."""
+    import numpy as np
+    import pandas as pd
+
+    dim = len(emb.select("embedding").first()[0])
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    part = emb.select("embedding").mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>"
+    )
+    n_total = part.agg(F.sum("n")).first()[0]
+    s_rows = (
+        part.select(F.posexplode("s").alias("i", "v")).groupBy("i").agg(F.sum("v").alias("v"))
+    ).collect()
+    g_rows = (
+        part.select(F.posexplode("g").alias("i", "v")).groupBy("i").agg(F.sum("v").alias("v"))
+    ).collect()
+    s = [0.0] * dim
+    for r in s_rows:
+        s[r.i] = r.v
+    g_flat = [0.0] * (dim * dim)
+    for r in g_rows:
+        g_flat[r.i] = r.v
+    gram = [g_flat[i * dim : (i + 1) * dim] for i in range(dim)]
+    return int(n_total), s, gram
+
+
+def embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_PCA_K`` principal components of the embedding corpus.
+
+    The O(N) work (mean + Gram) is one distributed pass
+    (``pca_moments``); the d x d covariance eigensolve is driver math
+    on a bounded matrix — exactly how Spark MLlib's
+    ``computePrincipalComponents`` splits the problem for d up to
+    65535. Output is sign-free (eigenvalue, explained-variance ratio,
+    index of the largest-|loading| dimension); NumPy parity is
+    pytest-checked. Rows-only (eigensolve is not SQL-expressible)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, gram = pca_moments(emb)
+    mu = np.array(s) / n
+    cov = (np.array(gram) - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:_PCA_K]
+    total_var = float(evals.sum())
+    rows = [
+        (
+            int(rank),
+            float(round(evals[i], 6)),
+            float(round(evals[i] / total_var, 6)),
+            int(np.abs(evecs[:, i]).argmax()),
+        )
+        for rank, i in enumerate(order)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_var double, top_loading_dim int"
+    )
+
+
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster summary (size + mean within-cluster squared
     distance) after ``_KMEANS_ITERS`` Lloyd iterations. Rows-only op
@@ -406,6 +488,16 @@ OPS = {
         ),
     ),
     "label_centroids": Op("label_centroids", label_centroids, CENTROID_SQL),
+    "embeddings_pca": Op(
+        "embeddings_pca",
+        embeddings_pca,
+        None,
+        description=(
+            f"top-{_PCA_K} PCs; O(N) mean+Gram in one distributed pass "
+            "(BLAS per Arrow batch), d x d eigensolve on the driver — "
+            "the MLlib RowMatrix split; NumPy-parity pytest"
+        ),
+    ),
     "embeddings_kmeans": Op(
         "embeddings_kmeans",
         embeddings_kmeans,

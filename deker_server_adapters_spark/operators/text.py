@@ -550,6 +550,45 @@ WHERE rn <= 3
 """
 
 
+def quality_rules_spark() -> tuple[str, str, str, str]:
+    """The four rule sub-expressions over columns ``t`` (token array)
+    and ``text`` — shared by ``docs_quality_filter`` and the composed
+    ``docs_dedup_pipeline`` so the two can never drift."""
+    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tokens = "size(t)"
+    mean_len = f"length(array_join(t, '')) / CAST({n_tokens} AS DOUBLE)"
+    punct = "length(regexp_replace(text, '[^.!?,;:#]', '')) / CAST(length(text) AS DOUBLE)"
+    has_stop = f"size(filter(t, x -> x IN ({sw}))) > 0"
+    return n_tokens, mean_len, punct, has_stop
+
+
+def quality_keep_spark() -> str:
+    n_tokens, mean_len, punct, has_stop = quality_rules_spark()
+    return (
+        f"({n_tokens} BETWEEN 12 AND 90) AND ({mean_len} BETWEEN 4.0 AND 5.0)"
+        f" AND ({punct} <= 0.2) AND ({has_stop})"
+    )
+
+
+def quality_rules_duck() -> tuple[str, str, str, str]:
+    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    n_tokens = "len(t)"
+    mean_len = f"length(array_to_string(t, '')) / CAST({n_tokens} AS DOUBLE)"
+    punct = (
+        "length(regexp_replace(text, '[^.!?,;:#]', '', 'g')) / CAST(length(text) AS DOUBLE)"
+    )
+    has_stop = f"len(list_filter(t, x -> x IN ({sw}))) > 0"
+    return n_tokens, mean_len, punct, has_stop
+
+
+def quality_keep_duck() -> str:
+    n_tokens, mean_len, punct, has_stop = quality_rules_duck()
+    return (
+        f"({n_tokens} BETWEEN 12 AND 90) AND ({mean_len} BETWEEN 4.0 AND 5.0)"
+        f" AND ({punct} <= 0.2) AND ({has_stop})"
+    )
+
+
 def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style rule-chain document filter: each rule is an
     independent boolean column plus the combined keep decision, so a
@@ -562,11 +601,7 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds, punctuation-density cap, must-contain-a-stopword."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"), "text")
-    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
-    n_tokens = "size(t)"
-    mean_len = f"length(array_join(t, '')) / CAST({n_tokens} AS DOUBLE)"
-    punct = "length(regexp_replace(text, '[^.!?,;:#]', '')) / CAST(length(text) AS DOUBLE)"
-    has_stop = f"size(filter(t, x -> x IN ({sw}))) > 0"
+    n_tokens, mean_len, punct, has_stop = quality_rules_spark()
     return toks.select(
         "doc_id",
         F.expr(f"{n_tokens} BETWEEN 12 AND 90").alias("rule_word_count"),
@@ -581,13 +616,7 @@ def docs_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_filter_sql() -> str:
-    sw = ", ".join(f"'{s}'" for s in _STOPWORDS)
-    n_tokens = "len(t)"
-    mean_len = f"length(array_to_string(t, '')) / CAST({n_tokens} AS DOUBLE)"
-    punct = (
-        "length(regexp_replace(text, '[^.!?,;:#]', '', 'g')) / CAST(length(text) AS DOUBLE)"
-    )
-    has_stop = f"len(list_filter(t, x -> x IN ({sw}))) > 0"
+    n_tokens, mean_len, punct, has_stop = quality_rules_duck()
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_DUCK} AS t, text FROM documents)
 SELECT doc_id,
@@ -697,6 +726,90 @@ GROUP BY labeled_lang, COALESCE(predicted_lang, 'unknown')
 """
 
 
+_PMI_VOCAB = 100
+_PMI_MIN_DOCS = 5
+
+
+def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of term co-occurrence (within-doc),
+    restricted to the top-``_PMI_VOCAB`` corpus terms.
+
+    Scale shape: the vocabulary cap is what makes this tractable — the
+    top-V term list is a bounded BROADCAST, per-doc distinct terms are
+    then at most V, and the within-doc pair self-join fans out at most
+    V^2/2 per doc (a constant). Doc frequencies broadcast back onto
+    the pair stream. PMI ranks collocations for phrase mining /
+    tokenizer merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(_PMI_VOCAB)
+        .select("tok")
+    )
+    dt = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok").distinct()
+    dfreq = dt.groupBy("tok").agg(F.count("*").alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_DOCS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(dfreq.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))),
+            "tok_b",
+        )
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.lit(float(n_docs)))
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+PMI_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (SELECT tok, count(*) AS tf FROM toks GROUP BY tok)
+  ORDER BY tf DESC, tok LIMIT {_PMI_VOCAB}
+),
+dt AS (SELECT DISTINCT t.doc_id, t.tok FROM toks t SEMI JOIN vocab v ON t.tok = v.tok),
+dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+  GROUP BY tok_a, tok_b
+  HAVING count(*) >= {_PMI_MIN_DOCS}
+)
+SELECT p.tok_a, p.tok_b, p.n_ab,
+       round(ln((p.n_ab * n.n_docs) / CAST(da.df * db.df AS DOUBLE)), 4) AS pmi
+FROM pairs p
+JOIN dfreq da ON p.tok_a = da.tok
+JOIN dfreq db ON p.tok_b = db.tok
+CROSS JOIN n
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
@@ -753,6 +866,16 @@ OPS = {
     ),
     "docs_lang_confusion": Op(
         "docs_lang_confusion", docs_lang_confusion, _lang_confusion_sql()
+    ),
+    "text_term_pmi": Op(
+        "text_term_pmi",
+        text_term_pmi,
+        PMI_SQL,
+        description=(
+            f"within-doc co-occurrence PMI over the top-{_PMI_VOCAB} "
+            "vocabulary (broadcast cap bounds the pair fan-out at V^2/2 "
+            f"per doc); pairs in >= {_PMI_MIN_DOCS} docs"
+        ),
     ),
     "docs_tfidf_topk": Op(
         "docs_tfidf_topk",

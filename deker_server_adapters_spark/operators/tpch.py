@@ -1058,6 +1058,101 @@ CROSS JOIN total t
 """
 
 
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by cumulative revenue share
+    (A: first 20% of revenue, B: to 50%, C: the tail).
+
+    Scale shape: the global revenue-ordered cumulative sum is the
+    docs_pack_sequences trick again, NOT a SinglePartition window —
+    revenue magnitude buckets (floor(log2(revenue)), which ORDER the
+    rows by construction: every row in a higher bucket outranks every
+    row in a lower one) give a per-bucket window plus <=64 bucket
+    totals collected to the driver as broadcast prefix offsets.
+    Revenue is decimal-exact so the cumulative shares are bit-identical
+    across engines and partitionings; only the final share ratio is a
+    (deterministic single-op) double division."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        ).alias("rev")
+    )
+    rev = rev.withColumn(
+        "bucket", F.expr("CAST(floor(log2(CAST(rev AS DOUBLE) + 1.0)) AS INT)")
+    )
+    totals = {
+        r.bucket: r.t
+        for r in rev.groupBy("bucket").agg(F.sum("rev").alias("t")).collect()
+    }
+    from decimal import Decimal
+
+    grand = sum(totals.values(), Decimal(0))
+    offsets = {}
+    for b in sorted(totals, reverse=True):  # higher bucket = higher revenue
+        offsets[b] = sum((t for bb, t in totals.items() if bb > b), Decimal(0))
+    from pyspark.sql.types import DecimalType, IntegerType, StructField, StructType
+
+    off_df = spark.createDataFrame(
+        [(int(b), v) for b, v in offsets.items()],
+        StructType(
+            [
+                StructField("bucket", IntegerType()),
+                StructField("base", DecimalType(38, 6)),
+            ]
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("rev"), "p_partkey")
+    cum = (
+        rev.join(F.broadcast(off_df), "bucket")
+        .withColumn(
+            "cum_rev",
+            F.col("base")
+            + F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.col("cum_rev").cast("double") / F.lit(float(grand)), 6
+            ),
+        )
+    )
+    return cum.select(
+        "p_partkey",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        "cum_share",
+        F.when(F.col("cum_share") <= 0.2, "A")
+        .when(F.col("cum_share") <= 0.5, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS p_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev
+  FROM lineitem GROUP BY l_partkey
+), cum AS (
+  SELECT p_partkey, rev,
+         sum(rev) OVER (ORDER BY rev DESC, p_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         sum(rev) OVER () AS grand
+  FROM rev
+)
+SELECT p_partkey,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round(CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS cum_share,
+       CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE), 6) <= 0.2 THEN 'A'
+            WHEN round(CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE), 6) <= 0.5 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM cum
+"""
+
+
 def order_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency histogram: integer-day delay between
     o_orderdate and each lineitem's l_shipdate, bucketed by week.
@@ -1156,5 +1251,15 @@ OPS = {
         "order_ship_latency_histogram",
         order_ship_latency_histogram,
         LATENCY_HIST_SQL,
+    ),
+    "orders_abc_pareto": Op(
+        "orders_abc_pareto",
+        orders_abc_pareto,
+        ABC_SQL,
+        description=(
+            "global revenue-ordered cumsum via log2-magnitude buckets + "
+            "broadcast prefix offsets — no SinglePartition window; "
+            "decimal-exact accumulation"
+        ),
     ),
 }

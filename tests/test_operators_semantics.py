@@ -587,3 +587,38 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     assert np.allclose(np.array(cents), C, atol=1e-9)
     mism = {v: (got[v], want[v]) for v in want if got[v] != want[v]}
     assert not mism, f"{len(mism)} assignment mismatches, e.g. {list(mism.items())[:5]}"
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    """The distributed moments pass must reproduce NumPy's exact
+    covariance PCA: same eigenvalues and (up to sign) the same
+    components."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _PCA_K,
+        embeddings_pca,
+        pca_moments,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+
+    # distributed moments agree with the single-node covariance
+    n, s, gram = pca_moments(emb)
+    mu = np.array(s) / n
+    dist_cov = (np.array(gram) - n * np.outer(mu, mu)) / (n - 1)
+    assert n == len(X)
+    assert np.allclose(dist_cov, cov, atol=1e-8)
+
+    got = {
+        r.component: (r.eigenvalue, r.explained_var)
+        for r in embeddings_pca(spark, sf_dir).collect()
+    }
+    assert len(got) == _PCA_K
+    for rank in range(_PCA_K):
+        assert abs(got[rank][0] - evals[rank]) < 1e-4, (rank, got[rank], evals[rank])
+    # ranked strictly by eigenvalue
+    assert all(got[r][0] >= got[r + 1][0] for r in range(_PCA_K - 1))
