@@ -232,6 +232,67 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_inter_arrival(events: DataFrame) -> DataFrame:
+    """Stateful twin of the batch ``events_inter_arrival``: per-user
+    inter-arrival gap statistics maintained incrementally. State is
+    five scalars per user (last timestamp + count/min/max/sum of gaps)
+    — O(users) state total, no event retention; each micro-batch emits
+    the user's refreshed stats (update semantics).
+
+    Cross-batch guarantee: a gap spanning two micro-batches is counted
+    exactly once, against the carried last-event timestamp. Within a
+    batch events sort by (ts, event_id) — the batch op's window order.
+    Gap COUNTS are arrival-order independent; gap VALUES are computed
+    in arrival order, so they equal the batch op's exactly when
+    micro-batches arrive in event-time order (the file-source multi-
+    batch test asserts the count invariant, the single-batch test full
+    equality)."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "user_id long, n_gaps long, min_gap_us long, max_gap_us long, avg_gap_us double"
+    )
+    state_schema = "last_us long, n long, mn long, mx long, sm long"
+
+    def update(key, pdfs, state):
+        have_last = state.exists
+        last_us, n, mn, mx, sm = state.get if state.exists else (0, 0, 0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            seq = np.concatenate(([last_us], us)) if have_last else us
+            gaps = np.diff(seq)
+            if len(gaps):
+                gmn, gmx = int(gaps.min()), int(gaps.max())
+                mn = gmn if n == 0 else min(mn, gmn)
+                mx = gmx if n == 0 else max(mx, gmx)
+                sm += int(gaps.sum())
+                n += len(gaps)
+            last_us = int(us[-1])
+            have_last = True
+        state.update((last_us, n, mn, mx, sm))
+        cols = ["user_id", "n_gaps", "min_gap_us", "max_gap_us", "avg_gap_us"]
+        if n > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_gaps": [n],
+                    "min_gap_us": [mn],
+                    "max_gap_us": [mx],
+                    "avg_gap_us": [round(sm / n, 4)],
+                }
+            )
+        else:
+            yield pd.DataFrame(columns=cols)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def streaming_anomaly_zscore(events: DataFrame, stats: DataFrame) -> DataFrame:
     """STREAM-STATIC join: score a live event stream against
     batch-computed per-type moments (the deploy pattern for the batch

@@ -242,3 +242,56 @@ def test_streaming_anomaly_equals_batch(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_inter_arrival_equals_batch(spark, sf_dir):
+    from deker_server_adapters_spark.operators.events import events_inter_arrival
+    from deker_server_adapters_spark.streaming.events_stream import (
+        streaming_inter_arrival,
+    )
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_inter_arrival(src), "t_gaps", "update")
+    got = (
+        spark.table("t_gaps")
+        .groupBy("user_id")
+        .agg(  # update sink keeps one row per (user, batch); last wins
+            F.max("n_gaps").alias("n_gaps"),
+            F.min("min_gap_us").alias("min_gap_us"),
+            F.max("max_gap_us").alias("max_gap_us"),
+            F.last("avg_gap_us").alias("avg_gap_us"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        events_inter_arrival(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_inter_arrival_multi_batch_counts_cross_batch_gap(spark, sf_dir):
+    """Gaps spanning micro-batch boundaries must be counted exactly
+    once against carried state: total final n_gaps per user equals the
+    batch op's regardless of file split."""
+    from deker_server_adapters_spark.operators.events import events_inter_arrival
+    from deker_server_adapters_spark.streaming.events_stream import (
+        streaming_inter_arrival,
+    )
+
+    src = stream_events_source(spark, sf_dir, n_files=6)
+    _run_stream(streaming_inter_arrival(src), "t_gaps_mb", "update")
+    got = (
+        spark.table("t_gaps_mb").groupBy("user_id").agg(F.max("n_gaps").alias("n_gaps"))
+    ).toPandas().set_index("user_id")["n_gaps"]
+    want = (
+        events_inter_arrival(spark, sf_dir)
+        .select("user_id", "n_gaps")
+        .toPandas()
+        .set_index("user_id")["n_gaps"]
+    )
+    assert got.sort_index().equals(want.sort_index())
