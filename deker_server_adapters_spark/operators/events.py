@@ -784,6 +784,40 @@ GROUP BY c.day
 """
 
 
+_DECAY_TAU_US = 7 * 86_400_000_000  # 7-day e-folding
+
+
+def events_user_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed value per user (recency-weighted CLV
+    — the standard feature-engineering primitive for churn/ranking
+    models): sum of value * exp(-(T_max - t)/tau), tau = 7 days.
+
+    Float discipline: the per-row decayed contribution (one exp + one
+    multiply) is rounded to 1e-9 and accumulated in DECIMAL(30,9), so
+    the SUM is order-independent and bit-identical across engines and
+    partitionings; only the per-row exp carries the disclosed 1-ulp
+    libm-vs-JVM boundary risk (~1e-12/row at the rounding edge). T_max
+    is one scalar aggregate broadcast into the expression."""
+    ev = load_table(spark, sf_dir, "events")
+    t_max = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    w = F.exp(-(F.lit(int(t_max)) - F.unix_micros("ts")) / F.lit(float(_DECAY_TAU_US)))
+    contrib = F.round(F.col("value") * w, 9).cast("decimal(30,9)")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(contrib), 4).cast("double").alias("decayed_value"),
+    )
+
+
+DECAY_SQL = f"""
+WITH tm AS (SELECT max(epoch_us(ts)) AS t_max FROM {EVENTS_DUCK})
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(round(value * exp(-(tm.t_max - epoch_us(ts)) / {float(_DECAY_TAU_US)}), 9)
+                           AS DECIMAL(30,9))), 4) AS DOUBLE) AS decayed_value
+FROM {EVENTS_DUCK} CROSS JOIN tm
+GROUP BY user_id
+"""
+
+
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval range join: per purchase, how many of the same user's
     error events land in the following hour (p.ts, p.ts + 1h].
@@ -902,6 +936,15 @@ OPS = {
     ),
     "events_inter_arrival": Op(
         "events_inter_arrival", events_inter_arrival, INTER_ARRIVAL_SQL
+    ),
+    "events_user_value_decay": Op(
+        "events_user_value_decay",
+        events_user_value_decay,
+        DECAY_SQL,
+        description=(
+            "7-day e-folding recency weight; per-row contribution rounded "
+            "to 1e-9 then decimal-accumulated (order-independent sum)"
+        ),
     ),
     "events_range_join": Op(
         "events_range_join",

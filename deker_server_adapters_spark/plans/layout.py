@@ -63,3 +63,47 @@ def zorder_layout(df: DataFrame, cols: list[str], n_partitions: int) -> DataFram
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def compaction_plan(
+    input_dir: str, target_file_bytes: int = 256 * 1024 * 1024
+) -> tuple[int, int, int]:
+    """Small-file compaction sizing: (n_files, total_bytes,
+    target_partitions) for a parquet dataset directory.
+
+    The 100 TB operational problem this serves: streaming ingest and
+    per-chunk writes leave datasets with thousands of KB-scale files;
+    every query then pays per-file open/footer costs and the scheduler
+    pays per-split overhead. Target partitions = ceil(total/target) so
+    the rewrite lands near the target file size (parquet encoding
+    usually shrinks the on-disk result further — callers who need
+    exact sizing should measure the input's encoded density, not
+    assume raw bytes)."""
+    import os
+
+    n_files = 0
+    total = 0
+    for root, _dirs, files in os.walk(input_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                n_files += 1
+                total += os.path.getsize(os.path.join(root, f))
+    target_parts = max(1, -(-total // target_file_bytes))
+    return n_files, total, int(target_parts)
+
+
+def compact_files(
+    spark,
+    input_dir: str,
+    output_dir: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Rewrite a many-small-files parquet dataset into
+    ``ceil(total_bytes/target)`` files. ``coalesce`` (not
+    ``repartition``): compaction must not pay a shuffle — tasks just
+    concatenate input splits, so the rewrite cost is one read + one
+    write of the data. Returns the partition count used."""
+    _n, _total, parts = compaction_plan(input_dir, target_file_bytes)
+    df = spark.read.parquet(input_dir)
+    df.coalesce(parts).write.mode("overwrite").parquet(output_dir)
+    return parts

@@ -162,3 +162,25 @@ def test_zvalue_orders_like_morton():
     assert out[(0, 1)] == 2  # b is bit 1
     assert out[(1, 1)] == 3
     assert out[(2, 2)] == 12  # next bit pair
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    from deker_server_adapters_spark.plans.layout import (
+        compact_files,
+        compaction_plan,
+    )
+
+    src = str(tmp_path / "many")
+    # 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    n_files, total, parts = compaction_plan(src, target_file_bytes=10**9)
+    assert n_files == 40 and total > 0 and parts == 1
+
+    out = str(tmp_path / "compact")
+    used = compact_files(spark, src, out, target_file_bytes=10**9)
+    assert used == 1
+    import glob
+
+    out_files = glob.glob(out + "/*.parquet")
+    assert len(out_files) == 1
+    assert spark.read.parquet(out).count() == 4000
