@@ -781,6 +781,121 @@ GROUP BY src
 """
 
 
+def docs_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality evaluation: every minhash candidate pair with
+    its TRUE shingle-set Jaccard and the absolute estimation error —
+    the measure-don't-guess primitive for tuning K/band parameters.
+
+    Scale shape: the exact Jaccard (quadratic in general) is computed
+    ONLY for the candidate docs — the shingle table is semi-joined
+    down to pair members (broadcast: the pair table is tiny relative
+    to the corpus by construction) before the inverted-index join, so
+    the exact pass costs O(candidate docs), not O(corpus)."""
+    pairs = minhash_pairs_df(load_table(spark, sf_dir, "documents"))
+    sh = _shingle_table(spark, sf_dir)
+    pair_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shp = sh.join(F.broadcast(pair_docs), "doc_id")
+    sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = shp.alias("a"), shp.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        common.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return (
+        pairs.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+            F.round(
+                F.abs(F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))), 4
+            ).alias("abs_err"),
+        )
+    )
+
+
+NEAR_DUP_EVAL_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), hv AS (
+  SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+  FROM sh
+), seeds(seed, a, b) AS (
+  VALUES {_MH_SEEDS_VALUES}
+), sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, min((a * h + b) % {_MH_P}) AS minh
+  FROM hv, seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b,
+         round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) AS est_jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+  GROUP BY doc_a, doc_b
+  HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+), pair_docs AS (
+  SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+), shp AS (
+  SELECT sh.doc_id, sh.shingle FROM sh SEMI JOIN pair_docs p ON sh.doc_id = p.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shp GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+), exact AS (
+  SELECT c.doc_a, c.doc_b,
+         round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE), 4) AS exact_jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.est_jaccard,
+       COALESCE(e.exact_jaccard, 0.0) AS exact_jaccard,
+       round(abs(p.est_jaccard - COALESCE(e.exact_jaccard, 0.0)), 4) AS abs_err
+FROM pairs p
+LEFT JOIN exact e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
+"""
+
+
 def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed corpus-curation flagship: quality filter → exact
     dedup → near-dup clustering, one status per document with an
@@ -893,10 +1008,20 @@ LEFT JOIN labels l ON d.doc_id = l.doc_id
 OPS = {
     "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),
     "dedup_components": Op("dedup_components", dedup_components, COMPONENTS_SQL, headline=True),
+    "docs_near_dup_eval": Op(
+        "docs_near_dup_eval",
+        docs_near_dup_eval,
+        NEAR_DUP_EVAL_SQL,
+        description=(
+            "minhash estimate vs true shingle Jaccard per candidate pair; "
+            "the exact pass is semi-joined down to candidate docs only"
+        ),
+    ),
     "docs_dedup_pipeline": Op(
         "docs_dedup_pipeline",
         docs_dedup_pipeline,
         _pipeline_sql(),
+        headline=True,
         description=(
             "composed curation cascade (quality -> exact -> near-dup CC) "
             "with auditable per-doc drop reasons; built from the "
