@@ -219,6 +219,35 @@ WHERE CAST(CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) 
 """
 
 
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted Bernoulli sample: inclusion
+    probability min(1, n_chars/2000) per doc, membership a pure
+    integer function of doc_id (md5 gate in basis points) — no RNG
+    state, identical members on any engine, partitioning, or re-run;
+    the sampled-probability column rides along so downstream
+    estimators can Horvitz-Thompson reweight."""
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        "CAST(conv(substr(md5(concat('wsample:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+        " AS BIGINT) % 10000"
+    )
+    p_bps = "least(10000, n_chars * 5)"  # n_chars/2000 in basis points
+    return docs.filter(F.expr(f"({gate}) < ({p_bps})")).select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"CAST({p_bps} AS BIGINT)").alias("p_bps"),
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       CAST(least(10000, n_chars * 5) AS BIGINT) AS p_bps
+FROM documents
+WHERE CAST(CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 10000
+      < least(10000, n_chars * 5)
+"""
+
+
 def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 split by hash range — stable across
     engines, re-runs, and data re-partitioning (the property RNG-based
@@ -816,6 +845,15 @@ OPS = {
     "text_vocabulary": Op("text_vocabulary", text_vocabulary, VOCAB_SQL),
     "docs_stratified_sample": Op(
         "docs_stratified_sample", docs_stratified_sample, STRATIFIED_SQL
+    ),
+    "docs_weighted_sample": Op(
+        "docs_weighted_sample",
+        docs_weighted_sample,
+        WEIGHTED_SAMPLE_SQL,
+        description=(
+            "length-weighted Bernoulli sample via integer hash gate; "
+            "p_bps column enables Horvitz-Thompson reweighting"
+        ),
     ),
     "docs_train_val_test_split": Op(
         "docs_train_val_test_split", docs_train_val_test_split, SPLIT_SQL

@@ -1058,6 +1058,43 @@ CROSS JOIN total t
 """
 
 
+def customer_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the aggregation lattice subsets ROLLUP
+    and CUBE can't express: exactly (segment), (status), and
+    (priority), no combined or grand-total rows. Spark's DataFrame API
+    has no groupingSets method, so this goes through spark.sql on a
+    temp view — still one shuffle, the grouping-set expansion is a
+    map-side Expand node."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    orders.join(cust, orders.o_custkey == cust.c_custkey).createOrReplaceTempView(
+        "__gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+               coalesce(o_orderstatus, 'ALL') AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE)
+                   AS total_price,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS mktsegment,
+       coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), (o_orderpriority))
+"""
+
+
 def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC/Pareto classification of parts by cumulative revenue share
     (A: first 20% of revenue, B: to 50%, C: the tail).
@@ -1251,6 +1288,11 @@ OPS = {
         "order_ship_latency_histogram",
         order_ship_latency_histogram,
         LATENCY_HIST_SQL,
+    ),
+    "customer_order_grouping_sets": Op(
+        "customer_order_grouping_sets",
+        customer_order_grouping_sets,
+        GROUPING_SETS_SQL,
     ),
     "orders_abc_pareto": Op(
         "orders_abc_pareto",

@@ -248,3 +248,24 @@ def test_range_join_is_binned_equi_join(spark, sf_dir):
     plan = physical_plan(_plan(spark, sf_dir, "events_range_join"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_abc_pareto_window_never_single_partition(spark, sf_dir):
+    """The global revenue-ordered cumsum must run as per-bucket windows
+    + broadcast offsets — a naive Window.orderBy with no partitionBy
+    plans an Exchange SinglePartition (the whole table through one
+    task)."""
+    plan = physical_plan(_plan(spark, sf_dir, "orders_abc_pareto"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_near_dup_eval_no_pair_blowup(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "docs_near_dup_eval"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_pipeline_no_cartesian(spark, sf_dir):
+    plan = physical_plan(_plan(spark, sf_dir, "docs_dedup_pipeline"))
+    assert "CartesianProduct" not in plan
