@@ -232,6 +232,27 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_wau_sliding(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``events_wau_rolling``: 7-day sliding windows
+    advancing daily, approximate distinct users per window.
+
+    The deliberate batch/stream split: exact rolling distincts need
+    the full user set per window (unbounded state on a stream), so the
+    streaming form uses approx_count_distinct (HLL++ — bounded sketch
+    state per window) under a 1-day watermark, while the batch op
+    stays exact and oracle-checked. HLL is deterministic for the same
+    input set, so a single-batch run equals the batch form of the SAME
+    approximate aggregate exactly (pytest-pinned)."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("wau_approx"))
+        .select(F.col("w.end").alias("window_end"), "wau_approx")
+    )
+
+
 def streaming_inter_arrival(events: DataFrame) -> DataFrame:
     """Stateful twin of the batch ``events_inter_arrival``: per-user
     inter-arrival gap statistics maintained incrementally. State is

@@ -295,3 +295,29 @@ def test_streaming_inter_arrival_multi_batch_counts_cross_batch_gap(spark, sf_di
         .set_index("user_id")["n_gaps"]
     )
     assert got.sort_index().equals(want.sort_index())
+
+
+def test_streaming_wau_sliding_equals_batch_aggregate(spark, sf_dir):
+    """HLL++ is deterministic for a given input set, so one micro-batch
+    through the streaming sliding window must equal the identical
+    batch aggregate bit-for-bit."""
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.events_stream import (
+        streaming_wau_sliding,
+    )
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_wau_sliding(src), "t_wau", "complete")
+    got = (
+        spark.table("t_wau").toPandas().sort_values("window_end").reset_index(drop=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("wau_approx"))
+        .select(F.col("w.end").alias("window_end"), "wau_approx")
+        .toPandas()
+        .sort_values("window_end")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
