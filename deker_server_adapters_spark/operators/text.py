@@ -659,6 +659,9 @@ FROM toks
 """
 
 
+_LM_MAX_BIGRAMS = 200_000
+
+
 def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-bigram language-model scoring (perplexity-style quality
     signal): MLE word-bigram model fit on the corpus itself, then each
@@ -667,9 +670,9 @@ def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per-doc bigram counts are one (doc_id, w1, w2)
     shuffle with map-side combine; the model is a vocabulary-bigram
     table derived from the SAME exploded stream (one extra agg, no
-    second scan) and joined back BROADCAST — at 100 TB you'd prune the
-    model to top-|V| unigrams first so the broadcast stays bounded;
-    the corpus-sized side never reshuffles for the join. Mean logprob
+    second scan), capped at the top-``_LM_MAX_BIGRAMS`` types so the
+    BROADCAST is bounded by construction (a no-op below the cap), and
+    joined back broadcast — the corpus-sized side never reshuffles. Mean logprob
     is a double accumulation rounded to 1e-4 (same cross-engine
     boundary-risk class as docs_tfidf_topk, ~1e-12/doc)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -687,6 +690,14 @@ def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "b.w1", "b.w2")
     doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
     model = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    # Bound the broadcast BY CONSTRUCTION, not by hope: keep the top-M
+    # bigram types (deterministic order: count desc, then lexicographic).
+    # At test SFs the corpus has < M types so results are unchanged; at
+    # 100 TB this is the cap that keeps the model broadcastable, and
+    # out-of-model bigrams simply drop out of a doc's scored mass.
+    model = (
+        model.orderBy(F.desc("c_ab"), "w1", "w2").limit(_LM_MAX_BIGRAMS)
+    )
     uni = model.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     probs = model.join(uni, "w1").select(
         "w1", "w2", (F.col("c_ab") / F.col("c_a")).alias("p")
@@ -716,6 +727,7 @@ bg AS (
   SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY doc_id, w1, w2
 ), model AS (
   SELECT w1, w2, count(*) AS c_ab FROM pairs GROUP BY w1, w2
+  ORDER BY c_ab DESC, w1, w2 LIMIT {_LM_MAX_BIGRAMS}
 ), uni AS (
   SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a FROM model GROUP BY w1
 ), probs AS (
@@ -899,7 +911,8 @@ OPS = {
         NGRAM_LM_SQL,
         description=(
             "MLE word-bigram LM fit on the corpus, mean log-prob per doc; "
-            "model broadcast — prune to top-|V| unigrams at scale"
+            "model capped at top-200k bigram types so the broadcast is "
+            "bounded by construction"
         ),
     ),
     "docs_lang_confusion": Op(
