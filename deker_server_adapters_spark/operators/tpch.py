@@ -1101,9 +1101,9 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the global revenue-ordered cumulative sum is the
     docs_pack_sequences trick again, NOT a SinglePartition window —
-    revenue magnitude buckets (floor(log2(revenue)), which ORDER the
+    revenue magnitude buckets (floor(8*log2(revenue)), which ORDER the
     rows by construction: every row in a higher bucket outranks every
-    row in a lower one) give a per-bucket window plus <=64 bucket
+    row in a lower one) give a per-bucket window plus a few hundred bucket
     totals collected to the driver as broadcast prefix offsets.
     Revenue is decimal-exact so the cumulative shares are bit-identical
     across engines and partitionings; only the final share ratio is a
@@ -1118,8 +1118,14 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
+    # 8 buckets per revenue octave (floor(8*log2)): a monotonic
+    # function of revenue, so bucket order IS revenue order, with 8x
+    # finer granularity than whole octaves — revenue distributions
+    # concentrate in a few octaves and whole-octave buckets would put
+    # most of the table through one window partition. Totals stay
+    # driver-bounded (a few hundred rows).
     rev = rev.withColumn(
-        "bucket", F.expr("CAST(floor(log2(CAST(rev AS DOUBLE) + 1.0)) AS INT)")
+        "bucket", F.expr("CAST(floor(8 * log2(CAST(rev AS DOUBLE) + 1.0)) AS INT)")
     )
     totals = {
         r.bucket: r.t
