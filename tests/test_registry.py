@@ -48,3 +48,16 @@ def test_all_ops_orders_stale_first():
     names = list(all_ops())
     ranks = [green.get(n, -1) for n in names]
     assert ranks == sorted(ranks)  # never-checked/broken lead, freshest last
+
+
+def test_operator_catalog_is_current():
+    """docs/OPERATORS.md must match what the generator renders from the
+    live registry — a stale catalog misdocuments the API surface."""
+    from pathlib import Path
+
+    from deker_server_adapters_spark.catalog import render
+
+    on_disk = Path("docs/OPERATORS.md").read_text()
+    assert on_disk == render(), (
+        "docs/OPERATORS.md is stale; run python -m deker_server_adapters_spark.catalog"
+    )
