@@ -767,6 +767,70 @@ GROUP BY labeled_lang, COALESCE(predicted_lang, 'unknown')
 """
 
 
+_BPE_MERGES = 8
+
+
+def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, str, str, int]]:
+    """Learn the first ``k`` BPE merges over the corpus, distributed.
+
+    Classic BPE tokenizer training: start from characters (within
+    words), repeatedly count adjacent symbol pairs corpus-wide and
+    merge the most frequent pair. Each iteration is one map-only
+    re-encode (the merges learned so far applied as chained
+    non-overlapping left-to-right ``replace`` calls — ``str.replace``
+    semantics, identical in the JVM and the pytest's pure-Python
+    reference) plus one pair-count aggregate; only the single top pair
+    (count desc, pair asc tiebreak) comes back to the driver per
+    round, so driver traffic is k rows total. At 100 TB each round is
+    a full corpus scan — exactly how production BPE trainers
+    distribute (count table is the shuffle, symbols never leave the
+    executors)."""
+    words = docs.select(F.explode(F.expr(_TOKENS)).alias("w")).filter("w != ''")
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(k):
+        seq = "concat_ws(' ', filter(split(w, ''), c -> c != ''))"
+        for _, a, b, _n in merges:
+            pa = (a + " " + b).replace("\\", "\\\\").replace("'", "\\'")
+            pb = (a + b).replace("\\", "\\\\").replace("'", "\\'")
+            seq = f"replace({seq}, '{pa}', '{pb}')"
+        pairs = (
+            words.select(F.expr(f"split({seq}, ' ')").alias("s"))
+            # guard: a fully-merged (or 1-char) word has no adjacent
+            # pair; sequence(0, -1) would generate a DESCENDING range
+            # and fabricate null-symbol pairs
+            .filter(F.expr("size(s) >= 2"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2),"
+                        " i -> struct(s[i] AS a, s[i+1] AS b))"
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0].n < 2:
+            break
+        top = pairs[0]
+        merges.append((rank, top.a, top.b, int(top.n)))
+    return merges
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table as a DataFrame (rank, left, right,
+    pair_count) — rows-only (iterative; no SQL-expressible oracle),
+    byte-identical to a pure-Python reference trainer by pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_table(docs)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
 _PMI_VOCAB = 100
 _PMI_MIN_DOCS = 5
 
@@ -917,6 +981,16 @@ OPS = {
     ),
     "docs_lang_confusion": Op(
         "docs_lang_confusion", docs_lang_confusion, _lang_confusion_sql()
+    ),
+    "text_bpe_merges": Op(
+        "text_bpe_merges",
+        text_bpe_merges,
+        None,
+        description=(
+            f"first {_BPE_MERGES} BPE merges learned corpus-wide; one "
+            "map-only re-encode + one pair-count agg per round, k rows "
+            "of driver traffic total; Python-reference parity pytest"
+        ),
     ),
     "text_term_pmi": Op(
         "text_term_pmi",

@@ -622,3 +622,44 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
         assert abs(got[rank][0] - evals[rank]) < 1e-4, (rank, got[rank], evals[rank])
     # ranked strictly by eigenvalue
     assert all(got[r][0] >= got[r + 1][0] for r in range(_PCA_K - 1))
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The distributed BPE trainer must learn exactly the merges a
+    single-node reference trainer learns: same pairs, same counts,
+    same order (count desc, pair asc tiebreak; merge application is
+    non-overlapping left-to-right str.replace in both)."""
+    import re
+    from collections import Counter
+
+    from deker_server_adapters_spark.operators.text import (
+        _BPE_MERGES,
+        bpe_merge_table,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = bpe_merge_table(docs)
+
+    texts = [r.text for r in docs.select("text").collect()]
+    words = []
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        words.extend(w for w in norm.split(" ") if w)
+    want = []
+    for rank in range(_BPE_MERGES):
+        counts = Counter()
+        for w in words:
+            seq = " ".join(list(w))
+            for _, a, b, _n in want:
+                seq = seq.replace(f"{a} {b}", f"{a}{b}")
+            syms = seq.split(" ")
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += 1
+        if not counts:
+            break
+        top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if top[1] < 2:
+            break
+        want.append((rank, top[0][0], top[0][1], top[1]))
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
