@@ -785,38 +785,46 @@ def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, st
     a full corpus scan — exactly how production BPE trainers
     distribute (count table is the shuffle, symbols never leave the
     executors)."""
-    words = docs.select(F.explode(F.expr(_TOKENS)).alias("w")).filter("w != ''")
+    # Cache the exploded word stream for the k rounds: every round
+    # re-reads it, and the regexp/split tokenize chain is the expensive
+    # part of the scan. Lifecycle is fully contained in this function —
+    # the returned merge list is driver data, so nothing escapes that
+    # references the cached relation (no cache-handle handoff).
+    words = docs.select(F.explode(F.expr(_TOKENS)).alias("w")).filter("w != ''").persist()
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(k):
-        seq = "concat_ws(' ', filter(split(w, ''), c -> c != ''))"
-        for _, a, b, _n in merges:
-            pa = (a + " " + b).replace("\\", "\\\\").replace("'", "\\'")
-            pb = (a + b).replace("\\", "\\\\").replace("'", "\\'")
-            seq = f"replace({seq}, '{pa}', '{pb}')"
-        pairs = (
-            words.select(F.expr(f"split({seq}, ' ')").alias("s"))
-            # guard: a fully-merged (or 1-char) word has no adjacent
-            # pair; sequence(0, -1) would generate a DESCENDING range
-            # and fabricate null-symbol pairs
-            .filter(F.expr("size(s) >= 2"))
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(s) - 2),"
-                        " i -> struct(s[i] AS a, s[i+1] AS b))"
-                    )
-                ).alias("p")
+    try:
+        for rank in range(k):
+            seq = "concat_ws(' ', filter(split(w, ''), c -> c != ''))"
+            for _, a, b, _n in merges:
+                pa = (a + " " + b).replace("\\", "\\\\").replace("'", "\\'")
+                pb = (a + b).replace("\\", "\\\\").replace("'", "\\'")
+                seq = f"replace({seq}, '{pa}', '{pb}')"
+            pairs = (
+                words.select(F.expr(f"split({seq}, ' ')").alias("s"))
+                # guard: a fully-merged (or 1-char) word has no adjacent
+                # pair; sequence(0, -1) would generate a DESCENDING range
+                # and fabricate null-symbol pairs
+                .filter(F.expr("size(s) >= 2"))
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(s) - 2),"
+                            " i -> struct(s[i] AS a, s[i+1] AS b))"
+                        )
+                    ).alias("p")
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "a", "b")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not pairs or pairs[0].n < 2:
-            break
-        top = pairs[0]
-        merges.append((rank, top.a, top.b, int(top.n)))
+            if not pairs or pairs[0].n < 2:
+                break
+            top = pairs[0]
+            merges.append((rank, top.a, top.b, int(top.n)))
+    finally:
+        words.unpersist()
     return merges
 
 
