@@ -784,6 +784,49 @@ GROUP BY c.day
 """
 
 
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: average events per (day-of-week, hour-of-
+    day) cell, normalized by how many of that weekday appear in the
+    data — the load-shape primitive behind capacity planning and
+    anomaly baselines. All integer counts until one final rounded
+    division; day-of-week aligned to Sunday=0 on both engines (Spark's
+    dayofweek is 1-based, DuckDB's dow is 0-based); hour extraction is
+    deterministic under the loader's UTC-pinned session."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hour"),
+        F.to_date("ts").alias("d"),
+    )
+    counts = base.groupBy("dow", "hour").agg(F.count("*").alias("n_events"))
+    days = (
+        base.select("dow", "d").distinct().groupBy("dow").agg(F.count("*").alias("n_days"))
+    )
+    return counts.join(F.broadcast(days), "dow").select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n_days"), 4).alias("avg_per_day"),
+    )
+
+
+SEASONALITY_SQL = f"""
+WITH base AS (
+  SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+         CAST(date_part('hour', ts) AS INT) AS hour,
+         CAST(ts AS DATE) AS d
+  FROM {EVENTS_DUCK}
+), counts AS (
+  SELECT dow, hour, count(*) AS n_events FROM base GROUP BY dow, hour
+), days AS (
+  SELECT dow, count(DISTINCT d) AS n_days FROM base GROUP BY dow
+)
+SELECT c.dow, c.hour, c.n_events,
+       round(c.n_events / CAST(dy.n_days AS DOUBLE), 4) AS avg_per_day
+FROM counts c JOIN days dy ON c.dow = dy.dow
+"""
+
+
 _DECAY_TAU_US = 7 * 86_400_000_000  # 7-day e-folding
 
 
@@ -936,6 +979,9 @@ OPS = {
     ),
     "events_inter_arrival": Op(
         "events_inter_arrival", events_inter_arrival, INTER_ARRIVAL_SQL
+    ),
+    "events_hourly_seasonality": Op(
+        "events_hourly_seasonality", events_hourly_seasonality, SEASONALITY_SQL
     ),
     "events_user_value_decay": Op(
         "events_user_value_decay",
