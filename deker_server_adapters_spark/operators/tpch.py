@@ -1058,6 +1058,54 @@ CROSS JOIN total t
 """
 
 
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation: yearly decimal-exact
+    revenue, then a lag window over the tiny (nation, year) aggregate
+    — the growth-rate primitive for trend dashboards. The window runs
+    on the post-aggregation table (|nations| x |years| rows), so its
+    cost is nil; the heavy lifting is the same broadcast-dim join
+    shape as q5. First year per nation has NULL growth (no prior)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    yearly = j.groupBy(
+        "n_name", F.year("o_orderdate").alias("yr")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 4).alias("yoy_growth"),
+    )
+
+
+YOY_SQL = """
+WITH yearly AS (
+  SELECT n_name, CAST(date_part('year', o_orderdate) AS INT) AS yr,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, yr
+)
+SELECT n_name, yr, revenue,
+       round((revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY yr))
+             / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr), 4) AS yoy_growth
+FROM yearly
+"""
+
+
 def customer_order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the aggregation lattice subsets ROLLUP
     and CUBE can't express: exactly (segment), (status), and
@@ -1295,6 +1343,7 @@ OPS = {
         order_ship_latency_histogram,
         LATENCY_HIST_SQL,
     ),
+    "nation_revenue_yoy": Op("nation_revenue_yoy", nation_revenue_yoy, YOY_SQL),
     "customer_order_grouping_sets": Op(
         "customer_order_grouping_sets",
         customer_order_grouping_sets,
