@@ -373,6 +373,30 @@ def events_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_melt_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip: the wide per-day type-count matrix
+    melted back to long form with Spark's native ``unpivot`` (the
+    wide-table ingestion pattern — metrics exports and spreadsheets
+    arrive wide; the melt is a zero-shuffle map-side Expand). Zero
+    cells survive the round trip (the pivot filled them), so the long
+    form is the full day x type grid — the oracle builds the same grid
+    with a conditional aggregate."""
+    wide = events_pivot_types(spark, sf_dir)
+    return wide.unpivot("day", list(_EVENT_TYPES), "event_type", "n_events")
+
+
+MELT_SQL = f"""
+SELECT date_trunc('day', ts_all.day) AS day, t.event_type,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM {{ev}}) ts_all
+CROSS JOIN (SELECT unnest([{", ".join(repr(t) for t in _EVENT_TYPES)}]) AS event_type) t
+LEFT JOIN (
+  SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n
+  FROM {{ev}} GROUP BY day, event_type
+) c ON c.day = ts_all.day AND c.event_type = t.event_type
+"""
+
+
 _PIVOT_COLS = ",\n       ".join(
     f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}"
     for t in _EVENT_TYPES
@@ -979,6 +1003,11 @@ OPS = {
     ),
     "events_inter_arrival": Op(
         "events_inter_arrival", events_inter_arrival, INTER_ARRIVAL_SQL
+    ),
+    "events_melt_type_counts": Op(
+        "events_melt_type_counts",
+        events_melt_type_counts,
+        MELT_SQL.format(ev=EVENTS_DUCK),
     ),
     "events_hourly_seasonality": Op(
         "events_hourly_seasonality", events_hourly_seasonality, SEASONALITY_SQL
