@@ -731,10 +731,13 @@ GROUP BY prev_type, curr_type
 def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival-gap statistics (engagement-cadence
     signal): lag over the same user_id partitioning every other
-    temporal op uses, gaps in integer microseconds (exact — the only
-    double is the final avg, rounded). One shuffle; the window and the
-    groupBy share the user_id hash partitioning so Catalyst plans a
-    single Exchange."""
+    temporal op uses, gaps in integer microseconds. The avg follows the
+    repo's decimal-sum discipline (like ``events_user_value_decay``):
+    the gap sum accumulates EXACTLY in DECIMAL(30,0) — a double sum
+    would go order-dependent once a user's gap total passes 2^53 µs —
+    then one deterministic double division + round. One shuffle; the
+    window and the groupBy share the user_id hash partitioning so
+    Catalyst plans a single Exchange."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = (
@@ -747,7 +750,9 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_gaps"),
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
-        F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+        F.round(
+            F.sum(F.col("gap_us").cast("decimal(30,0)")).cast("double") / F.count("*"), 4
+        ).alias("avg_gap_us"),
     )
 
 
@@ -760,7 +765,8 @@ WITH seq AS (
 SELECT user_id, count(*) AS n_gaps,
        min(us - prev_us) AS min_gap_us,
        max(us - prev_us) AS max_gap_us,
-       round(avg(us - prev_us), 4) AS avg_gap_us
+       round(CAST(sum(CAST(us - prev_us AS DECIMAL(30,0))) AS DOUBLE) / count(*), 4)
+         AS avg_gap_us
 FROM seq
 WHERE prev_us IS NOT NULL
 GROUP BY user_id
@@ -864,14 +870,20 @@ def events_user_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SUM is order-independent and bit-identical across engines and
     partitionings; only the per-row exp carries the disclosed 1-ulp
     libm-vs-JVM boundary risk (~1e-12/row at the rounding edge). T_max
-    is one scalar aggregate broadcast into the expression."""
+    is a 1-row aggregate broadcast-cross-joined into the expression
+    (the oracle's ``CROSS JOIN tm`` shape) — no eager driver action, no
+    synchronous barrier inside the builder; the whole op stays lazy."""
     ev = load_table(spark, sf_dir, "events")
-    t_max = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
-    w = F.exp(-(F.lit(int(t_max)) - F.unix_micros("ts")) / F.lit(float(_DECAY_TAU_US)))
+    tm = ev.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    w = F.exp(-(F.col("t_max") - F.unix_micros("ts")) / F.lit(float(_DECAY_TAU_US)))
     contrib = F.round(F.col("value") * w, 9).cast("decimal(30,9)")
-    return ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum(contrib), 4).cast("double").alias("decayed_value"),
+    return (
+        ev.crossJoin(F.broadcast(tm))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(contrib), 4).cast("double").alias("decayed_value"),
+        )
     )
 
 

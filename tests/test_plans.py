@@ -269,3 +269,26 @@ def test_near_dup_eval_no_pair_blowup(spark, sf_dir):
 def test_dedup_pipeline_no_cartesian(spark, sf_dir):
     plan = physical_plan(_plan(spark, sf_dir, "docs_dedup_pipeline"))
     assert "CartesianProduct" not in plan
+
+
+def test_user_value_decay_lazy_broadcast_tmax(spark, sf_dir, monkeypatch):
+    """The T_max scalar must reach the decay expression as a broadcast
+    1-row aggregate (the oracle's CROSS JOIN tm shape), NOT an eager
+    driver-side .first() — an eager action inside the builder is a
+    synchronous barrier and a second full scan at plan-BUILD time
+    (VERDICT r6 item 2). Poison every driver action for the duration of
+    the build: a lazy builder never needs one."""
+    from pyspark.sql import DataFrame
+
+    def _poisoned(name):
+        def action(self, *a, **k):
+            raise AssertionError(f"builder called eager action DataFrame.{name}()")
+
+        return action
+
+    for name in ("first", "head", "take", "collect", "count", "toPandas"):
+        monkeypatch.setattr(DataFrame, name, _poisoned(name))
+    df = _plan(spark, sf_dir, "events_user_value_decay")
+    monkeypatch.undo()
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row tm side broadcast

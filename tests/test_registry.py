@@ -41,13 +41,55 @@ def test_last_green_round_parses_and_skips_failures(tmp_path):
 
 
 def test_all_ops_orders_stale_first():
-    from deker_server_adapters_spark.operators import _last_green_round, all_ops
     from pathlib import Path
 
-    green = _last_green_round(Path(__file__).resolve().parents[1])
-    names = list(all_ops())
-    ranks = [green.get(n, -1) for n in names]
-    assert ranks == sorted(ranks)  # never-checked/broken lead, freshest last
+    from deker_server_adapters_spark.operators import (
+        _last_green_round,
+        _verified_fingerprints,
+        all_ops,
+        op_fingerprint,
+        rotation_rank,
+    )
+
+    root = Path(__file__).resolve().parents[1]
+    green = _last_green_round(root)
+    verified = _verified_fingerprints(root)
+    ops = all_ops()
+    ranks = [
+        rotation_rank(op_fingerprint(op), verified.get(n), green.get(n, -1))
+        for n, op in ops.items()
+    ]
+    assert ranks == sorted(ranks)  # never-checked/broken/redefined lead, freshest last
+
+
+def test_rotation_fronts_redefined_ops():
+    """The r6 lesson: a green round only vouches for the TEXT the driver
+    checked. An op whose oracle or builder changed since its last green
+    check must lead the rotation no matter how recent that green was."""
+    from deker_server_adapters_spark.operators import rotation_rank
+
+    # unchanged op: staleness is its last green round
+    assert rotation_rank("abc", "abc", 5) == 5
+    # redefined op (fingerprint drifted): maximally stale despite green r5
+    assert rotation_rank("new", "abc", 5) == -1
+    # op never verified at all (no recorded fingerprint): maximally stale
+    assert rotation_rank("abc", None, 5) == -1
+    # ordering: redefined-op rank sorts before any green round
+    assert rotation_rank("new", "abc", 5) < rotation_rank("abc", "abc", 0)
+
+
+def test_fingerprint_tracks_oracle_and_builder():
+    from deker_server_adapters_spark.operators import Op, op_fingerprint
+
+    def build(spark, sf_dir):  # pragma: no cover - never called
+        return None
+
+    a = op_fingerprint(Op(name="x", builder=build, oracle="SELECT 1"))
+    b = op_fingerprint(Op(name="x", builder=build, oracle="SELECT 2"))
+    c = op_fingerprint(Op(name="x", builder=build, oracle=None))
+    assert a != b  # oracle text change -> new fingerprint
+    assert a != c and b != c  # gaining/losing an oracle -> new fingerprint
+    assert a == op_fingerprint(Op(name="y", builder=build, oracle="SELECT 1"))
 
 
 def test_operator_catalog_is_current():
