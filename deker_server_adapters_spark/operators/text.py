@@ -770,41 +770,61 @@ GROUP BY labeled_lang, COALESCE(predicted_lang, 'unknown')
 _BPE_MERGES = 8
 
 
+def _bpe_apply_merge(s, a: str, b: str):
+    """One canonical BPE merge pass over a symbol ARRAY: left-to-right,
+    greedy, non-overlapping, and boundary-aware — a pair only matches
+    two WHOLE adjacent symbols. (The previous string-``replace`` form
+    matched across symbol boundaries: with symbols ``['d','es']`` the
+    space-joined text ``'d es'`` contains ``'d e'``, so merge (d,e)
+    wrongly fired on the never-learned pair (d,es) and corrupted pair
+    counts from round 2 on.) Expression size is O(1) per round — one
+    ``aggregate`` fold — so merge count is bounded by compute, not by
+    codegen/JVM expression-tree limits."""
+    return F.aggregate(
+        s,
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
 def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, str, str, int]]:
     """Learn the first ``k`` BPE merges over the corpus, distributed.
 
     Classic BPE tokenizer training: start from characters (within
     words), repeatedly count adjacent symbol pairs corpus-wide and
-    merge the most frequent pair. Each iteration is one map-only
-    re-encode (the merges learned so far applied as chained
-    non-overlapping left-to-right ``replace`` calls — ``str.replace``
-    semantics, identical in the JVM and the pytest's pure-Python
-    reference) plus one pair-count aggregate; only the single top pair
-    (count desc, pair asc tiebreak) comes back to the driver per
-    round, so driver traffic is k rows total. At 100 TB each round is
-    a full corpus scan — exactly how production BPE trainers
-    distribute (count table is the shuffle, symbols never leave the
-    executors)."""
-    # Cache the exploded word stream for the k rounds: every round
-    # re-reads it, and the regexp/split tokenize chain is the expensive
-    # part of the scan. Lifecycle is fully contained in this function —
-    # the returned merge list is driver data, so nothing escapes that
-    # references the cached relation (no cache-handle handoff).
-    words = docs.select(F.explode(F.expr(_TOKENS)).alias("w")).filter("w != ''").persist()
+    merge the most frequent pair (count desc, pair asc tiebreak). The
+    working state is the encoded symbol-array column, CACHED between
+    rounds: each round applies exactly ONE new merge to the cached
+    previous encoding (an O(1)-size fold expression, see
+    ``_bpe_apply_merge``) and runs one pair-count aggregate; only the
+    single top pair comes back to the driver per round, so driver
+    traffic is k rows total. At 100 TB each round is one pass over the
+    cached encodings — exactly how production BPE trainers distribute
+    (the count table is the shuffle; symbols never leave the
+    executors). Lineage grows one projection per round; for k in the
+    thousands, interleave ``localCheckpoint()`` to truncate it."""
+    enc = (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
+        .filter("w != ''")
+        .select(F.expr("filter(split(w, ''), c -> c != '')").alias("s"))
+        .persist()
+    )
     merges: list[tuple[int, str, str, int]] = []
+    prev = None
     try:
         for rank in range(k):
-            seq = "concat_ws(' ', filter(split(w, ''), c -> c != ''))"
-            for _, a, b, _n in merges:
-                pa = (a + " " + b).replace("\\", "\\\\").replace("'", "\\'")
-                pb = (a + b).replace("\\", "\\\\").replace("'", "\\'")
-                seq = f"replace({seq}, '{pa}', '{pb}')"
             pairs = (
-                words.select(F.expr(f"split({seq}, ' ')").alias("s"))
                 # guard: a fully-merged (or 1-char) word has no adjacent
                 # pair; sequence(0, -1) would generate a DESCENDING range
                 # and fabricate null-symbol pairs
-                .filter(F.expr("size(s) >= 2"))
+                enc.filter(F.expr("size(s) >= 2"))
                 .select(
                     F.explode(
                         F.expr(
@@ -819,12 +839,24 @@ def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, st
                 .limit(1)
                 .collect()
             )
+            # the collect above materialized enc's cache; the encoding
+            # it was derived from is now safe to drop
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not pairs or pairs[0].n < 2:
                 break
             top = pairs[0]
             merges.append((rank, top.a, top.b, int(top.n)))
+            if rank < k - 1:
+                new_enc = enc.select(
+                    _bpe_apply_merge(F.col("s"), top.a, top.b).alias("s")
+                ).persist()
+                prev, enc = enc, new_enc
     finally:
-        words.unpersist()
+        enc.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -624,36 +624,36 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     assert all(got[r][0] >= got[r + 1][0] for r in range(_PCA_K - 1))
 
 
-def test_bpe_merges_match_python_reference(spark, sf_dir):
-    """The distributed BPE trainer must learn exactly the merges a
-    single-node reference trainer learns: same pairs, same counts,
-    same order (count desc, pair asc tiebreak; merge application is
-    non-overlapping left-to-right str.replace in both)."""
+def _bpe_ref_apply(syms, a, b):
+    """Canonical single left-to-right greedy non-overlapping merge pass
+    over a symbol LIST — boundary-aware: a pair only matches two whole
+    adjacent symbols (the former space-joined str.replace reference
+    matched across symbol boundaries, silently blessing the same bug in
+    the Spark side)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_ref_train(texts, k):
     import re
     from collections import Counter
 
-    from deker_server_adapters_spark.operators.text import (
-        _BPE_MERGES,
-        bpe_merge_table,
-    )
-    from deker_server_adapters_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    got = bpe_merge_table(docs)
-
-    texts = [r.text for r in docs.select("text").collect()]
     words = []
     for t in texts:
         norm = re.sub(r"\s+", " ", t.lower()).strip()
         words.extend(w for w in norm.split(" ") if w)
+    encoded = [list(w) for w in words]
     want = []
-    for rank in range(_BPE_MERGES):
+    for rank in range(k):
         counts = Counter()
-        for w in words:
-            seq = " ".join(list(w))
-            for _, a, b, _n in want:
-                seq = seq.replace(f"{a} {b}", f"{a}{b}")
-            syms = seq.split(" ")
+        for syms in encoded:
             for i in range(len(syms) - 1):
                 counts[(syms[i], syms[i + 1])] += 1
         if not counts:
@@ -662,4 +662,58 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         if top[1] < 2:
             break
         want.append((rank, top[0][0], top[0][1], top[1]))
+        encoded = [_bpe_ref_apply(s, top[0][0], top[0][1]) for s in encoded]
+    return want
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The distributed BPE trainer must learn exactly the merges a
+    single-node CANONICAL reference trainer learns: same pairs, same
+    counts, same order (count desc, pair asc tiebreak; merge
+    application is a boundary-aware left-to-right greedy pass over the
+    symbol sequence in both)."""
+    from deker_server_adapters_spark.operators.text import (
+        _BPE_MERGES,
+        bpe_merge_table,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = bpe_merge_table(docs)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _bpe_ref_train(texts, _BPE_MERGES)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_bpe_merge_is_boundary_aware(spark):
+    """The ADVICE r6 regression: word 'des' after merge (e,s) is
+    ['d','es']; the later merge (d,e) must NOT fire on it. The old
+    string-replace re-encode matched 'd e' inside 'd es', collapsing
+    'des' to one symbol, so round 3's true top pair (d,es) vanished and
+    training stopped a merge early. This corpus forces exactly that
+    merge order: (e,s) x6 > (d,e) x5, then (d,e) x3, then (d,es) x2."""
+    from deker_server_adapters_spark.operators.text import bpe_merge_table
+
+    texts = ["des des es es es es de de de"]
+    docs = spark.createDataFrame([(1, t) for t in texts], "doc_id int, text string")
+    got = bpe_merge_table(docs, k=3)
+    want = _bpe_ref_train(texts, 3)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    assert [m[1:3] for m in got] == [("e", "s"), ("d", "e"), ("d", "es")]
+    assert got[2][3] == 2  # both 'des' words still expose the (d, es) pair
+
+
+def test_bpe_scales_past_codegen_limits(spark):
+    """VERDICT r6 item 4: per-round expression size must be O(1), so a
+    realistic merge budget (k=64 here) compiles and matches the
+    canonical reference — the old chained-replace form grew the
+    expression tree O(k) deep per round."""
+    from deker_server_adapters_spark.operators.text import bpe_merge_table
+
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    texts = [f"{alpha} {alpha} {alpha[::-1]} {alpha[::-1]}"]
+    docs = spark.createDataFrame([(1, t) for t in texts], "doc_id int, text string")
+    got = bpe_merge_table(docs, k=64)
+    want = _bpe_ref_train(texts, 64)
+    assert len(got) == 64
+    assert got == want
