@@ -23,7 +23,7 @@ DuckDB verifies bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.operators import Op
@@ -909,35 +909,53 @@ def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``quality_keep_spark``, ``minhash_pairs_df``,
     ``components_from_pairs``), so this op can't drift from its parts.
     The oracle replays the identical cascade with a recursive-CTE
-    transitive closure for the clustering stage."""
+    transitive closure for the clustering stage.
+
+    Plan shape (the r7 rewrite, measured vs the r6 join-back form):
+    quality rules + content hash are computed in ONE projection; the
+    exact-dup canonical is a ``min() OVER (PARTITION BY h)`` window
+    (one Exchange) instead of a groupBy + join-back (two); quality-
+    dropped rows ride the same window under a per-doc salted key so
+    every doc flows through a single stream. Both consumers of that
+    window — the minhash/CC chain and the final status projection —
+    hang off the SAME Exchange(h) subtree, so exchange reuse
+    materializes the expensive tokenize/md5 scan once instead of the
+    r6 form's four evaluations, and the only other shuffle-consumer is
+    one left join against the tiny component-label table."""
     from deker_server_adapters_spark.operators.text import quality_keep_spark
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "text", F.expr(_TOKENS).alias("t"))
-    flagged = toks.select(
-        "doc_id", "text", F.expr(quality_keep_spark()).alias("q_keep")
+    base = toks.select(
+        "doc_id",
+        "text",
+        F.expr(quality_keep_spark()).alias("q_keep"),
+        F.expr(f"md5({_NORM})").alias("h0"),
+    ).select(
+        "doc_id",
+        "text",
+        "q_keep",
+        # quality-dropped docs get a unique salted key so the window
+        # below is a no-op for them (canon = self) and one partitioning
+        # serves the whole corpus
+        F.when(F.col("q_keep"), F.col("h0"))
+        .otherwise(F.concat(F.lit("!"), F.col("doc_id").cast("string")))
+        .alias("h"),
     )
-    kept_q = flagged.filter("q_keep").select("doc_id", "text")
-    hashed = kept_q.select("doc_id", "text", F.expr(f"md5({_NORM})").alias("h"))
-    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("exact_canon"))
-    ex = hashed.join(canon, "h").select(
-        "doc_id", "text", (F.col("doc_id") != F.col("exact_canon")).alias("is_exact_dup")
+    ex = base.withColumn(
+        "exact_canon", F.min("doc_id").over(Window.partitionBy("h"))
     )
-    survivors = ex.filter(~F.col("is_exact_dup")).select("doc_id", "text")
+    survivors = ex.filter(
+        F.col("q_keep") & (F.col("doc_id") == F.col("exact_canon"))
+    ).select("doc_id", "text")
     labels = components_from_pairs(minhash_pairs_df(survivors))
-    return (
-        docs.select("doc_id")
-        .join(flagged.select("doc_id", "q_keep"), "doc_id", "left")
-        .join(ex.select("doc_id", "is_exact_dup"), "doc_id", "left")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(~F.col("q_keep"), "dropped_quality")
-            .when(F.col("is_exact_dup"), "dropped_exact_dup")
-            .when(F.col("canonical_id") < F.col("doc_id"), "dropped_near_dup")
-            .otherwise("kept")
-            .alias("status"),
-        )
+    return ex.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.when(~F.col("q_keep"), "dropped_quality")
+        .when(F.col("doc_id") != F.col("exact_canon"), "dropped_exact_dup")
+        .when(F.col("canonical_id") < F.col("doc_id"), "dropped_near_dup")
+        .otherwise("kept")
+        .alias("status"),
     )
 
 
