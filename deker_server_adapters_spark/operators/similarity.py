@@ -182,7 +182,13 @@ _IVF_PROBES = 3
 def _ivf_centroids(emb: DataFrame) -> DataFrame:
     """Coarse quantizer: k-means-lite with deterministic seeds (the
     md5-smallest vec_ids) and one Lloyd refinement, all as DataFrame
-    aggregations — no mllib dependency, fully distributed."""
+    aggregations — no mllib dependency, fully distributed.
+
+    Determinism discipline (so the recall oracle can replay it in
+    DuckDB): assignment sims round to 1e-9 before ranking (ties break
+    to the lowest cell), and the refined per-dim means accumulate in
+    DECIMAL then round to 1e-9 — order-independent and engine-exact,
+    the same device ``label_centroids`` / ``kmeans_assignments`` use."""
     from deker_server_adapters_spark.functions.hashing import h32
 
     seeds = (
@@ -196,7 +202,7 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
 
     def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", cosine_similarity(F.col("embedding"), F.col("ce"))
+            "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
         return (
@@ -210,7 +216,11 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     new_cents = (
         assigned.select("cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
         .groupBy("cell", "d")
-        .agg(F.avg("v").alias("cv"))
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v"), 9
+            ).alias("cv")
+        )
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
         .select("cell", F.expr("transform(pairs, p -> p.cv)").alias("ce"))
@@ -226,9 +236,11 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch ~probes/K of the data. (Rows-only; recall tested.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids(emb).persist()
-    # inverted file: cell assignment for every vector
+    # inverted file: cell assignment for every vector (sims rounded to
+    # 1e-9 before ranking — same determinism discipline as the
+    # quantizer, so the recall oracle can replay the assignment)
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", cosine_similarity(F.col("embedding"), F.col("ce"))
+        "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
     )
     w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
     inv = (
@@ -240,7 +252,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     qcells = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("sim", cosine_similarity(F.col("embedding"), F.col("ce")))
+        .withColumn("sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
         .withColumn("rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")))
         .filter(F.col("rn") <= _IVF_PROBES)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
@@ -306,6 +318,192 @@ def ann_int8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """recall@k per query: fraction of the EXACT top-k the approximate
+    method recovered. Grouped from the exact side so every query
+    appears even at zero hits; n_hits is a count (BIGINT in both
+    engines — never a DuckDB HUGEINT sum)."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(float(_TOP_K)), 4).alias("recall"),
+        )
+    )
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality eval for ``ann_lsh_cosine``: per-query
+    recall@k vs the brute-force baseline — the measure-don't-guess row
+    for tuning L x b (mirrors what ``docs_near_dup_eval`` does for
+    minhash). Fully deterministic (md5 hyperplanes, 6-dp cosine, id
+    tiebreaks), so the DuckDB oracle replays buckets bit for bit and
+    this converts the family's pytest-only recall guarantee into a
+    driver-gate hash row."""
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir), ann_lsh_cosine(spark, sf_dir)
+    )
+
+
+def ann_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the int8 scalar-quantized brute force vs the float
+    baseline — measures quantization loss, not candidate pruning."""
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir), ann_int8_cosine(spark, sf_dir)
+    )
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF probe path vs the brute-force baseline —
+    measures what the ``_IVF_PROBES``/``_IVF_CELLS`` trade-off costs."""
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir), ann_ivf_cosine(spark, sf_dir)
+    )
+
+
+def _duck_lsh_buckets() -> str:
+    """(vec_id, tbl, bucket) in DuckDB mirroring ``lsh_signatures``
+    exactly: same md5 planes (8 tables x 4 bits), same left-to-right
+    double accumulation, same sign rule — the device proven bit-exact
+    by ``dedup_embedding``'s oracle."""
+    planes = _hyperplanes(_N_PLANES)
+    selects = []
+    for t in range(_N_TABLES):
+        bits = []
+        for i in range(_BITS_PER_TABLE):
+            p = planes[t * _BITS_PER_TABLE + i]
+            dot_sql = " + ".join(
+                f"embedding[{k + 1}]::DOUBLE * {w}" for k, w in enumerate(p)
+            )
+            bits.append(f"(CASE WHEN ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)")
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+_RECALL_TAIL_SQL = f"""
+SELECT e.query_id, count(a.neighbor_id) AS n_hits,
+       round(count(a.neighbor_id) / {float(_TOP_K)}, 4) AS recall
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH exact AS ({ANN_TOPK_SQL}),
+b AS (
+{_duck_lsh_buckets()}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM b qb JOIN b nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket
+  WHERE qb.vec_id < {_N_QUERIES} AND qb.vec_id <> nb.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) t WHERE rnk <= {_TOP_K}
+)
+{_RECALL_TAIL_SQL}
+"""
+
+
+def _int8_recall_sql() -> str:
+    return f"""
+WITH exact AS ({ANN_TOPK_SQL}),
+qt AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           127.0 / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) AS scale
+    FROM embeddings
+  )
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.qv::DOUBLE[]), 6) AS cosine
+  FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) t WHERE rnk <= {_TOP_K}
+)
+{_RECALL_TAIL_SQL}
+"""
+
+
+def _ivf_recall_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h32_sql
+
+    return f"""
+WITH exact AS ({ANN_TOPK_SQL}),
+seeds AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h32_sql("vec_id")} LIMIT {_IVF_CELLS})
+), a0 AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), 9) AS sim
+  FROM embeddings e CROSS JOIN seeds s
+), asg0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a0
+  ) t WHERE rn = 1
+), cent AS (
+  SELECT cell, CAST(u.i - 1 AS INT) AS d,
+         round(CAST(sum(CAST(embedding[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*), 9) AS cv
+  FROM asg0, UNNEST(range(1, len(embedding) + 1)) u(i)
+  GROUP BY cell, d
+), cents AS (
+  SELECT cell, list(cv ORDER BY d) AS ce FROM cent GROUP BY cell
+), a1 AS (
+  SELECT e.vec_id, c.cell,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 9) AS sim
+  FROM embeddings e CROSS JOIN cents c
+), inv AS (
+  SELECT vec_id AS neighbor_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a1
+  ) t WHERE rn = 1
+), qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM a1 WHERE vec_id < {_N_QUERIES}
+  ) t WHERE rn <= {_IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT q.query_id, i.neighbor_id
+  FROM qcells q JOIN inv i ON q.cell = i.cell
+  WHERE q.query_id <> i.neighbor_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+  ) t WHERE rnk <= {_TOP_K}
+)
+{_RECALL_TAIL_SQL}
+"""
 
 
 _KMEANS_K = 8
@@ -486,6 +684,24 @@ OPS = {
             "int8 scalar-quantized brute force (4x fewer bytes moved); "
             "approximate — recall vs exact baseline pytest-checked"
         ),
+    ),
+    "ann_lsh_recall": Op(
+        "ann_lsh_recall",
+        ann_lsh_recall,
+        _lsh_recall_sql(),
+        description="per-query recall@k of the LSH path vs brute force",
+    ),
+    "ann_int8_recall": Op(
+        "ann_int8_recall",
+        ann_int8_recall,
+        _int8_recall_sql(),
+        description="per-query recall@k of int8 quantization vs float brute force",
+    ),
+    "ann_ivf_recall": Op(
+        "ann_ivf_recall",
+        ann_ivf_recall,
+        _ivf_recall_sql(),
+        description="per-query recall@k of the IVF probe path vs brute force",
     ),
     "label_centroids": Op("label_centroids", label_centroids, CENTROID_SQL),
     "embeddings_pca": Op(
