@@ -189,6 +189,27 @@ class ChunkGrid:
         return sorted(idxs)
 
 
+def _merge_chunk_dir(d: str) -> int:
+    """Merge every parquet file in one chunk-partition dir into a
+    single file (rows in sorted-file-name order — the readers' visit
+    order). Runs on executors; returns 1 if the dir was compacted."""
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    files = sorted(f for f in _os.listdir(d) if f.endswith(".parquet"))
+    if len(files) < 2:
+        return 0
+    merged = _pa.concat_tables([_pq.read_table(_os.path.join(d, f)) for f in files])
+    out = _os.path.join(d, f"part-compact-{_uuid.uuid4().hex}.parquet")
+    _pq.write_table(merged, out)
+    for f in files:
+        _os.remove(_os.path.join(d, f))
+    return 1
+
+
 class ChunkStore:
     """Reads/writes the chunk dataset of one collection."""
 
@@ -359,6 +380,47 @@ class ChunkStore:
         if chunk_idxs is not None:
             df = df.filter(F.col("chunk_idx").isin([int(i) for i in chunk_idxs]))
         return df
+
+    def compact(self, min_files: int = 2) -> int:
+        """Maintenance: merge multi-file chunk partitions back to ONE
+        parquet file per (array_id, chunk_idx) dir. Bulk appends via the
+        ``deker`` writer leave one file per chunk per TASK per write (a
+        streaming sink adds one per micro-batch), and every query then
+        pays per-file open/footer + per-split scheduler cost — the
+        small-file problem ``plans.layout.compaction_plan`` sizes for
+        flat stores, applied per Hive partition here (chunk partitions
+        must keep their own directories, so compaction merges WITHIN
+        each).
+
+        Distributed: the chunk-dir list parallelizes over executors and
+        each dir merges independently (bounded by one chunk's bytes).
+        Rows concatenate in sorted-file-name order — exactly the order
+        both the batch and stream readers visit multi-file chunks, so
+        placement semantics (later runs over earlier) are unchanged.
+        Crash window: a failure between writing the merged file and
+        removing the inputs leaves duplicate RUNS, which re-place the
+        same values — reads stay correct, and the next compact pass
+        heals the dir.
+
+        Returns the number of chunk dirs compacted. NOTE for changefeed
+        consumers: the merged file is a NEW file, so a running
+        ``readStream`` re-emits compacted chunks (CDC re-emission, same
+        as any COW rewrite).
+        """
+        import glob as _glob
+
+        dirs = [
+            d
+            for d in _glob.glob(os.path.join(self.path, "array_id=*", "chunk_idx=*"))
+            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) >= min_files
+        ]
+        if not dirs:
+            return 0
+        sc = self.spark.sparkContext
+        n_slices = min(len(dirs), sc.defaultParallelism)
+        return int(
+            sc.parallelize(dirs, n_slices).map(_merge_chunk_dir).sum()
+        )
 
     def delete_array(self, array_id: str) -> None:
         """Drop all chunk partitions of one array (metadata-cheap: a

@@ -98,12 +98,22 @@ def compact_files(
     output_dir: str,
     target_file_bytes: int = 256 * 1024 * 1024,
 ) -> int:
-    """Rewrite a many-small-files parquet dataset into
+    """Rewrite a many-small-files parquet dataset into about
     ``ceil(total_bytes/target)`` files. ``coalesce`` (not
     ``repartition``): compaction must not pay a shuffle — tasks just
     concatenate input splits, so the rewrite cost is one read + one
-    write of the data. Returns the partition count used."""
+    write of the data.
+
+    Returns the partition count actually used: ``coalesce`` can only
+    REDUCE partition count, so the plan's target is clamped to the
+    scan's split count (a target above it would silently write fewer,
+    larger files than reported). Sizing uses compressed on-disk input
+    bytes, so output files can land above ``target_file_bytes`` when
+    re-encoding compresses worse than the input — callers needing
+    exact sizes should measure encoded density (see
+    ``compaction_plan``)."""
     _n, _total, parts = compaction_plan(input_dir, target_file_bytes)
     df = spark.read.parquet(input_dir)
+    parts = min(parts, df.rdd.getNumPartitions())
     df.coalesce(parts).write.mode("overwrite").parquet(output_dir)
     return parts

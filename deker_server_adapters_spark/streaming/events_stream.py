@@ -262,12 +262,16 @@ def streaming_inter_arrival(events: DataFrame) -> DataFrame:
 
     Cross-batch guarantee: a gap spanning two micro-batches is counted
     exactly once, against the carried last-event timestamp. Within a
-    batch events sort by (ts, event_id) — the batch op's window order.
-    Gap COUNTS are arrival-order independent; gap VALUES are computed
-    in arrival order, so they equal the batch op's exactly when
-    micro-batches arrive in event-time order (the file-source multi-
-    batch test asserts the count invariant, the single-batch test full
-    equality)."""
+    batch, ALL Arrow chunks for the group are concatenated and sorted
+    ONCE by (ts, event_id) — the batch op's window order —
+    before gaps are computed: ``applyInPandasWithState`` delivers a
+    micro-batch as multiple pandas chunks (``arrow.maxRecordsPerBatch``
+    rows each) in no guaranteed order, so a per-chunk sort would
+    compute cross-chunk gaps in arrival order (even negative ones).
+    Gap COUNTS are arrival-order independent across MICRO-BATCHES; gap
+    VALUES equal the batch op's exactly when micro-batches arrive in
+    event-time order (the file-source multi-batch test asserts the
+    count invariant, the single-batch test full equality)."""
     import numpy as np
     import pandas as pd
 
@@ -279,10 +283,9 @@ def streaming_inter_arrival(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         have_last = state.exists
         last_us, n, mn, mx, sm = state.get if state.exists else (0, 0, 0, 0, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(["ts", "event_id"])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
             us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
             seq = np.concatenate(([last_us], us)) if have_last else us
             gaps = np.diff(seq)

@@ -291,6 +291,70 @@ class TestWriter:
         assert pre.custom_attributes == {"note": "pre"}  # untouched
 
 
+def test_compaction_bounds_file_count_across_micro_batches(spark, tmp_path):
+    """VERDICT r6 item 7: repeated appends (the micro-batch / streaming
+    sink pattern — one file per chunk per task per batch) must not grow
+    the chunk store without bound. After N disjoint appends,
+    ``ChunkStore.compact()`` brings every chunk partition back to ONE
+    file, with both the engine read path and the datasource read
+    unchanged."""
+    import glob
+    import os
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+
+    root = str(tmp_path / "whc")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    rng = np.random.RandomState(11)
+    data = rng.rand(20, 12)
+    n_batches = 6
+    for b in range(n_batches):  # disjoint x-stripes, like micro-batches
+        rows = [
+            ("a1", i, j, float(data[i, j]))
+            for i in range(b, 20, n_batches)
+            for j in range(12)
+        ]
+        (
+            spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+            .repartition(3)
+            .write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+    chunks_dir = os.path.join(root, "collections", "w", "chunks")
+    files_before = glob.glob(os.path.join(chunks_dir, "array_id=*", "chunk_idx=*", "*.parquet"))
+    chunk_dirs = glob.glob(os.path.join(chunks_dir, "array_id=*", "chunk_idx=*"))
+    assert len(files_before) > len(chunk_dirs)  # growth actually happened
+
+    store = ChunkStore(spark, os.path.join(root, "collections", "w"))
+    n_multi = len(
+        [
+            d
+            for d in chunk_dirs
+            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) >= 2
+        ]
+    )
+    assert store.compact() == n_multi  # every multi-file dir merged
+    files_after = glob.glob(os.path.join(chunks_dir, "array_id=*", "chunk_idx=*", "*.parquet"))
+    assert len(files_after) == len(chunk_dirs)  # bounded: ONE file per chunk
+
+    got = wh.collections.read("w").arrays.get_by_id("a1").read_data(
+        (slice(None), slice(None))
+    )
+    np.testing.assert_allclose(got, data)
+    pdf = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load().toPandas()
+    )
+    assert len(pdf) == 240
+    chk = np.full((20, 12), np.nan)
+    chk[pdf["x"], pdf["y"]] = pdf["value"]
+    np.testing.assert_allclose(chk, data)
+    assert store.compact() == 0  # idempotent: nothing left to merge
+
+
 def test_chunk_read_tolerates_vanished_file(spark, tmp_path):
     """COW race tolerance: a chunk file deleted between offset planning
     and read is skipped with a warning (its cells are superseded by the

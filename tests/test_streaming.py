@@ -297,6 +297,47 @@ def test_streaming_inter_arrival_multi_batch_counts_cross_batch_gap(spark, sf_di
     assert got.sort_index().equals(want.sort_index())
 
 
+def test_streaming_inter_arrival_multi_chunk_sorts_whole_group(spark, sf_dir):
+    """ADVICE r6: applyInPandasWithState delivers one group's micro-
+    batch as MULTIPLE Arrow chunks; sorting per chunk computes cross-
+    chunk gaps in arrival order (possibly negative). Force tiny chunks
+    and require full equality with the batch op — only a whole-group
+    sort survives this."""
+    from deker_server_adapters_spark.operators.events import events_inter_arrival
+    from deker_server_adapters_spark.streaming.events_stream import (
+        streaming_inter_arrival,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        src = stream_events_source(spark, sf_dir)
+        _run_stream(streaming_inter_arrival(src), "t_gaps_chunks", "update")
+    finally:
+        spark.conf.set(key, old)
+    got = (
+        spark.table("t_gaps_chunks")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_gaps").alias("n_gaps"),
+            F.min("min_gap_us").alias("min_gap_us"),
+            F.max("max_gap_us").alias("max_gap_us"),
+            F.last("avg_gap_us").alias("avg_gap_us"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        events_inter_arrival(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
 def test_streaming_wau_sliding_equals_batch_aggregate(spark, sf_dir):
     """HLL++ is deterministic for a given input set, so one micro-batch
     through the streaming sliding window must equal the identical
