@@ -5,7 +5,8 @@ scaling cliff (quadratic pair blowup, skewed shuffle, driver
 materialization) — exactly what a 100 TB deployment would hit.
 
 Usage: python stress.py [K] (default 10)
-       python stress.py [K] --skew   (skewed-user events mode)
+       python stress.py [K] --skew        (skewed-user events mode)
+       python stress.py [K] --skew-join   (skewed fact-fact join mode)
 
 ``--skew`` additionally gives ONE user ~10%% of ALL events in the
 scaled copy and runs the user_id-partitioned window family
@@ -13,6 +14,18 @@ scaled copy and runs the user_id-partitioned window family
 skew-exposed plans. Window partitions do NOT get AQE skew splitting
 (that's join-only), so this measures the real straggler cost of a hot
 key at 10x data.
+
+``--skew-join`` targets the fact-fact JOIN family instead (the plans
+where AQE skew handling IS applicable): ~10%% of all lineitems get ONE
+hot l_orderkey and ~10%% of events ONE hot user, then
+``order_ship_latency_histogram`` and ``events_range_join`` run uniform
+vs skewed. The report records, per op: whether the executed adaptive
+plan actually split the skewed partitions (``skew=true`` join marks) —
+first under the session defaults (256 MB skew threshold: usually NOT
+reached at toy scale, worth knowing), then with the threshold lowered
+to what the hot partition actually weighs — and how the explicit
+``plans.skew.salted_join`` form of the latency-histogram join compares
+against AQE on the same skewed copy.
 """
 
 from __future__ import annotations
@@ -25,7 +38,12 @@ import time
 
 
 def scale_tables(
-    spark, src_dir: str, k: int, out_dir: str, skew_events: bool = False
+    spark,
+    src_dir: str,
+    k: int,
+    out_dir: str,
+    skew_events: bool = False,
+    skew_lineitem: bool = False,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -62,6 +80,23 @@ def scale_tables(
                 scaled = scaled.withColumn(
                     "text", F.concat(F.col("text"), F.lit(" rep"), F.col("__rep"))
                 )
+            if name == "lineitem" and skew_lineitem:
+                # ONE hot order owns ~10% of all lineitems across every
+                # replica; the hot key is the base table's smallest
+                # orderkey so it provably exists on the orders side
+                # (replica 0 keys are unshifted)
+                hot = load_table(spark, src_dir, "lineitem").agg(
+                    F.min("l_orderkey")
+                ).first()[0]
+                scaled = scaled.withColumn(
+                    "l_orderkey",
+                    F.when(
+                        F.expr(
+                            "pmod(xxhash64(l_orderkey, l_linenumber, l_partkey), 10) = 0"
+                        ),
+                        F.lit(int(hot)),
+                    ).otherwise(F.col("l_orderkey")),
+                )
             if name == "events" and skew_events:
                 # ONE hot user owns ~10% of all events across every
                 # replica — deterministic gate so reruns see the same
@@ -72,7 +107,13 @@ def scale_tables(
                         F.expr("pmod(xxhash64(event_id), 10) = 0"), F.lit(424242)
                     ).otherwise(F.col("user_id")),
                 )
-            scaled = scaled.drop("__rep")
+            # write with real map parallelism: the crossJoin replicate
+            # inherits the tiny base-file split count, and a table read
+            # back as ~4 map tasks can defeat AQE skew-join SPLITTING
+            # (splits happen at map-output granularity — see PERF.md
+            # skew-join section); 32 files also mirrors how a cluster
+            # job would actually have written 10x the data
+            scaled = scaled.drop("__rep").repartition(32)
         else:
             scaled = df
         scaled.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
@@ -97,9 +138,110 @@ def run(ops, spark, sf_dir) -> dict[str, float]:
     return timings
 
 
+def _timed_with_plan(builder, spark, sf_dir) -> tuple[float, bool]:
+    """Time a forced run and report whether the FINAL adaptive plan
+    split skewed join partitions (the ``skew=true`` mark AQE stamps on
+    a SortMergeJoin/ShuffledHashJoin it rewrote)."""
+    from pyspark.sql import functions as F
+
+    def forced(df):
+        return df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns])))
+
+    forced(builder(spark, sf_dir)).collect()  # warm codegen
+    agg = forced(builder(spark, sf_dir))
+    t0 = time.perf_counter()
+    agg.collect()
+    dt = round(time.perf_counter() - t0, 3)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    return dt, ("skew=true" in plan)
+
+
+def salted_latency_histogram(spark, sf_dir):
+    """``order_ship_latency_histogram``'s join expressed through the
+    explicit ``salted_join`` (orders side replicated 32x) — the manual
+    alternative AQE's runtime split competes against."""
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.operators.tpch import davg
+    from deker_server_adapters_spark.plans.skew import salted_join
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    days = F.datediff("l_shipdate", "o_orderdate").cast("long")
+    return (
+        salted_join(li, orders, "l_orderkey", salt_n=32)
+        .select(days.alias("latency_days"))
+        .select(F.expr("latency_days DIV 7").alias("week_bucket"), "latency_days")
+        .groupBy("week_bucket")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min("latency_days").alias("min_days"),
+            F.max("latency_days").alias("max_days"),
+            davg(F.col("latency_days")).alias("avg_days"),
+        )
+    )
+
+
+def run_skew_join(spark, base: str, k: int) -> dict:
+    from deker_server_adapters_spark.operators import all_ops
+
+    uniform_dir = tempfile.mkdtemp(prefix="deker_stress_u_")
+    skew_dir = tempfile.mkdtemp(prefix="deker_stress_s_")
+    scale_tables(spark, base, k, uniform_dir)
+    scale_tables(spark, base, k, skew_dir, skew_events=True, skew_lineitem=True)
+
+    joins = ("order_ship_latency_histogram", "events_range_join")
+    ops = {n: all_ops()[n] for n in joins}
+    report: dict = {"k": k, "mode": "skew-join", "ops": {}}
+    # the orders side must SHUFFLE for skew handling to be in play at
+    # this toy scale; on a cluster the 10x-scaled fact side does this
+    # by itself
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    thr_key = "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    adv_key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    fac_key = "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    defaults = {key: spark.conf.get(key) for key in (thr_key, adv_key, fac_key)}
+    try:
+        for name, op in ops.items():
+            u_sec, _ = _timed_with_plan(op.builder, spark, uniform_dir)
+            s_sec, s_trig = _timed_with_plan(op.builder, spark, skew_dir)
+            # toy-scale partitions sit far below the 256 MB default
+            # threshold; lower it to what the hot partition weighs to
+            # show the runtime split actually engages
+            spark.conf.set(thr_key, "256KB")
+            spark.conf.set(adv_key, "128KB")
+            spark.conf.set(fac_key, "1.2")
+            t_sec, t_trig = _timed_with_plan(op.builder, spark, skew_dir)
+            for key, v in defaults.items():
+                spark.conf.set(key, v)
+            report["ops"][name] = {
+                "uniform_sec": u_sec,
+                "skew_sec": s_sec,
+                "skew_ratio": round(s_sec / max(u_sec, 1e-3), 2),
+                "aqe_triggered_default_thresholds": s_trig,
+                "skew_sec_tuned_thresholds": t_sec,
+                "aqe_triggered_tuned_thresholds": t_trig,
+            }
+        su, _ = _timed_with_plan(lambda s, d: salted_latency_histogram(s, d), spark, uniform_dir)
+        ss, _ = _timed_with_plan(lambda s, d: salted_latency_histogram(s, d), spark, skew_dir)
+        report["salted_latency_histogram"] = {
+            "uniform_sec": su,
+            "skew_sec": ss,
+            "skew_ratio": round(ss / max(su, 1e-3), 2),
+        }
+    finally:
+        for key, v in defaults.items():
+            spark.conf.set(key, v)
+    return report
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in sys.argv[1:]
+    skew_join = "--skew-join" in sys.argv[1:]
     k = int(args[0]) if args else 10
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -108,6 +250,10 @@ def main() -> None:
 
     spark = get_spark(app_name="deker-spark-stress")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if skew_join:
+        sys.stdout.write(json.dumps(run_skew_join(spark, base, k)) + "\n")
+        return
 
     out_dir = tempfile.mkdtemp(prefix="deker_stress_")
     scale_tables(spark, base, k, out_dir, skew_events=skew)
