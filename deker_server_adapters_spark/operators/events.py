@@ -963,8 +963,63 @@ GROUP BY p.purchase_event_id, p.user_id
 """
 
 
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly engagement stickiness: avg daily active users / monthly
+    active users per calendar month — the standard product-health
+    ratio. Exact distincts at both grains (one shuffle each over the
+    deduped pairs); the avg follows the decimal-sum discipline so it
+    is order-independent. Months ride as truncated TIMESTAMPs (the
+    repo's cross-engine day/month representation). At 100 TB the exact
+    MAU distinct is the expensive grain — the streaming twin family's
+    HLL form (``events_approx_distinct_users``) is the sketch
+    alternative when 2% error is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("month", "ts").alias("month"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    )
+    dau = base.groupBy("month", "d").agg(F.countDistinct("user_id").alias("dau"))
+    mau = base.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
+    a = dau.groupBy("month").agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(F.col("dau").cast("decimal(30,0)")).cast("double") / F.count("*"), 4
+        ).alias("avg_dau"),
+    )
+    return a.join(mau, "month").select(
+        "month",
+        "n_days",
+        "avg_dau",
+        "mau",
+        F.round(F.col("avg_dau") / F.col("mau").cast("double"), 6).alias("stickiness"),
+    )
+
+
+DAU_MAU_SQL = f"""
+WITH base AS (
+  SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS d, user_id
+  FROM {EVENTS_DUCK}
+), dau AS (
+  SELECT month, d, count(DISTINCT user_id) AS dau FROM base GROUP BY month, d
+), mau AS (
+  SELECT month, count(DISTINCT user_id) AS mau FROM base GROUP BY month
+), a AS (
+  SELECT month, count(*) AS n_days,
+         round(CAST(sum(CAST(dau AS DECIMAL(30,0))) AS DOUBLE) / count(*), 4) AS avg_dau
+  FROM dau GROUP BY month
+)
+SELECT a.month AS month, a.n_days, a.avg_dau, m.mau,
+       round(a.avg_dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+FROM a JOIN mau m ON a.month = m.month
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_dau_mau_stickiness": Op(
+        "events_dau_mau_stickiness", events_dau_mau_stickiness, DAU_MAU_SQL
+    ),
     "events_pivot_types": Op("events_pivot_types", events_pivot_types, PIVOT_SQL),
     "events_rolling_1h": Op("events_rolling_1h", events_rolling_1h, ROLLING_SQL),
     "events_latest_per_user": Op("events_latest_per_user", events_latest_per_user, LATEST_SQL),

@@ -955,8 +955,45 @@ CROSS JOIN n
 """
 
 
+def docs_source_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix: doc count, exact token count, and token
+    SHARE — the data-mixing dashboard behind training-set weighting
+    (what fraction of the token budget each source contributes). Exact
+    integer counts in one groupBy; the share divides against a 1-row
+    total broadcast-cross-joined in (lazy, no driver action — the
+    decay-op device). At 100 TB this is one map-side-combined agg over
+    the scan: |sources| rows ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"size({_TOKENS})").cast("long")).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot").cast("double"), 6).alias("token_share"),
+    )
+
+
+SOURCE_MIX_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(len({_TOKENS_DUCK}) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share
+FROM per CROSS JOIN tot
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
+    "docs_source_token_mix": Op(
+        "docs_source_token_mix", docs_source_token_mix, SOURCE_MIX_SQL
+    ),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
     "text_vocabulary": Op("text_vocabulary", text_vocabulary, VOCAB_SQL),
     "docs_stratified_sample": Op(

@@ -292,3 +292,13 @@ def test_user_value_decay_lazy_broadcast_tmax(spark, sf_dir, monkeypatch):
     monkeypatch.undo()
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan  # 1-row tm side broadcast
+
+
+def test_dedup_pipeline_reuses_tokenize_exchange(spark, sf_dir):
+    """The r7 pipeline shape: both consumers of the quality+hash
+    projection hang off the same Exchange(h), so the expensive
+    tokenize/md5 scan materializes once (exchange reuse) — the 5.0s ->
+    3.5s sf0.1 win. Guard the reuse, not node counts (the CC loop's
+    checkpointed generations dominate the plan text)."""
+    plan = physical_plan(_plan(spark, sf_dir, "docs_dedup_pipeline"))
+    assert "ReusedExchange" in plan
