@@ -33,7 +33,10 @@ Writes: ``df.write.format("deker").mode("append")`` is BULK CELL
 INGEST (the reference create+write flow, base.py:111-160) — each task
 run-length-encodes its cells into chunk-aligned sub-box rows and
 appends them under the owning chunk directory, shuffle-free and
-append-only. Subset updates/clears stay on the engine's copy-on-write
+append-only. ``cells.writeStream.format("deker")`` is the STREAMING
+form of the same ingest (per-micro-batch append, deterministic
+batch-named files for idempotent replay — see ``DekerStreamWriter``).
+Subset updates/clears stay on the engine's copy-on-write
 API (``core/storage.py``), which Spark's writer contract cannot
 express (subset PUT semantics, 413 limits); ``mode("overwrite")`` is
 rejected for the same reason.
@@ -53,6 +56,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -276,6 +280,11 @@ class DekerDataSource(DataSource):
         root, coll = self._root_and_collection()
         create = str(self.options.get("create_arrays", "true")).lower() == "true"
         return DekerWriter(root, coll, schema, create_arrays=create)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "DekerStreamWriter":
+        root, coll = self._root_and_collection()
+        create = str(self.options.get("create_arrays", "true")).lower() == "true"
+        return DekerStreamWriter(root, coll, schema, create_arrays=create)
 
 
 class DekerReader(DataSourceReader):
@@ -607,3 +616,68 @@ class DekerWriter(DataSourceArrowWriter):
                     os.remove(path)
                 except FileNotFoundError:
                     pass
+
+
+class DekerStreamWriter(DataSourceStreamWriter):
+    """Streaming cell ingest: ``cells.writeStream.format("deker")`` —
+    the sink half of the chunk-changefeed loop (``readStream`` emits
+    chunk versions; this appends new cells per micro-batch).
+
+    Each task delegates to the batch ``DekerWriter`` core (same
+    run-length chunk-append, same geometry import), feeding the row
+    iterator through bounded Arrow batches. ``commit`` then RENAMES the
+    task-UUID files to deterministic ``part-b{batch}-p{part}-{seq}``
+    names: a replayed micro-batch (driver restart between epoch write
+    and offset commit) regenerates byte-identical files under the same
+    names and ``os.replace`` makes the re-write idempotent — effective
+    exactly-once for the committed batch. Residual caveat, stated
+    plainly: a task retried WITHIN a batch can leave its failed
+    attempt's UUID file behind; it holds the same runs with the same
+    values, so reads are unchanged (placement is idempotent), and
+    ``ChunkStore.compact`` merges it away. ``abort`` removes the failed
+    batch's files. The chunks dir must be shared storage, as for every
+    other path in this engine.
+
+    Reference parity: the continuous-ingest counterpart of the
+    create+write flow (base.py:111-160); subset PUT stays on the COW
+    engine API, same as the batch writer.
+    """
+
+    def __init__(
+        self, root: str, collection: str, schema: StructType, create_arrays: bool
+    ):
+        self._core = DekerWriter(root, collection, schema, create_arrays)
+
+    def write(self, iterator) -> DekerWriteCommit:
+        import pyarrow as pa
+
+        rows_per_batch = 65536
+
+        def batches():
+            buf = []
+            for row in iterator:
+                buf.append(row.asDict())
+                if len(buf) >= rows_per_batch:
+                    yield pa.RecordBatch.from_pylist(buf)
+                    buf = []
+            if buf:
+                yield pa.RecordBatch.from_pylist(buf)
+
+        return self._core.write(batches())
+
+    def commit(self, messages, batchId: int) -> None:
+        for pid, m in enumerate(messages):
+            renamed = []
+            for seq, path in enumerate(getattr(m, "files", ()) or ()):
+                d = os.path.dirname(path)
+                new = os.path.join(
+                    d, f"part-b{batchId:08d}-p{pid:05d}-{seq:03d}.parquet"
+                )
+                os.replace(path, new)
+                renamed.append(new)
+            if renamed:
+                m.files = tuple(renamed)
+        self._core.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._core.abort(messages)

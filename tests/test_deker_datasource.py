@@ -291,6 +291,68 @@ class TestWriter:
         assert pre.custom_attributes == {"note": "pre"}  # untouched
 
 
+def test_stream_writer_ingests_cells_across_micro_batches(spark, tmp_path):
+    """cells.writeStream.format('deker'): streaming cell ingest (the
+    sink half of the changefeed loop). Three source files drive three
+    micro-batches (maxFilesPerTrigger=1); the array must read back
+    exactly via the engine path, commit must have renamed task files to
+    deterministic part-b{batch}-p{part} names (idempotent replay), and
+    the catalog must have registered the array."""
+    import glob
+    import os
+    import re
+
+    root = str(tmp_path / "whs")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    rng = np.random.RandomState(23)
+    data = rng.rand(20, 12)
+    src_dir = str(tmp_path / "cells_src")
+    for b in range(3):  # disjoint x-stripes, one file per micro-batch
+        rows = [
+            ("s1", i, j, float(data[i, j]))
+            for i in range(b, 20, 3)
+            for j in range(12)
+        ]
+        (
+            spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+            .coalesce(1)
+            .write.mode("append").parquet(src_dir)
+        )
+    stream = (
+        spark.readStream.schema("array_id string, x long, y long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.format("deker")
+        .option("path", root)
+        .option("collection", "w")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(120)
+    got = wh.collections.read("w").arrays.get_by_id("s1").read_data(
+        (slice(None), slice(None))
+    )
+    np.testing.assert_allclose(got, data)
+    files = glob.glob(
+        os.path.join(root, "collections", "w", "chunks", "array_id=*", "chunk_idx=*", "*.parquet")
+    )
+    assert files and all(
+        re.fullmatch(r"part-b\d{8}-p\d{5}-\d{3}\.parquet", os.path.basename(f))
+        for f in files
+    ), files  # commit renamed every task file deterministically
+    # >=2 distinct batch ids actually flowed (multi-micro-batch ingest)
+    batch_ids = {os.path.basename(f).split("-")[1] for f in files}
+    assert len(batch_ids) >= 2, batch_ids
+    pdf = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load().toPandas()
+    )
+    assert len(pdf) == 240
+
+
 def test_compaction_bounds_file_count_across_micro_batches(spark, tmp_path):
     """VERDICT r6 item 7: repeated appends (the micro-batch / streaming
     sink pattern — one file per chunk per task per batch) must not grow
