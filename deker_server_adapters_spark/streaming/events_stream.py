@@ -334,3 +334,31 @@ def streaming_anomaly_zscore(events: DataFrame, stats: DataFrame) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3)
         .select("event_id", "event_type", "value", "z")
     )
+
+
+def streaming_cms_sketch(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch: the batch op's bounded d x w
+    aggregate table (``operators.events.heavy_hitters_cms_df``)
+    maintained incrementally as a plain streaming aggregation.
+
+    This is the whole point of sketch-shaped state on a stream:
+    frequency state for an UNBOUNDED key domain (user ids) held in
+    exactly D*W = 40960 rows of streaming-agg state, never growing
+    with the stream — where a per-user count aggregate would hold
+    O(users) state. Counts only increase, partials merge by addition
+    (the CMS property), so update-mode emits are monotone and the
+    sketch after any prefix equals the batch sketch of that prefix
+    exactly (pytest-pinned single- and multi-batch). Probing for
+    heavy-hitter estimates stays a batch-side broadcast join against
+    this table, same as the batch op."""
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.operators.events import _CMS_BUCKETS, _H32
+
+    hu = _H32.format(col="user_id")
+    return (
+        events.select(F.expr(hu).alias("h"))
+        .select(F.posexplode(F.expr(f"array({_CMS_BUCKETS})")).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -362,3 +362,42 @@ def test_streaming_wau_sliding_equals_batch_aggregate(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_cms_sketch_equals_batch_sketch(spark, sf_dir):
+    """The streaming CMS table after ALL micro-batches must equal the
+    batch sketch of the same events bit-for-bit (counts merge by
+    addition — the CMS property). Update-mode memory sink keeps one row
+    per (key, batch); cumulative counts only grow, so max() per key is
+    the final value. Multi-file source forces >1 micro-batch."""
+    from deker_server_adapters_spark.operators.events import _CMS_BUCKETS, _H32
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.events_stream import (
+        stream_events_source,
+        streaming_cms_sketch,
+    )
+
+    src = stream_events_source(spark, sf_dir, n_files=4)
+    _run_stream(streaming_cms_sketch(src), "t_cms", "update")
+    got = (
+        spark.table("t_cms")
+        .groupBy("j", "bucket")
+        .agg(F.max("cnt").alias("cnt"))
+        .toPandas()
+        .sort_values(["j", "bucket"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    hu = _H32.format(col="user_id")
+    want = (
+        ev.select(F.expr(hu).alias("h"))
+        .select(F.posexplode(F.expr(f"array({_CMS_BUCKETS})")).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .toPandas()
+        .sort_values(["j", "bucket"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the sketch's scale contract: state bounded at D*W rows
+    assert len(got) <= 5 * 8192
