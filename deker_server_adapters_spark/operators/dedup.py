@@ -311,6 +311,55 @@ HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHAS
 """
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where the duplication mass comes from: minhash near-dup pairs
+    joined to their documents' sources and counted per UNORDERED source
+    pair — the observability view that separates intra-source crawl
+    dupes from cross-source syndication (what a curation run reads
+    before deciding per-source dedup policy).
+
+    Scale shape: the pair table is tiny relative to the corpus by LSH
+    construction, so it BROADCASTS into the (doc_id, source) dim scans
+    — the corpus-sized side never shuffles; the final agg is at most
+    |sources|^2/2 rows. The mean estimate follows the decimal-sum
+    discipline (order-independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_df(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    j = a.join(F.broadcast(pairs), "doc_a")
+    j = b.join(F.broadcast(j), "doc_b")
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("est_jaccard").cast("decimal(20,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_est_jaccard"),
+        )
+    )
+
+
+CROSS_SOURCE_SQL = f"""
+WITH pairs AS ({MINHASH_SQL})
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(est_jaccard AS DECIMAL(20,4))) AS DOUBLE) / count(*), 4)
+           AS avg_est_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY source_lo, source_hi
+"""
+
+
 _SIMHASH_BITS = 64
 _SIMHASH_SEGS = 4  # pigeonhole blocks: Hamming<=3 pairs agree on >=1 of 4
 _SEG_BITS = _SIMHASH_BITS // _SIMHASH_SEGS
@@ -1049,6 +1098,9 @@ OPS = {
     "dedup_levenshtein": Op("dedup_levenshtein", dedup_levenshtein, LEVENSHTEIN_SQL),
     "dedup_ngram_jaccard": Op("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": Op("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
+    "dedup_cross_source_matrix": Op(
+        "dedup_cross_source_matrix", dedup_cross_source_matrix, CROSS_SOURCE_SQL
+    ),
     "dedup_simhash": Op("dedup_simhash", dedup_simhash, SIMHASH_SQL, headline=True),
     "dedup_embedding": Op(
         "dedup_embedding",

@@ -742,6 +742,53 @@ GROUP BY d.doc_id
 """
 
 
+def docs_lm_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality tiers: per-source head/middle/tail thirds by
+    corpus-LM score — the standard pretraining-curation split (CCNet
+    buckets each shard by LM perplexity; the shard here is ``source``).
+
+    Scale shape: ``ntile(3)`` runs per SOURCE partition — bounded
+    parallel units, never a global SinglePartition sort — ordered by
+    (avg_logprob desc, doc_id) so ties are deterministic and both
+    engines assign identical tiers (ntile's extra-row rule is the same
+    front-loaded one in Spark and DuckDB). Docs with no in-model
+    bigrams carry no score and drop out in both engines. Output is the
+    per-(source, tier) summary a curation run actually consumes."""
+    from pyspark.sql import Window
+
+    scored = docs_ngram_lm_score(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = scored.join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("avg_logprob"), "doc_id")
+    return (
+        j.withColumn("tier", F.ntile(3).over(w).cast("long"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+        )
+    )
+
+
+LM_TIERS_SQL = f"""
+WITH scored AS ({NGRAM_LM_SQL}),
+j AS (
+  SELECT s.doc_id, s.avg_logprob, d.source
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+), t AS (
+  SELECT source, avg_logprob,
+         CAST(ntile(3) OVER (PARTITION BY source
+                             ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS tier
+  FROM j
+)
+SELECT source, tier, count(*) AS n_docs,
+       max(avg_logprob) AS best_logprob,
+       min(avg_logprob) AS worst_logprob
+FROM t GROUP BY source, tier
+"""
+
+
 def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled-vs-predicted language confusion matrix over the LID
     heuristic — the evaluation companion to ``text_lang_id`` (at most
@@ -993,6 +1040,9 @@ OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
     "docs_source_token_mix": Op(
         "docs_source_token_mix", docs_source_token_mix, SOURCE_MIX_SQL
+    ),
+    "docs_lm_quality_tiers": Op(
+        "docs_lm_quality_tiers", docs_lm_quality_tiers, LM_TIERS_SQL
     ),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
     "text_vocabulary": Op("text_vocabulary", text_vocabulary, VOCAB_SQL),
