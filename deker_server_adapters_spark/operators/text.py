@@ -824,9 +824,33 @@ def _bpe_apply_merge(s, a: str, b: str):
     matched across symbol boundaries: with symbols ``['d','es']`` the
     space-joined text ``'d es'`` contains ``'d e'``, so merge (d,e)
     wrongly fired on the never-learned pair (d,es) and corrupted pair
-    counts from round 2 on.) Expression size is O(1) per round — one
-    ``aggregate`` fold — so merge count is bounded by compute, not by
-    codegen/JVM expression-tree limits."""
+    counts from round 2 on.) Expression size is O(1) per round, so
+    merge count is bounded by compute, not codegen limits.
+
+    Two formulations, same semantics:
+
+    - ``a != b`` (the overwhelming case): matches CANNOT overlap (an
+      element ending one match and starting the next would need
+      ``a == b``), so the greedy pass equals the SIMULTANEOUS rewrite —
+      one O(n) indexed ``transform`` (merge starts become the pair,
+      absorbed right elements become NULL) + ``filter``. Subscripts are
+      bounds-guarded for ANSI mode.
+    - ``a == b``: overlaps are real (``aaa`` merges only the first
+      two), so a sequential O(n^2-in-word-length) fold keeps the exact
+      greedy semantics; merge pairs with equal sides are rare and words
+      are short, so this path stays cheap."""
+    if a != b:
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        # F.get is the null-safe subscript: out-of-bounds (incl. i-1 at
+        # the first element) yields NULL, the comparison stays not-true,
+        # and the element passes through unchanged — ANSI-safe.
+        marked = F.transform(
+            s,
+            lambda x, i: F.when((x == la) & (F.get(s, i + 1) == lb), lab)
+            .when((x == lb) & (F.get(s, i - 1) == la), F.lit(None))
+            .otherwise(x),
+        )
+        return F.filter(marked, lambda x: x.isNotNull())
     return F.aggregate(
         s,
         F.expr("cast(array() as array<string>)"),

@@ -717,3 +717,17 @@ def test_bpe_scales_past_codegen_limits(spark):
     want = _bpe_ref_train(texts, 64)
     assert len(got) == 64
     assert got == want
+
+
+def test_bpe_equal_sided_merge_is_greedy(spark):
+    """a == b merges overlap ('aaa' merges only the first two): the
+    sequential-fold path must keep exact greedy semantics while the
+    a != b path uses the simultaneous rewrite."""
+    from deker_server_adapters_spark.operators.text import bpe_merge_table
+
+    texts = ["aaaa aaaa aaa"]
+    docs = spark.createDataFrame([(1, t) for t in texts], "doc_id int, text string")
+    got = bpe_merge_table(docs, k=3)
+    want = _bpe_ref_train(texts, 3)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+    assert got[0][1:3] == ("a", "a")
