@@ -302,3 +302,37 @@ def test_dedup_pipeline_reuses_tokenize_exchange(spark, sf_dir):
     checkpointed generations dominate the plan text)."""
     plan = physical_plan(_plan(spark, sf_dir, "docs_dedup_pipeline"))
     assert "ReusedExchange" in plan
+
+
+def test_lm_quality_tiers_window_never_single_partition(spark, sf_dir):
+    """ntile runs per SOURCE partition; a global (empty-partitionBy)
+    window here would serialize the whole corpus through one task."""
+    plan = physical_plan(_plan(spark, sf_dir, "docs_lm_quality_tiers"))
+    assert "SinglePartition" not in plan.split("Window")[1][:400], plan
+
+
+def test_cross_source_matrix_pairs_broadcast(spark, sf_dir):
+    """The tiny near-dup pair table must broadcast into the
+    (doc_id, source) dim scans — the corpus-sized side never shuffles
+    for these joins."""
+    plan = physical_plan(_plan(spark, sf_dir, "dedup_cross_source_matrix"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_token_mix_total_is_lazy_broadcast(spark, sf_dir, monkeypatch):
+    """The corpus token total reaches the share expression as a
+    broadcast 1-row aggregate, never an eager driver action."""
+    from pyspark.sql import DataFrame
+
+    def _poisoned(name):
+        def action(self, *a, **k):
+            raise AssertionError(f"builder called eager action DataFrame.{name}()")
+
+        return action
+
+    for name in ("first", "head", "take", "collect", "count", "toPandas"):
+        monkeypatch.setattr(DataFrame, name, _poisoned(name))
+    df = _plan(spark, sf_dir, "docs_source_token_mix")
+    monkeypatch.undo()
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
