@@ -731,3 +731,35 @@ def test_bpe_equal_sided_merge_is_greedy(spark):
     want = _bpe_ref_train(texts, 3)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
     assert got[0][1:3] == ("a", "a")
+
+
+def test_bpe_merge_expr_randomized_equivalence(spark):
+    """The Spark merge expression (both the a != b simultaneous form
+    and the a == b fold) must equal the canonical greedy reference on
+    RANDOM symbol sequences — the r6 ADVICE bug survived because the
+    test reference mirrored the implementation's shortcut, so this
+    check runs against the independent scan-merge reference over
+    seeded-random inputs, all rows in one Spark job per pattern."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.operators.text import _bpe_apply_merge
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "c", "ab", "aa"]
+    for a, b in [("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a"), ("a", "ab")]:
+        seqs = [
+            [rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+            for _ in range(120)
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "i int, s array<string>"
+        )
+        got = {
+            r.i: r.m
+            for r in df.select("i", _bpe_apply_merge(F.col("s"), a, b).alias("m")).collect()
+        }
+        for i, s in enumerate(seqs):
+            want = _bpe_ref_apply(s, a, b)
+            assert got[i] == want, f"pattern ({a},{b}) seq {s}: {got[i]} != {want}"
