@@ -742,6 +742,89 @@ GROUP BY d.doc_id
 """
 
 
+_SOURCE_CAP = 40
+
+
+def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document cap: keep at most
+    ``_SOURCE_CAP`` docs per source, chosen by md5 rank — the
+    domination guard every mixing recipe applies so one giant crawl
+    source can't swamp the corpus, reproducible across runs/engines
+    (no RNG state, the same device as the sampling family).
+
+    Scale shape: one row_number window per SOURCE partition (bounded
+    parallel units, never a global sort); the hash ranks are
+    uniform so the kept set is an unbiased size-capped sample."""
+    from pyspark.sql import Window
+
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(h64(F.col("doc_id")), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("keep_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("keep_rank") <= _SOURCE_CAP)
+    )
+
+
+def _per_source_cap_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    return f"""
+SELECT doc_id, source, keep_rank FROM (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY {h64_sql("doc_id")}, doc_id) AS BIGINT)
+             AS keep_rank
+  FROM documents
+) t WHERE keep_rank <= {_SOURCE_CAP}
+"""
+
+
+def docs_bpe_encode_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to ENCODE every document and
+    report per-doc token counts before/after — the apply half of the
+    tokenizer-training story (``text_bpe_merges`` learns the table;
+    this measures the compression it buys on the corpus).
+
+    Scale shape: the merge table is k driver rows compiled into k
+    chained O(1) merge expressions (the same boundary-aware forms the
+    trainer uses), so encoding is one map-only pass — no shuffle, no
+    Python. Rows-only (the merge table comes from the iterative
+    trainer, not SQL); encode parity vs the canonical reference is
+    pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merge_table(docs)
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("w")).filter(
+        "w != ''"
+    )
+    # one projection STAGE per merge, each over the plain `s` column —
+    # nesting all k merges into a single expression multiplies
+    # sub-expression copies 3x per layer (the merge form references its
+    # input three times) and blows up analysis; per-stage, `s` is a
+    # cheap attribute that CollapseProject keeps un-inlined, so the
+    # whole chain stays one map-only codegen pipeline of k steps
+    enc = toks.select(
+        "doc_id",
+        F.length("w").cast("long").alias("n_chars"),
+        F.expr("filter(split(w, ''), c -> c != '')").alias("s"),
+    )
+    for _, a, b, _n in merges:
+        enc = enc.select(
+            "doc_id", "n_chars", _bpe_apply_merge(F.col("s"), a, b).alias("s")
+        )
+    return (
+        enc.select("doc_id", "n_chars", F.size("s").cast("long").alias("n_bpe"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_bpe").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def docs_lm_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality tiers: per-source head/middle/tail thirds by
     corpus-LM score — the standard pretraining-curation split (CCNet
@@ -1067,6 +1150,19 @@ OPS = {
     ),
     "docs_lm_quality_tiers": Op(
         "docs_lm_quality_tiers", docs_lm_quality_tiers, LM_TIERS_SQL
+    ),
+    "docs_per_source_cap": Op(
+        "docs_per_source_cap", docs_per_source_cap, _per_source_cap_sql()
+    ),
+    "docs_bpe_encode_lengths": Op(
+        "docs_bpe_encode_lengths",
+        docs_bpe_encode_lengths,
+        None,
+        description=(
+            "BPE encode pass with the learned merge table (k map-only "
+            "merge expressions); rows-only — trainer is iterative; "
+            "encode parity pytest-pinned"
+        ),
     ),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
     "text_vocabulary": Op("text_vocabulary", text_vocabulary, VOCAB_SQL),

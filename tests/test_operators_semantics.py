@@ -763,3 +763,37 @@ def test_bpe_merge_expr_randomized_equivalence(spark):
         for i, s in enumerate(seqs):
             want = _bpe_ref_apply(s, a, b)
             assert got[i] == want, f"pattern ({a},{b}) seq {s}: {got[i]} != {want}"
+
+
+def test_bpe_encode_lengths_match_reference(spark, sf_dir):
+    """The encode pass (apply learned merges) must reproduce the
+    canonical reference encoder's per-doc BPE token counts exactly."""
+    import re
+
+    from deker_server_adapters_spark.operators.text import (
+        _BPE_MERGES,
+        docs_bpe_encode_lengths,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens)
+        for r in docs_bpe_encode_lengths(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    texts = [r.text for r in docs]
+    merges = _bpe_ref_train(texts, _BPE_MERGES)
+    for r in docs:
+        norm = re.sub(r"\s+", " ", r.text.lower()).strip()
+        words = [w for w in norm.split(" ") if w]
+        if not words:
+            assert r.doc_id not in got
+            continue
+        enc_lens = []
+        for w in words:
+            syms = list(w)
+            for _, a, b, _n in merges:
+                syms = _bpe_ref_apply(syms, a, b)
+            enc_lens.append(len(syms))
+        want = (len(words), sum(len(w) for w in words), sum(enc_lens))
+        assert got[r.doc_id] == want, f"doc {r.doc_id}: {got[r.doc_id]} != {want}"
