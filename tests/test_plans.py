@@ -336,3 +336,70 @@ def test_source_token_mix_total_is_lazy_broadcast(spark, sf_dir, monkeypatch):
     df = _plan(spark, sf_dir, "docs_source_token_mix")
     monkeypatch.undo()
     assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+# Ops whose builder runs a driver-side iterative loop (training rounds,
+# Lloyd iterations, eigensolve) — building their final plan executes the
+# loop, so the sweep below would re-run minutes of compute that their
+# dedicated parity/semantics tests already cover.
+_ITERATIVE_BUILDERS = {
+    "text_bpe_merges",
+    "docs_bpe_encode_lengths",
+    "embeddings_kmeans",
+    "embeddings_pca",
+    "dedup_components",
+    "docs_dedup_pipeline",
+}
+
+# Documented brute-force baselines: the broadcast nested-loop IS the op.
+_INTENTIONAL_BNLJ = {
+    "ann_cosine_topk",
+    "ann_int8_cosine",
+    # recall evals embed their brute-force baseline side
+    "ann_lsh_recall",
+    "ann_int8_recall",
+    "ann_ivf_recall",
+    # 1-row / bounded-k-row broadcast scalar joins (tm / corpus totals /
+    # the 8-row IVF centroid table / market basket's order-total ride)
+    "ann_ivf_cosine",
+    "orders_market_basket",
+    "events_user_value_decay",
+    "docs_source_token_mix",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "nation_revenue_yoy",
+    "orders_abc_pareto",
+    "customer_balance_distribution",
+    "hash_ring_assignment",
+    "events_anomaly_zscore",
+}
+
+# Arrow-batched Python stages by design (multimodal decode, PCA moments).
+_INTENTIONAL_PYTHON = {"multimodal_pipeline"}
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Every registry op's physical plan gets the scale floor: no
+    CartesianProduct anywhere, BroadcastNestedLoopJoin only where the
+    op is a documented brute-force baseline or a 1-row scalar
+    broadcast, and no row-at-a-time Python eval outside the documented
+    Arrow stages. New ops inherit these checks automatically."""
+    failures = []
+    for name, op in _OPS.items():
+        if name in _ITERATIVE_BUILDERS:
+            continue
+        try:
+            plan = physical_plan(op.builder(spark, sf_dir))
+        except Exception as e:  # surface builder breakage with the op name
+            failures.append(f"{name}: builder failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_BNLJ:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan
+        ) and name not in _INTENTIONAL_PYTHON:
+            failures.append(f"{name}: Python eval node in plan")
+    assert not failures, "\n".join(failures)
