@@ -347,6 +347,8 @@ _ITERATIVE_BUILDERS = {
     "docs_bpe_encode_lengths",
     "embeddings_kmeans",
     "embeddings_pca",
+    "embeddings_pq",
+    "ann_pq_cosine",
     "dedup_components",
     "docs_dedup_pipeline",
 }
