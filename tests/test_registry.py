@@ -103,3 +103,35 @@ def test_operator_catalog_is_current():
     assert on_disk == render(), (
         "docs/OPERATORS.md is stale; run python -m deker_server_adapters_spark.catalog"
     )
+
+
+def test_sync_fingerprints_records_only_green_ops(tmp_path):
+    """tools/sync_fingerprints: only ops green in the NEWEST correctness
+    file get their current fingerprint recorded; broken/mismatched rows
+    and unknown names are ignored; existing entries survive."""
+    import json
+
+    from deker_server_adapters_spark.operators import all_ops, op_fingerprint
+    from deker_server_adapters_spark.tools.sync_fingerprints import sync
+
+    ops = all_ops()
+    names = list(ops)
+    green1, green2, broken = names[0], names[1], names[2]
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        green1: {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        green2: {"hash_match": True, "err": None},
+        broken: {"hash_match": False, "err": None},
+        "not_a_real_op": {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "VERIFIED_FINGERPRINTS.json").write_text(
+        json.dumps({green1: "preexisting"})
+    )
+    out = sync(tmp_path)
+    assert out[green2] == op_fingerprint(ops[green2])  # newest green recorded
+    assert out[green1] == "preexisting"  # r01 is not the newest file; entry kept
+    assert broken not in out  # failed row never blesses a fingerprint
+    assert "not_a_real_op" not in out
+    on_disk = json.loads((tmp_path / "VERIFIED_FINGERPRINTS.json").read_text())
+    assert on_disk == out
