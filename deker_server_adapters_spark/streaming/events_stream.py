@@ -362,3 +362,71 @@ def streaming_cms_sketch(events: DataFrame) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def streaming_inactivity_alerts(
+    events: DataFrame, idle: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user inactivity alerts via EVENT-TIME TIMEOUTS — the state-
+    eviction half of the custom-stateful API the other stateful twins
+    (NoTimeout) never touch: when a user goes ``idle`` with no events,
+    the state's timeout fires (driven by the event-time watermark, so
+    wall-clock stalls don't cause false alerts) and ONE alert row emits
+    with the user's last-seen time and event count, after which the
+    state row is REMOVED — O(active users within the idle horizon)
+    state, the abandoned-session/cart shape.
+
+    Semantics: an event for an already-alerted user simply starts a new
+    session-state; alerts are per idle-gap, not per user forever."""
+    import pandas as pd
+
+    idle_ms = {"30 minutes": 30 * 60_000}.get(idle)
+    if idle_ms is None:
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)\s*minutes?", idle)
+        if not m:
+            raise ValueError(f"idle must be '<N> minutes', got {idle!r}")
+        idle_ms = int(m.group(1)) * 60_000
+
+    out_schema = "user_id long, last_seen timestamp, n_events long"
+    state_schema = "last_ms long, n long"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            last_ms, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        last_ms, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_ms = (
+                pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+            )
+            last_ms = max(last_ms, int(ts_ms.max()))
+            n += len(pdf)
+        state.update((last_ms, n))
+        # a group whose events arrived AT the watermark edge can have
+        # last_ms + idle already behind the watermark (Spark rejects a
+        # timeout in the past) — clamp to just past it so the alert
+        # fires on the next watermark advance instead of crashing
+        state.setTimeoutTimestamp(
+            max(last_ms + idle_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(columns=["user_id", "last_seen", "n_events"])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )

@@ -401,3 +401,58 @@ def test_streaming_cms_sketch_equals_batch_sketch(spark, sf_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # the sketch's scale contract: state bounded at D*W rows
     assert len(got) <= 5 * 8192
+
+
+def test_streaming_inactivity_alerts_fire_on_true_gaps(spark, tmp_path):
+    """EventTimeTimeout state eviction: a user who stops sending events
+    gets ONE alert once the watermark (driven by OTHER users' events)
+    passes their last_seen + idle; still-active users never alert; the
+    alerted state is removed (no repeat alert). Deterministic synthetic
+    stream: user 1 stops after file 0, users 2 and 3 keep going and
+    advance the watermark."""
+    import pandas as pd
+
+    from deker_server_adapters_spark.streaming.events_stream import (
+        EVENTS_STREAM_SCHEMA,
+        streaming_inactivity_alerts,
+    )
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    src_dir = tmp_path / "idle_src"
+    batches = [
+        # (minutes offset, user)
+        [(0, 1), (5, 1), (10, 1), (0, 2), (0, 3)],
+        [(120, 2), (120, 3)],   # +2h: watermark -> t0+10m-1h (no fire yet)
+        [(240, 2), (240, 3)],   # +4h: watermark -> t0+1h > user1 timeout
+        [(360, 2), (360, 3)],   # +6h: user1 already evicted, no repeat
+    ]
+    eid = 0
+    for b, evs in enumerate(batches):
+        rows = []
+        for mins, user in evs:
+            eid += 1
+            rows.append(
+                (eid, (t0 + pd.Timedelta(minutes=mins)).to_pydatetime(), user, "click", 1.0, "{}")
+            )
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+    src = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    _run_stream(streaming_inactivity_alerts(src), "t_idle", "append")
+    alerts = spark.table("t_idle").toPandas()
+    u1 = alerts[alerts.user_id == 1]
+    assert len(u1) == 1, alerts  # exactly one alert, no repeat after eviction
+    assert u1.iloc[0]["last_seen"] == t0 + pd.Timedelta(minutes=10)
+    assert u1.iloc[0]["n_events"] == 3
+    # users 2/3 stayed active through the final batch: no alert rows
+    assert set(alerts.user_id) <= {1, 2, 3}
+    assert len(alerts[alerts.user_id != 1]) == 0 or all(
+        # if the final watermark overtook them, their alerts must still
+        # reflect true last-seen times
+        r.last_seen == t0 + pd.Timedelta(minutes=360)
+        for r in alerts[alerts.user_id != 1].itertuples()
+    )
