@@ -536,6 +536,13 @@ def kmeans_assignments(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not seeds:  # empty corpus: typed empty assignment, no centroids
+        empty = emb.select(
+            "*",
+            F.expr("cast(array() as array<double>)").alias("dists"),
+            F.lit(0).cast("int").alias("cluster"),
+        ).limit(0)
+        return empty, []
     cents = [list(map(float, r.embedding)) for r in sorted(seeds, key=lambda r: r.vec_id)]
 
     def dist_expr(c: list[float]) -> str:
@@ -627,6 +634,15 @@ def pq_codebooks(
         .select("vec_id", "embedding")
         .collect()
     )
+    if not seed_rows:  # empty corpus: typed empty codes, empty codebooks
+        empty = sv.select(
+            "vec_id",
+            "m",
+            F.lit(0).cast("int").alias("code"),
+            "sv",
+            F.lit(0.0).alias("dist"),
+        ).limit(0)
+        return empty, [[] for _ in range(m)]
     seed_rows = sorted(seed_rows, key=lambda r: r.vec_id)
     books = [
         [
@@ -805,7 +821,10 @@ def pca_moments(emb: DataFrame) -> tuple[int, "list[float]", "list[list[float]]"
     import numpy as np
     import pandas as pd
 
-    dim = len(emb.select("embedding").first()[0])
+    head = emb.select("embedding").first()
+    if head is None:  # empty corpus: zero moments, dimension unknowable
+        return 0, [], []
+    dim = len(head[0])
 
     def partials(batches):
         for pdf in batches:
@@ -852,6 +871,10 @@ def embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n, s, gram = pca_moments(emb)
+    if n == 0:  # empty corpus: no components, typed empty result
+        return spark.createDataFrame(
+            [], "component int, eigenvalue double, explained_var double, top_loading_dim int"
+        )
     mu = np.array(s) / n
     cov = (np.array(gram) - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending

@@ -572,22 +572,46 @@ WHERE rnk <= 3
 """
 
 
-def customer_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+def _grouped_with_standard_grand_total(j: DataFrame, grouped) -> DataFrame:
+    """ROLLUP/CUBE with the SQL-standard grand-total row: Spark's
+    rollup/cube emit ZERO rows on an empty relation, but the standard
+    (and DuckDB, and Postgres) always emit the ``GROUP BY ()`` row —
+    one row with NULL keys, count 0, NULL sums. Split the grand-total
+    grouping (grouping_id == 3) out of the multi-grouping aggregate and
+    compute it as a global aggregate, which has the always-one-row
+    semantics; values are identical on non-empty data."""
+    partial = grouped.agg(
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.count("*").alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    ).filter("gid != 3")
+    total = j.agg(
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.count("*").alias("n_orders"),
+    ).select(
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "total_price",
+        "n_orders",
+    )
     return (
-        j.rollup("c_mktsegment", "o_orderstatus")
-        .agg(
-            dsum(F.col("o_totalprice")).alias("total_price"),
-            F.count("*").alias("n_orders"),
-        )
+        partial.select("c_mktsegment", "o_orderstatus", "total_price", "n_orders")
+        .unionByName(total)
         .select(
             F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             "total_price",
             "n_orders",
         )
+    )
+
+
+def customer_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return _grouped_with_standard_grand_total(
+        j, j.rollup("c_mktsegment", "o_orderstatus")
     )
 
 
@@ -602,22 +626,14 @@ GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
 
 
 def customer_order_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CUBE over (segment, status): all 4 grouping-set combos."""
+    """Full CUBE over (segment, status): all 4 grouping-set combos,
+    with the SQL-standard always-present grand-total row (see
+    ``_grouped_with_standard_grand_total``)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     j = orders.join(cust, orders.o_custkey == cust.c_custkey)
-    return (
-        j.cube("c_mktsegment", "o_orderstatus")
-        .agg(
-            dsum(F.col("o_totalprice")).alias("total_price"),
-            F.count("*").alias("n_orders"),
-        )
-        .select(
-            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
-            "total_price",
-            "n_orders",
-        )
+    return _grouped_with_standard_grand_total(
+        j, j.cube("c_mktsegment", "o_orderstatus")
     )
 
 
