@@ -377,7 +377,10 @@ def streaming_inactivity_alerts(
     state, the abandoned-session/cart shape.
 
     Semantics: an event for an already-alerted user simply starts a new
-    session-state; alerts are per idle-gap, not per user forever."""
+    session-state; alerts are per idle-gap, not per user forever.
+    Precision: state carries last_seen at MILLISECOND grain (the
+    GroupState timeout API is ms-based), so an alert's last_seen can
+    sit up to 999 us before the true event time."""
     import pandas as pd
 
     idle_ms = {"30 minutes": 30 * 60_000}.get(idle)
