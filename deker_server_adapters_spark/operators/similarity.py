@@ -792,6 +792,108 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ + refine — the production ANN composition (FAISS
+    IVFPQ): the coarse quantizer prunes the corpus to the query's
+    top-``_IVF_PROBES`` cells (touch ~probes/cells of the data), PQ
+    ADC scores ONLY those candidates from their 8-nibble codes against
+    a broadcast query LUT, and the top-``_PQ_RERANK`` shortlist
+    re-ranks by exact cosine. Three independently-tested stages
+    composed: ``_ivf_centroids`` (cell assignment, 1e-9-rounded sims),
+    ``pq_codebooks`` (codes), and the exact re-rank. At 100 TB this is
+    the shape that works: cell pruning bounds I/O, code scoring bounds
+    bytes/candidate, the refine bounds the error of both. Rows-only
+    (both trainers iterative); recall pytest-checked."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _ivf_centroids(emb).persist()
+    # inverted file: cell per vector (same discipline as ann_ivf_cosine)
+    scored_cells = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
+    )
+    w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+    inv = (
+        scored_cells.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    qcells = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")),
+        )
+        .filter(F.col("rn") <= _IVF_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        inv.join(F.broadcast(qcells), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+
+    codes, books = pq_codebooks(emb)
+    sub = _DIM // _PQ_M
+    qrows = sorted(
+        queries.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    lut_rows, qnorms = [], {}
+    for r in qrows:
+        q = np.asarray(r.embedding, dtype=np.float64)
+        qnorms[r.vec_id] = float(np.sqrt((q * q).sum()))
+        for mm in range(_PQ_M):
+            qsub = q[mm * sub : (mm + 1) * sub]
+            for c in range(_PQ_K):
+                cent = np.asarray(books[mm][c], dtype=np.float64)
+                lut_rows.append(
+                    (int(r.vec_id), mm, c, float(np.dot(qsub, cent)), float(np.dot(cent, cent)))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, c int, qdot double, cnorm2 double"
+    )
+    qn = spark.createDataFrame(
+        [(int(k), v) for k, v in sorted(qnorms.items())], "query_id long, qn double"
+    )
+    # ADC over the PRUNED candidate set only
+    lut_r = lut.withColumnRenamed("query_id", "lq")
+    adc = (
+        codes.select("vec_id", F.col("m").alias("cm"), F.col("code").alias("cc"))
+        .join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(lut_r),
+            (F.col("cm") == F.col("m"))
+            & (F.col("cc") == F.col("c"))
+            & (F.col("query_id") == F.col("lq")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdot").alias("qdot"), F.sum("cnorm2").alias("n2"))
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("adc_cosine", F.round(F.col("qdot") / (F.col("qn") * F.sqrt(F.col("n2"))), 6))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), "neighbor_id")
+    shortlist = (
+        adc.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= _PQ_RERANK)
+        .select("query_id", "neighbor_id")
+    )
+    qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    reranked = (
+        ne.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qe.filter(F.col("query_id") < _N_QUERIES)), "query_id")
+        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w3))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def embeddings_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook summary after training: per (subspace, code) cell
     population and mean squared quantization error — the codebook-
@@ -947,6 +1049,16 @@ OPS = {
             f"top-{_PCA_K} PCs; O(N) mean+Gram in one distributed pass "
             "(BLAS per Arrow batch), d x d eigensolve on the driver — "
             "the MLlib RowMatrix split; NumPy-parity pytest"
+        ),
+    ),
+    "ann_ivfpq_cosine": Op(
+        "ann_ivfpq_cosine",
+        ann_ivfpq_cosine,
+        None,
+        description=(
+            "IVF cell pruning x PQ ADC scoring x exact refine — the "
+            "production composition; touches ~probes/cells of the data "
+            "at 8 nibbles/candidate; recall pytest-checked"
         ),
     ),
     "ann_pq_cosine": Op(

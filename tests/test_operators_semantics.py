@@ -880,3 +880,21 @@ def test_ann_pq_recall_vs_brute_force(spark, sf_dir):
     a = approx.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [len(a.get(q, set()) & want) / len(want) for q, want in e.items()]
     assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_ann_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """The composed IVF x PQ x refine path: recall@5 vs exact is
+    bounded above by IVF's own cell-pruning recall (~0.7 on this
+    corpus); the PQ shortlist stage should cost little on top
+    (measured 0.64 vs 0.70). Floor leaves slack for recipe changes."""
+    from deker_server_adapters_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_ivfpq_cosine,
+    )
+
+    exact = ann_cosine_topk(spark, sf_dir).toPandas()
+    approx = ann_ivfpq_cosine(spark, sf_dir).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(a.get(q, set()) & want) / len(want) for q, want in e.items()]
+    assert np.mean(recalls) >= 0.4, recalls

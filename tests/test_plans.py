@@ -349,6 +349,7 @@ _ITERATIVE_BUILDERS = {
     "embeddings_pca",
     "embeddings_pq",
     "ann_pq_cosine",
+    "ann_ivfpq_cosine",
     "dedup_components",
     "docs_dedup_pipeline",
 }
