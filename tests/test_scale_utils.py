@@ -184,3 +184,33 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     out_files = glob.glob(out + "/*.parquet")
     assert len(out_files) == 1
     assert spark.read.parquet(out).count() == 4000
+
+
+def test_stress_harness_skew_generators(spark, tmp_path):
+    """The skew-stress harness must actually produce the distributions
+    PERF.md claims it measured: ~10% of lineitems on one hot orderkey
+    (which exists on the orders side) and ~10% of events on one hot
+    user. Guarded at k=1 so a harness regression can't silently turn
+    the skew tables into uniform-measurement theater."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from stress import scale_tables
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "skewed")
+    scale_tables(
+        spark, "/root/testdata/sf0.001", 1, out, skew_events=True, skew_lineitem=True
+    )
+    li = spark.read.parquet(out + "/lineitem.parquet")
+    total = li.count()
+    top = li.groupBy("l_orderkey").count().orderBy(F.desc("count")).first()
+    assert 0.05 <= top["count"] / total <= 0.15, (top, total)
+    orders = spark.read.parquet(out + "/orders.parquet")
+    assert orders.filter(F.col("o_orderkey") == top["l_orderkey"]).count() == 1
+
+    ev = spark.read.parquet(out + "/events.parquet")
+    ev_total = ev.count()
+    hot = ev.filter(F.col("user_id") == 424242).count()
+    assert 0.05 <= hot / ev_total <= 0.15, (hot, ev_total)
