@@ -456,3 +456,45 @@ def test_streaming_inactivity_alerts_fire_on_true_gaps(spark, tmp_path):
         r.last_seen == t0 + pd.Timedelta(minutes=360)
         for r in alerts[alerts.user_id != 1].itertuples()
     )
+
+
+def test_stateful_twin_runs_on_rocksdb_state_store(spark, sf_dir):
+    """The 100 TB state path: the stateful twins must run (and agree
+    with batch) under the RocksDB state-store provider — the provider a
+    real deployment uses once per-key state outgrows the default
+    in-memory HDFS-backed store. Conf is set for this stream only and
+    restored after."""
+    from deker_server_adapters_spark.operators.events import events_inter_arrival
+    from deker_server_adapters_spark.streaming.events_stream import (
+        stream_events_source,
+        streaming_inter_arrival,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = stream_events_source(spark, sf_dir, n_files=4)
+        _run_stream(streaming_inter_arrival(src), "t_gaps_rocks", "update")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    got = (
+        spark.table("t_gaps_rocks")
+        .groupBy("user_id")
+        .agg(F.max("n_gaps").alias("n_gaps"))
+        .toPandas()
+        .set_index("user_id")["n_gaps"]
+    )
+    want = (
+        events_inter_arrival(spark, sf_dir)
+        .select("user_id", "n_gaps")
+        .toPandas()
+        .set_index("user_id")["n_gaps"]
+    )
+    assert got.sort_index().equals(want.sort_index())
