@@ -423,9 +423,15 @@ class ArrayAdapter:
                 resolve_bounds(bounds, array.schema.dimensions), chunk_shape
             )
             shifted = [(a + lo, b + lo, sq) for (a, b, sq), (lo, _) in zip(norm, box)]
-            return self.store.read_slice(vid, self._grid(), shifted, array.dtype)
+            return self.store.read_slice(
+                vid, self._grid(), shifted, array.dtype,
+                fill_value=self.collection.array_schema.fill_value,
+            )
         norm = normalize_bounds(resolve_bounds(bounds, array.schema.dimensions), array.shape)
-        return self.store.read_slice(array.id, self._grid(), norm, array.dtype)
+        return self.store.read_slice(
+            array.id, self._grid(), norm, array.dtype,
+            fill_value=self.collection.array_schema.fill_value,
+        )
 
     def update(self, array: Array, bounds: Bounds, data) -> None:
         view = self._chunk_view(array)

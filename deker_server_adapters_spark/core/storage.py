@@ -437,6 +437,7 @@ class ChunkStore:
         norm: list[tuple[int, int, bool]],
         np_dtype: np.dtype,
         max_points: int = DEFAULT_MAX_POINTS,
+        fill_value: float = np.nan,
     ) -> np.ndarray:
         out_shape_full = [stop - start for start, stop, _ in norm]
         n_points = math.prod(out_shape_full)
@@ -478,7 +479,13 @@ class ChunkStore:
         pieces = scan.mapInPandas(
             slice_chunks, "offset array<long>, shape array<long>, data array<double>"
         ).collect()
-        out = np.full(out_shape_full, np.nan, dtype=np.float64)
+        # cells no stored run covers read as the ARRAY'S fill value:
+        # engine-created arrays materialize full chunks so this never
+        # surfaces there, but the deker writer's bulk appends are
+        # sparse — Deker semantics say unwritten cells ARE fill_value
+        # (found by the writer's random-subset property test; the old
+        # NaN base leaked through for sparse arrays)
+        out = np.full(out_shape_full, fill_value, dtype=np.float64)
         for row in pieces:
             off, shp = row["offset"], row["shape"]
             if math.prod(shp) == 0:

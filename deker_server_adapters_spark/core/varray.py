@@ -217,7 +217,10 @@ class VArrayAdapter:
 
     def read_data(self, varray: VArray, bounds: Bounds) -> np.ndarray:
         norm = normalize_bounds(resolve_bounds(bounds, varray.schema.dimensions), varray.shape)
-        return self.store.read_slice(varray.id, self._grid(), norm, varray.dtype)
+        return self.store.read_slice(
+            varray.id, self._grid(), norm, varray.dtype,
+            fill_value=varray.schema.fill_value,
+        )
 
     def update(self, varray: VArray, bounds: Bounds, data) -> None:
         norm = normalize_bounds(resolve_bounds(bounds, varray.schema.dimensions), varray.shape)

@@ -619,3 +619,43 @@ def test_varray_collection_multi_chunk(spark, tmp_path):
 
     list(pruned.pushFilters([GreaterThanOrEqual(("x",), 0), LessThan(("x",), 4)]))
     assert len(pruned.partitions()) == 2  # first vgrid row: 1x2 chunks
+
+
+def test_writer_property_random_subsets_roundtrip(spark, tmp_path):
+    """Property: ANY subset of cells, in ANY partitioning, written
+    through the deker writer (possibly across several appends) reads
+    back exactly — absent cells stay at the schema fill value. Seeded
+    randomized cases rather than hypothesis so each case reuses one
+    warehouse-per-case Spark roundtrip."""
+    import numpy as np
+
+    rng = np.random.RandomState(99)
+    for case in range(4):
+        root = str(tmp_path / f"whp{case}")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        data = rng.rand(20, 12)
+        all_cells = [(i, j) for i in range(20) for j in range(12)]
+        rng.shuffle(all_cells)
+        keep = all_cells[: rng.randint(1, len(all_cells) + 1)]
+        n_appends = rng.randint(1, 4)
+        chunks = np.array_split(np.arange(len(keep)), n_appends)
+        for part in chunks:
+            if not len(part):
+                continue
+            rows = [("p1", int(keep[k][0]), int(keep[k][1]), float(data[keep[k]])) for k in part]
+            (
+                spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+                .repartition(rng.randint(1, 6))
+                .write.format("deker")
+                .option("path", root).option("collection", "w")
+                .mode("append").save()
+            )
+        got = wh.collections.read("w").arrays.get_by_id("p1").read_data(
+            (slice(None), slice(None))
+        )
+        want = np.zeros((20, 12))  # schema fill value
+        for (i, j) in keep:
+            want[i, j] = data[i, j]
+        np.testing.assert_allclose(got, want, err_msg=f"case {case}")
