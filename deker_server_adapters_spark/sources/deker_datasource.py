@@ -484,6 +484,10 @@ class DekerWriter(DataSourceArrowWriter):
     ``commit`` registers in the catalog (``create_arrays`` option,
     default true) with empty attributes; pre-created arrays keep their
     metadata. ``abort`` removes every file the failed write produced.
+    Sparse appends are first-class: cells never written read back as
+    the schema's ``fill_value`` through ``read_data`` (property-tested
+    over random subsets/partitionings); the cell-table SCAN emits only
+    materialized cells.
 
     Reference parity: create+write flow of base.py:111-160; the subset
     PUT path (base.py:272-311) deliberately stays on the engine API.
