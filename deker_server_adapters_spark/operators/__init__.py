@@ -30,22 +30,77 @@ class Op:
     description: Optional[str] = None
 
 
+_PACKAGE_PREFIX = "deker_server_adapters_spark"
+
+# Plain-data module globals whose repr is deterministic per source text;
+# changing one (e.g. a CMS depth constant) redefines every op that reads it.
+_CONST_TYPES = (str, bytes, int, float, bool, tuple, list, dict, set, frozenset)
+
+
+def _referenced_names(code) -> set:
+    """All global names a code object (and its nested lambdas /
+    comprehensions / inner defs) loads."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if hasattr(const, "co_names"):  # nested code object
+            names |= _referenced_names(const)
+    return names
+
+
+def _captured_sources(fn, seen: set) -> list:
+    """Transitive definition closure of a builder: source text of every
+    in-package function/class it references (recursively), plus reprs of
+    the plain-data module constants it reads. This is what makes a
+    HELPER rewrite change its ops' fingerprints — the r7
+    ``text_bpe_merges`` lesson, where the builder body stayed
+    byte-identical while ``_bpe_apply_merge``/``bpe_merge_table`` were
+    rewritten, so the old builder-only fingerprint missed it."""
+    code = getattr(fn, "__code__", None)
+    globals_ns = getattr(fn, "__globals__", None)
+    if code is None or globals_ns is None:
+        return []
+    out = []
+    for name in sorted(_referenced_names(code)):
+        if name in seen or name not in globals_ns:
+            continue
+        seen.add(name)
+        val = globals_ns[name]
+        mod = getattr(val, "__module__", None)
+        if callable(val) and isinstance(mod, str) and mod.startswith(_PACKAGE_PREFIX):
+            try:
+                src = inspect.getsource(val)
+            except (OSError, TypeError):
+                src = repr(val)
+            out.append(f"--helper {name}--\n{src}")
+            out.extend(_captured_sources(val, seen))
+        elif isinstance(val, (set, frozenset)):
+            # set repr is hash-order dependent across interpreter runs
+            out.append(f"--const {name}--\n{sorted(val, key=repr)!r}")
+        elif isinstance(val, _CONST_TYPES):
+            out.append(f"--const {name}--\n{val!r}")
+    return out
+
+
 def op_fingerprint(op: "Op") -> str:
     """Content fingerprint of an op's DEFINITION: oracle SQL + builder
-    source. The rotation uses it to detect that an op was redefined
+    source + the builder's transitive in-package helper/constant
+    closure. The rotation uses it to detect that an op was redefined
     after its last green driver check — a green row only vouches for
     the text that was checked, so a changed op must re-verify even if
-    its name was green recently (the r6 `events_heavy_hitters_cms`
-    lesson: rewritten + new oracle, but its stale green round kept it
-    at the back of the rotation for up to two rounds). Builder source
-    via ``inspect`` is best-effort (helpers/constants outside the
-    function body aren't captured); oracle text is exact."""
+    its name was green recently (r6 `events_heavy_hitters_cms`: rewrite
+    hidden behind a stale green round; r7 `text_bpe_merges`: rewrite
+    hidden one layer deeper, in helpers the old builder-only hash never
+    saw). Helper capture follows global-name references recursively, so
+    it is exact for the normal module layout (top-level defs + plain
+    constants); dynamic dispatch through containers of functions would
+    still evade it, which the module style deliberately avoids."""
     try:
         src = inspect.getsource(op.builder)
     except (OSError, TypeError):
         src = repr(op.builder)
-    payload = (op.oracle or "<no-oracle>") + "\n--builder--\n" + src
-    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+    parts = [op.oracle or "<no-oracle>", "--builder--", src]
+    parts.extend(_captured_sources(op.builder, seen=set()))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
 def rotation_rank(fingerprint: str, verified_fp: Optional[str], last_green: int) -> int:

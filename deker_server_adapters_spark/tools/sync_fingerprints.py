@@ -6,7 +6,8 @@ Run at ROUND START, before editing any operator:
 
 For every op with a green row in the newest ``CORRECTNESS_r*.json``
 (hash match, or rows-only-by-design with rows > 0) it records the op's
-CURRENT fingerprint (oracle SQL + builder source) as "driver-verified".
+CURRENT fingerprint (oracle SQL + builder source + the builder's
+transitive in-package helper/constant closure) as "driver-verified".
 This is sound exactly at round start: the driver ran against the
 previous round's final committed text, which is what the working tree
 still contains before any edits. The rotation in

@@ -92,6 +92,66 @@ def test_fingerprint_tracks_oracle_and_builder():
     assert a == op_fingerprint(Op(name="y", builder=build, oracle="SELECT 1"))
 
 
+def test_fingerprint_tracks_helper_rewrites():
+    """The r7 `text_bpe_merges` lesson: a rewrite that lives entirely in
+    module-level helpers (builder body byte-identical) must still change
+    the op's fingerprint, or the rotation never re-verifies it. Build
+    two modules whose builder TEXT is identical but whose helper bodies
+    / constants differ, and require distinct fingerprints — including
+    for helpers reached only transitively or from nested lambdas."""
+    import textwrap
+    import types
+
+    from deker_server_adapters_spark.operators import Op, op_fingerprint
+
+    counter = iter(range(100))
+
+    def make_module(helper_body, const, inner_body):
+        fname = f"<fake-{next(counter)}>"
+        src = textwrap.dedent(f"""
+            _THRESHOLD = {const!r}
+
+            def _inner(x):
+                return {inner_body}
+
+            def _helper(df):
+                return {helper_body}
+
+            def build(spark, sf_dir):
+                fn = lambda d: _helper(d)
+                return fn(_THRESHOLD)
+        """)
+        mod = types.ModuleType("fake_ops_mod")
+        mod.__dict__["__name__"] = "deker_server_adapters_spark.operators.fake"
+        exec(compile(src, fname, "exec"), mod.__dict__)
+        # mark helpers as in-package so the closure walk captures them
+        for fn_name in ("_helper", "_inner", "build"):
+            mod.__dict__[fn_name].__module__ = (
+                "deker_server_adapters_spark.operators.fake"
+            )
+        # getsource needs a real file; fake it through linecache
+        import linecache
+
+        linecache.cache[fname] = (
+            len(src), None, src.splitlines(keepends=True), fname
+        )
+        return mod
+
+    base = make_module("df + _inner(1)", 10, "x * 2")
+    helper_edit = make_module("df - _inner(1)", 10, "x * 2")
+    const_edit = make_module("df + _inner(1)", 99, "x * 2")
+    transitive_edit = make_module("df + _inner(1)", 10, "x * 3")
+
+    fps = []
+    for mod in (base, helper_edit, const_edit, transitive_edit):
+        fps.append(op_fingerprint(Op(name="x", builder=mod.build, oracle="SELECT 1")))
+    # builder text identical in all four; only helpers/constants differ
+    assert len(set(fps)) == 4, fps
+    # and the capture is deterministic, not an id()-based accident
+    again = op_fingerprint(Op(name="x", builder=base.build, oracle="SELECT 1"))
+    assert again == fps[0]
+
+
 def test_operator_catalog_is_current():
     """docs/OPERATORS.md must match what the generator renders from the
     live registry — a stale catalog misdocuments the API surface."""
