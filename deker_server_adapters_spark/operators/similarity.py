@@ -228,6 +228,21 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     return new_cents
 
 
+def _local_centroids(emb: DataFrame) -> DataFrame:
+    """``_ivf_centroids`` materialized to a K-row LocalRelation.
+
+    The consumers reference the centroid table from several plan
+    branches (inverted file + query probes); a ``persist()`` here used
+    to leak past the builder (the one r7 deviation from the repo's
+    persist-hygiene rule). Collecting K=8 tiny rows once instead runs
+    the trainer exactly once, leaves nothing persisted, and gives the
+    branches a LocalRelation that broadcasts without a recompute — the
+    shape that survives 100 TB, where re-running the quantizer per
+    branch would double the corpus scans."""
+    cents = _ivf_centroids(emb)
+    return emb.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
+
+
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into cells, probe the
     query's top-``_IVF_PROBES`` cells, exact re-rank inside. The scale
@@ -235,7 +250,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scanned once to build the inverted file; queries
     touch ~probes/K of the data. (Rows-only; recall tested.)"""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(emb).persist()
+    cents = _local_centroids(emb)
     # inverted file: cell assignment for every vector (sims rounded to
     # 1e-9 before ranking — same determinism discipline as the
     # quantizer, so the recall oracle can replay the assignment)
@@ -807,7 +822,7 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _ivf_centroids(emb).persist()
+    cents = _local_centroids(emb)
     # inverted file: cell per vector (same discipline as ann_ivf_cosine)
     scored_cells = emb.crossJoin(F.broadcast(cents)).withColumn(
         "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)

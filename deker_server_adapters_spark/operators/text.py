@@ -545,16 +545,24 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # 1-row corpus total as a broadcast cross join (the oracle's CROSS
+    # JOIN n shape) — not an eager .count(): no synchronous driver
+    # action in the builder, the whole op stays lazy (the decay-op
+    # device, events.py:877).
+    nd = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
-        "doc_id",
-        "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
@@ -1040,7 +1048,10 @@ def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair stream. PMI ranks collocations for phrase mining /
     tokenizer merges."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # 1-row corpus total, broadcast-cross-joined into the pair stream
+    # (the oracle's CROSS JOIN n shape) — no eager .count() in the
+    # builder; the whole op stays lazy (the decay-op device).
+    nd = docs.agg(F.count("*").cast("double").alias("n_docs"))
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
     vocab = (
         toks.groupBy("tok")
@@ -1070,13 +1081,14 @@ def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(dfreq.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))),
             "tok_b",
         )
+        .crossJoin(F.broadcast(nd))
         .select(
             "tok_a",
             "tok_b",
             "n_ab",
             F.round(
                 F.log(
-                    (F.col("n_ab") * F.lit(float(n_docs)))
+                    (F.col("n_ab") * F.col("n_docs"))
                     / (F.col("df_a") * F.col("df_b")).cast("double")
                 ),
                 4,

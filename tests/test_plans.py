@@ -338,6 +338,38 @@ def test_source_token_mix_total_is_lazy_broadcast(spark, sf_dir, monkeypatch):
     assert "BroadcastNestedLoopJoin" in physical_plan(df)
 
 
+@pytest.mark.parametrize("op_name", ["docs_tfidf_topk", "text_term_pmi"])
+def test_corpus_total_is_lazy_broadcast(spark, sf_dir, monkeypatch, op_name):
+    """The corpus doc total reaches the score expression as a broadcast
+    1-row aggregate (the oracle's CROSS JOIN n shape), never an eager
+    driver .count() — an eager action in the builder is a synchronous
+    barrier and an extra pass at plan-BUILD time (VERDICT r7 item 5)."""
+    from pyspark.sql import DataFrame
+
+    def _poisoned(name):
+        def action(self, *a, **k):
+            raise AssertionError(f"builder called eager action DataFrame.{name}()")
+
+        return action
+
+    for name in ("first", "head", "take", "collect", "count", "toPandas"):
+        monkeypatch.setattr(DataFrame, name, _poisoned(name))
+    df = _plan(spark, sf_dir, op_name)
+    monkeypatch.undo()
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)  # 1-row side
+
+
+@pytest.mark.parametrize("op_name", ["ann_ivf_cosine", "ann_ivfpq_cosine"])
+def test_ivf_builders_leave_nothing_persisted(spark, sf_dir, op_name):
+    """Persist hygiene (VERDICT r7 item 4): the IVF centroid table used
+    to be persist()ed and leak past the builder. It is now collected to
+    a K-row LocalRelation instead, so after the op runs NO cached
+    RDD/DataFrame blocks may remain registered with the context."""
+    _plan(spark, sf_dir, op_name).collect()
+    leaked = spark.sparkContext._jsc.getPersistentRDDs()
+    assert leaked.isEmpty(), f"{op_name} left {leaked.size()} persisted RDD(s)"
+
+
 # Ops whose builder runs a driver-side iterative loop (training rounds,
 # Lloyd iterations, eigensolve) — building their final plan executes the
 # loop, so the sweep below would re-run minutes of compute that their
@@ -368,6 +400,8 @@ _INTENTIONAL_BNLJ = {
     "orders_market_basket",
     "events_user_value_decay",
     "docs_source_token_mix",
+    "docs_tfidf_topk",
+    "text_term_pmi",
     "q11_important_parts",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
