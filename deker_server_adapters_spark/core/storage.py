@@ -55,8 +55,28 @@ CHUNK_SCHEMA = StructType(
         StructField("origin", ArrayType(LongType(), False), False),
         StructField("shape", ArrayType(LongType(), False), False),
         StructField("data", ArrayType(DoubleType(), True), False),
+        # placement rank: when runs overlap, the HIGHEST seq wins. Every
+        # writer stamps it ((~ms clock) << 20 | within-task counter), so
+        # ordering is explicit in the data — not derived from file names,
+        # which neither Spark's scan (size-packed splits) nor compaction
+        # (merged files) preserves. Nullable: legacy files read as null
+        # (treated as oldest). Write events that land in the same ~ms on
+        # different writers are mutually unordered, same as any two
+        # uncoordinated appends.
+        StructField("seq", LongType(), True),
     ]
 )
+
+_SEQ_COUNTER_BITS = 20
+
+
+def next_write_seq() -> int:
+    """Base placement stamp for one write event: wall-clock at ~ms
+    granularity shifted to leave ``_SEQ_COUNTER_BITS`` low bits for a
+    within-task run counter. Fits int64 until ~year 2150."""
+    import time
+
+    return (time.time_ns() >> _SEQ_COUNTER_BITS) << _SEQ_COUNTER_BITS
 
 # default cap on cells materialized to the driver by read_data —
 # parity with the reference's data-points limit (413 handling).
@@ -191,22 +211,69 @@ class ChunkGrid:
 
 def _merge_chunk_dir(d: str) -> int:
     """Merge every parquet file in one chunk-partition dir into a
-    single file (rows in sorted-file-name order — the readers' visit
-    order). Runs on executors; returns 1 if the dir was compacted."""
+    single file. Runs on executors; returns 1 if the dir was compacted.
+
+    - Placement order survives the merge because it lives in the
+      explicit ``seq`` column, not file names; rows from a legacy file
+      that predates ``seq`` get a synthesized small seq (its rank in
+      sorted-file-name order — the legacy visit-order convention), so
+      they stay older than every stamped run.
+    - Files are CAST to one canonical Arrow schema before concat:
+      Spark-written files name list items ``element`` while
+      pyarrow-written ones use ``item``, and ``concat_tables`` treats
+      those as unequal schemas — a chunk dir mixing engine COW rewrites
+      with deker bulk appends would otherwise fail to compact.
+    - In-flight writer temp files (dot-prefixed) are never touched —
+      they belong to an uncommitted task attempt.
+    - Races: a file that vanishes between the listing snapshot and its
+      read (concurrent ``delete_array``) is skipped; only files that
+      were actually merged are removed, and removal tolerates a
+      concurrent delete. Two concurrent compacts of the SAME dir remain
+      unsupported (each would merge-and-remove the other's output).
+    """
     import os as _os
     import uuid as _uuid
 
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    files = sorted(f for f in _os.listdir(d) if f.endswith(".parquet"))
+    canonical = _pa.schema(
+        [
+            ("origin", _pa.list_(_pa.int64())),
+            ("shape", _pa.list_(_pa.int64())),
+            ("data", _pa.list_(_pa.float64())),
+            ("seq", _pa.int64()),
+        ]
+    )
+    files = sorted(
+        f
+        for f in _os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
     if len(files) < 2:
         return 0
-    merged = _pa.concat_tables([_pq.read_table(_os.path.join(d, f)) for f in files])
+    tables, merged_files = [], []
+    for rank, f in enumerate(files):
+        try:
+            t = _pq.read_table(_os.path.join(d, f))
+        except (FileNotFoundError, OSError):
+            continue  # vanished since the listing snapshot: skip, keep
+        if "seq" not in t.schema.names:
+            t = t.append_column(
+                "seq", _pa.array([rank] * len(t), _pa.int64())
+            )
+        tables.append(t.select(canonical.names).cast(canonical))
+        merged_files.append(f)
+    if len(tables) < 2:
+        return 0
+    merged = _pa.concat_tables(tables)
     out = _os.path.join(d, f"part-compact-{_uuid.uuid4().hex}.parquet")
     _pq.write_table(merged, out)
-    for f in files:
-        _os.remove(_os.path.join(d, f))
+    for f in merged_files:
+        try:
+            _os.remove(_os.path.join(d, f))
+        except FileNotFoundError:
+            pass
     return 1
 
 
@@ -222,6 +289,7 @@ class ChunkStore:
     def _rows_from_ndarray(
         self, array_id: str, grid: ChunkGrid, data: np.ndarray
     ) -> Iterable[dict]:
+        seq = next_write_seq()  # one stamp per write event; chunks are disjoint
         for idx in range(grid.n_chunks):
             box = grid.chunk_box(idx)
             piece = data[tuple(slice(a, b) for a, b in box)]
@@ -231,6 +299,7 @@ class ChunkStore:
                 "origin": [a for a, _ in box],
                 "shape": list(piece.shape),
                 "data": piece.astype(np.float64).ravel(order="C").tolist(),
+                "seq": seq,
             }
 
     def write_array(self, array_id: str, grid: ChunkGrid, data: np.ndarray) -> None:
@@ -254,7 +323,7 @@ class ChunkStore:
                 f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
                 f"i -> CAST({fill_value} AS DOUBLE))"
             ),
-        )
+        ).withColumn("seq", F.lit(next_write_seq()))
         self._write(df.select(*[f.name for f in CHUNK_SCHEMA.fields]), mode="append")
 
     def write_from_cells(
@@ -284,6 +353,7 @@ class ChunkStore:
             *[F.col(c).cast("long").alias(c) for c in dim_cols],
             F.col(value_col).cast("double").alias("__value"),
         ).persist()  # read twice: chunk build + present-idx probe
+        write_seq = next_write_seq()  # one stamp: output chunks are disjoint
         grid_bc = self.spark.sparkContext.broadcast(
             {
                 "splits": grid.splits,
@@ -292,6 +362,7 @@ class ChunkStore:
                 "fill": float(fill_value),
                 "array_id": array_id,
                 "dims": list(dim_cols),
+                "seq": write_seq,
             }
         )
 
@@ -323,6 +394,7 @@ class ChunkStore:
                         "origin": [a for a, _ in box],
                         "shape": shape,
                         "data": arr.ravel(order="C"),
+                        "seq": g["seq"],
                     }
                 ]
             )
@@ -344,13 +416,17 @@ class ChunkStore:
                 meta = self.spark.createDataFrame(
                     boxes, "array_id string, chunk_idx long, origin array<long>, shape array<long>"
                 )
-                fill_df = meta.withColumn(
-                    "data",
-                    F.expr(
-                        f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
-                        f"i -> CAST({float(fill_value)} AS DOUBLE))"
-                    ),
-                ).select(*[f.name for f in CHUNK_SCHEMA.fields])
+                fill_df = (
+                    meta.withColumn(
+                        "data",
+                        F.expr(
+                            f"transform(sequence(1, CAST(aggregate(shape, 1L, (a, x) -> a * x) AS INT)), "
+                            f"i -> CAST({float(fill_value)} AS DOUBLE))"
+                        ),
+                    )
+                    .withColumn("seq", F.lit(write_seq))
+                    .select(*[f.name for f in CHUNK_SCHEMA.fields])
+                )
                 present = present.unionByName(fill_df)
             self._write(present, mode="append")
         finally:
@@ -394,13 +470,21 @@ class ChunkStore:
 
         Distributed: the chunk-dir list parallelizes over executors and
         each dir merges independently (bounded by one chunk's bytes).
-        Rows concatenate in sorted-file-name order — exactly the order
-        both the batch and stream readers visit multi-file chunks, so
-        placement semantics (later runs over earlier) are unchanged.
+        Placement semantics survive the merge because run precedence is
+        the explicit ``seq`` column, not file order (legacy seq-less
+        rows get a synthesized rank — see ``_merge_chunk_dir``).
         Crash window: a failure between writing the merged file and
         removing the inputs leaves duplicate RUNS, which re-place the
         same values — reads stay correct, and the next compact pass
         heals the dir.
+
+        Concurrency: safe alongside an active ``writeStream`` — a
+        writer task's in-flight dot-prefixed temp files are invisible
+        here (and to every reader) until its commit renames them, and a
+        committed file that appears after this pass's listing snapshot
+        is simply not merged this time. Vanished files (concurrent
+        ``delete_array``) are skipped. Two concurrent compact() calls
+        on the SAME store are not supported.
 
         Returns the number of chunk dirs compacted. NOTE for changefeed
         consumers: the merged file is a NEW file, so a running
@@ -412,7 +496,14 @@ class ChunkStore:
         dirs = [
             d
             for d in _glob.glob(os.path.join(self.path, "array_id=*", "chunk_idx=*"))
-            if len([f for f in os.listdir(d) if f.endswith(".parquet")]) >= min_files
+            if len(
+                [
+                    f
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                ]
+            )
+            >= min_files
         ]
         if not dirs:
             return 0
@@ -448,7 +539,16 @@ class ChunkStore:
                 requested=n_points,
             )
         idxs = grid.overlapping_chunks(norm)
-        scan = self.scan(array_id, idxs).select("chunk_idx", "origin", "shape", "data")
+        # seq coalesced JVM-side so pandas sees non-null int64 — a
+        # nullable long with nulls would arrive as float64 and round
+        # 60-bit stamps (placement corruption); -1 = legacy/oldest
+        scan = self.scan(array_id, idxs).select(
+            "chunk_idx",
+            "origin",
+            "shape",
+            "data",
+            F.coalesce(F.col("seq"), F.lit(-1)).alias("seq"),
+        )
         lo = [start for start, _, _ in norm]
         hi = [stop for _, stop, _ in norm]
 
@@ -472,13 +572,25 @@ class ChunkStore:
                     shapes.append(list(piece.shape))
                     datas.append(piece.ravel(order="C"))
                 yield pd.DataFrame(
-                    {"offset": offsets, "shape": shapes, "data": datas},
-                    columns=["offset", "shape", "data"],
+                    {
+                        "offset": offsets,
+                        "shape": shapes,
+                        "data": datas,
+                        "seq": pdf["seq"].to_numpy(),
+                    },
+                    columns=["offset", "shape", "data", "seq"],
                 )
 
         pieces = scan.mapInPandas(
-            slice_chunks, "offset array<long>, shape array<long>, data array<double>"
+            slice_chunks,
+            "offset array<long>, shape array<long>, data array<double>, seq long",
         ).collect()
+        # overlapping runs place LAST-WRITE-WINS: apply in ascending seq
+        # (stable, so equal-seq runs keep their within-file row order —
+        # the within-task counter makes those strictly increasing
+        # anyway). Collect order (Spark's size-packed splits) carries no
+        # placement meaning and is deliberately not relied on.
+        pieces.sort(key=lambda row: row["seq"])
         # cells no stored run covers read as the ARRAY'S fill value:
         # engine-created arrays materialize full chunks so this never
         # surfaces there, but the deker writer's bulk appends are
@@ -551,11 +663,20 @@ class ChunkStore:
                         "origin": origins,
                         "shape": shapes,
                         "data": datas,
+                        # preserve each run's placement rank: the patch
+                        # writes the same values into every overlapping
+                        # run, so relative order among them is unchanged
+                        "seq": pdf["seq"].to_numpy(),
                     },
-                    columns=["array_id", "chunk_idx", "origin", "shape", "data"],
+                    columns=["array_id", "chunk_idx", "origin", "shape", "data", "seq"],
                 )
 
-        updated = self.scan(array_id, idxs).mapInPandas(patch_chunks, CHUNK_SCHEMA)
+        # seq coalesced JVM-side (see read_slice): nulls would reach
+        # pandas as float64 and round 60-bit stamps
+        source = self.scan(array_id, idxs).withColumn(
+            "seq", F.coalesce(F.col("seq"), F.lit(-1))
+        )
+        updated = source.mapInPandas(patch_chunks, CHUNK_SCHEMA)
         # materialize BEFORE overwriting: the plan reads the very
         # partitions the write replaces; an eager checkpoint cuts the
         # lineage so a task retry can never re-read replaced files

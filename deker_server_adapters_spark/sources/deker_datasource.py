@@ -77,6 +77,13 @@ from pyspark.sql.types import (
 )
 
 
+# writer temp-file prefix: dot-prefixed so Spark's parquet scan, the
+# glob-based listings here, and ChunkStore's compaction all skip it
+# until a commit renames it to a visible name
+TMP_PREFIX = ".part-tmp-"
+from deker_server_adapters_spark.core.storage import _SEQ_COUNTER_BITS  # noqa: E402
+
+
 def register(spark) -> None:
     """Register the source and enable Python-source filter pushdown
     (Spark refuses to plan a pushFilters() reader without the conf)."""
@@ -469,8 +476,13 @@ class DekerWriter(DataSourceArrowWriter):
        form ``read_slice`` and the batch/stream readers already place
        by origin/shape, so a chunk assembled from many tasks' runs
        reads back exactly;
-    3. appends one parquet file per (array_id, chunk) it touched,
-       named by task/write UUID (never overwrites — COW-compatible).
+    3. appends one parquet file per (array_id, chunk) it touched —
+       written under a dot-prefixed TEMP name (invisible to every
+       reader) and published by ``commit``'s rename to its task-UUID
+       name, so a crashed job orphans nothing visible; never
+       overwrites (COW-compatible). Each run carries a placement
+       ``seq`` stamp (~ms clock + within-task counter), so a re-written
+       cell resolves LAST-WRITE-WINS through ``read_data``.
 
     Memory per task is bounded by that task's input cells (the same
     class as a shuffle writer's buffer). Chunk-ALIGNED input (e.g.
@@ -479,8 +491,11 @@ class DekerWriter(DataSourceArrowWriter):
     writes correctly, just with shorter runs and more files.
 
     Append-only contract: writing a cell that already exists in the
-    collection double-materializes it (exactly like appending duplicate
-    rows to a parquet table) — bulk ingest targets NEW array ids, which
+    collection appends a NEWER run — ``read_data`` resolves it
+    last-write-wins by ``seq``, while the cell-table SCAN keeps
+    append-log semantics (one row per materialized run, like appending
+    duplicate rows to a parquet table) — bulk ingest targets NEW array
+    ids, which
     ``commit`` registers in the catalog (``create_arrays`` option,
     default true) with empty attributes; pre-created arrays keep their
     metadata. ``abort`` removes every file the failed write produced.
@@ -569,14 +584,33 @@ class DekerWriter(DataSourceArrowWriter):
                 shape = [1] * (ndim - 1) + [int(b - a)]
                 buf.setdefault(key, []).append((origin, shape, s_vals[a:b]))
 
+        import time
+
         task_id = uuid.uuid4().hex
+        # placement stamps: ~ms clock base + within-task run counter
+        # (see core.storage.CHUNK_SCHEMA) — later runs in this task get
+        # strictly larger seq, so an intra-batch re-write of a cell
+        # resolves to the later row
+        seq_base = (time.time_ns() >> _SEQ_COUNTER_BITS) << _SEQ_COUNTER_BITS
+        run_counter = 0
         files, array_ids = [], set()
         for (array_id, cidx), runs in sorted(buf.items()):
             d = os.path.join(
                 self.chunks_dir, f"array_id={array_id}", f"chunk_idx={cidx}"
             )
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, f"part-{task_id}.parquet")
+            # dot-prefixed TEMP file: invisible to every reader (Spark
+            # skips hidden files; our own listings glob non-dot) until
+            # commit() renames it. A crashed attempt therefore orphans
+            # nothing a read or compact can see.
+            path = os.path.join(d, f"{TMP_PREFIX}{task_id}.parquet")
+            seqs = []
+            for _ in runs:
+                if run_counter == 1 << _SEQ_COUNTER_BITS:
+                    seq_base += 1 << _SEQ_COUNTER_BITS
+                    run_counter = 0
+                seqs.append(seq_base + run_counter)
+                run_counter += 1
             table = pa.table(
                 {
                     "origin": pa.array([r[0] for r in runs], pa.list_(pa.int64())),
@@ -584,6 +618,7 @@ class DekerWriter(DataSourceArrowWriter):
                     "data": pa.array(
                         [r[2] for r in runs], pa.list_(pa.float64())
                     ),
+                    "seq": pa.array(seqs, pa.int64()),
                 }
             )
             pq.write_table(table, path)
@@ -591,7 +626,33 @@ class DekerWriter(DataSourceArrowWriter):
             array_ids.add(array_id)
         return DekerWriteCommit(files=tuple(files), array_ids=tuple(sorted(array_ids)))
 
-    def commit(self, messages) -> None:
+    def _finalize_files(self, messages, rename) -> None:
+        """Driver-side publish: rename each committed task's temp files
+        to their final (visible) names via ``rename(path, pid, i)``,
+        then garbage-collect any OTHER temp file left in the touched
+        chunk dirs — those are failed/superseded task attempts whose
+        data the committed files already carry. Requires the documented
+        single-concurrent-writer-per-collection discipline (two live
+        writers could GC each other's in-flight attempts)."""
+        touched = set()
+        for pid, m in enumerate(messages):
+            renamed = []
+            for i, path in enumerate(getattr(m, "files", ()) or ()):
+                final = rename(path, pid, i)
+                os.replace(path, final)
+                renamed.append(final)
+                touched.add(os.path.dirname(final))
+            if renamed:
+                m.files = tuple(renamed)
+        for d in touched:
+            for f in os.listdir(d):
+                if f.startswith(TMP_PREFIX):
+                    try:
+                        os.remove(os.path.join(d, f))
+                    except FileNotFoundError:
+                        pass
+
+    def _register_meta(self, messages) -> None:
         """Register written array ids in the catalog (pure JSON file
         I/O — the commit hook runs without a SparkSession). Arrays
         created elsewhere keep their metadata."""
@@ -613,6 +674,16 @@ class DekerWriter(DataSourceArrowWriter):
                             f,
                         )
 
+    def commit(self, messages) -> None:
+        self._finalize_files(
+            messages,
+            lambda path, pid, i: os.path.join(
+                os.path.dirname(path),
+                "part-" + os.path.basename(path)[len(TMP_PREFIX):],
+            ),
+        )
+        self._register_meta(messages)
+
     def abort(self, messages) -> None:
         for m in messages:
             for path in getattr(m, "files", ()):
@@ -629,18 +700,30 @@ class DekerStreamWriter(DataSourceStreamWriter):
 
     Each task delegates to the batch ``DekerWriter`` core (same
     run-length chunk-append, same geometry import), feeding the row
-    iterator through bounded Arrow batches. ``commit`` then RENAMES the
-    task-UUID files to deterministic ``part-b{batch}-p{part}-{seq}``
-    names: a replayed micro-batch (driver restart between epoch write
-    and offset commit) regenerates byte-identical files under the same
-    names and ``os.replace`` makes the re-write idempotent — effective
-    exactly-once for the committed batch. Residual caveat, stated
-    plainly: a task retried WITHIN a batch can leave its failed
-    attempt's UUID file behind; it holds the same runs with the same
-    values, so reads are unchanged (placement is idempotent), and
-    ``ChunkStore.compact`` merges it away. ``abort`` removes the failed
-    batch's files. The chunks dir must be shared storage, as for every
-    other path in this engine.
+    iterator through bounded Arrow batches. Tasks write dot-prefixed
+    TEMP files (invisible to every reader); ``commit`` RENAMES them to
+    deterministic ``part-b{batch}-p{part}-{i}`` names and
+    garbage-collects any temp file a failed/crashed attempt left in
+    the touched chunk dirs. Failure accounting:
+
+    - task retry within a batch: the failed attempt's file is a temp
+      file — never visible, removed at this batch's commit;
+    - driver crash BEFORE commit: every written file is still
+      temp-named, so readers, the changefeed, and ``compact`` see
+      nothing; the replayed batch's commit (or any later commit
+      touching the dir) removes the orphans — no double-counting in
+      cell scans or downstream aggregates;
+    - driver crash AFTER commit but before the checkpoint records the
+      offset: the replayed batch regenerates the same cells under the
+      SAME final names and ``os.replace`` overwrites in place
+      (effective exactly-once; only the placement ``seq`` stamps
+      differ, and the replay's stamps are newer than every earlier
+      write, so last-write-wins placement is unchanged).
+
+    ``abort`` removes the failed batch's temp files. One concurrent
+    writer per collection (the GC assumes temp files in a committed
+    dir are its own orphans). The chunks dir must be shared storage,
+    as for every other path in this engine.
 
     Reference parity: the continuous-ingest counterpart of the
     create+write flow (base.py:111-160); subset PUT stays on the COW
@@ -670,18 +753,14 @@ class DekerStreamWriter(DataSourceStreamWriter):
         return self._core.write(batches())
 
     def commit(self, messages, batchId: int) -> None:
-        for pid, m in enumerate(messages):
-            renamed = []
-            for seq, path in enumerate(getattr(m, "files", ()) or ()):
-                d = os.path.dirname(path)
-                new = os.path.join(
-                    d, f"part-b{batchId:08d}-p{pid:05d}-{seq:03d}.parquet"
-                )
-                os.replace(path, new)
-                renamed.append(new)
-            if renamed:
-                m.files = tuple(renamed)
-        self._core.commit(messages)
+        self._core._finalize_files(
+            messages,
+            lambda path, pid, i: os.path.join(
+                os.path.dirname(path),
+                f"part-b{batchId:08d}-p{pid:05d}-{i:03d}.parquet",
+            ),
+        )
+        self._core._register_meta(messages)
 
     def abort(self, messages, batchId: int) -> None:
         self._core.abort(messages)

@@ -659,3 +659,154 @@ def test_writer_property_random_subsets_roundtrip(spark, tmp_path):
         for (i, j) in keep:
             want[i, j] = data[i, j]
         np.testing.assert_allclose(got, want, err_msg=f"case {case}")
+
+
+def test_rewritten_cell_resolves_last_write_wins(spark, tmp_path):
+    """ADVICE r7: run precedence must be the explicit ``seq`` column,
+    not file-name order (Spark's scan packs splits by size, and
+    compaction renames files). Append a full array, then re-write a
+    block of cells in a second bulk append: ``read_data`` returns the
+    NEW values everywhere, before AND after ``compact()``."""
+    import os
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+
+    root = str(tmp_path / "whlw")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    rng = np.random.RandomState(3)
+    base = rng.rand(20, 12)
+    rows = [
+        ("a1", i, j, float(base[i, j]))
+        for i in range(20)
+        for j in range(12)
+    ]
+    for payload in (rows, None):  # second pass built below
+        if payload is None:
+            payload = [("a1", i, j, float(100 + i + j)) for i in range(5) for j in range(12)]
+        (
+            spark.createDataFrame(payload, "array_id string, x long, y long, value double")
+            .repartition(4)
+            .write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+    want = base.copy()
+    for i in range(5):
+        for j in range(12):
+            want[i, j] = 100 + i + j
+    arr = wh.collections.read("w").arrays.get_by_id("a1")
+    np.testing.assert_allclose(arr.read_data((slice(None), slice(None))), want)
+    store = ChunkStore(spark, os.path.join(root, "collections", "w"))
+    assert store.compact() >= 1
+    np.testing.assert_allclose(arr.read_data((slice(None), slice(None))), want)
+
+
+def test_compact_merges_engine_and_writer_files(spark, tmp_path):
+    """ADVICE r7: Spark-written chunk files name list items ``element``
+    while the pyarrow-writing deker sink uses ``item``; compact() must
+    cast both to one canonical schema instead of failing concat, and
+    the append must still resolve over the engine base afterwards."""
+    import glob as _glob
+    import os
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+
+    root = str(tmp_path / "whmix")
+    wh = Warehouse(spark, root)
+    coll = wh.collections.create("w", SCHEMA)
+    rng = np.random.RandomState(5)
+    base = rng.rand(20, 12)
+    a = coll.arrays.create(data=base)  # engine (Spark) files
+    register(spark)
+    patch_rows = [(a.id, 2, j, float(500 + j)) for j in range(12)]
+    (
+        spark.createDataFrame(patch_rows, "array_id string, x long, y long, value double")
+        .coalesce(1)
+        .write.format("deker")  # pyarrow files into the SAME chunk dirs
+        .option("path", root).option("collection", "w")
+        .option("create_arrays", "false")
+        .mode("append").save()
+    )
+    store = ChunkStore(spark, os.path.join(root, "collections", "w"))
+    assert store.compact() >= 1  # mixed-schema dirs merged, not raised
+    chunks_dir = os.path.join(root, "collections", "w", "chunks")
+    for d in _glob.glob(os.path.join(chunks_dir, "array_id=*", "chunk_idx=*")):
+        assert len([f for f in os.listdir(d) if f.endswith(".parquet")]) == 1
+    want = base.copy()
+    want[2, :] = [500 + j for j in range(12)]
+    np.testing.assert_allclose(a.read_data((slice(None), slice(None))), want)
+
+
+def test_orphaned_temp_files_are_invisible_and_gcd(spark, tmp_path):
+    """ADVICE r7: a crashed writer attempt leaves only a dot-prefixed
+    temp file. Readers (engine + datasource + changefeed listing) and
+    compact() must not see it, and the next committed write touching
+    the dir garbage-collects it — so orphans can never double-count in
+    scans or become permanent through compaction."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+    from deker_server_adapters_spark.sources.deker_datasource import (
+        DekerStreamReader,
+        TMP_PREFIX,
+    )
+
+    root = str(tmp_path / "whorph")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    data = np.arange(240, dtype=np.float64).reshape(20, 12)
+    rows = [("a1", i, j, float(data[i, j])) for i in range(20) for j in range(12)]
+    (
+        spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+        .coalesce(1)
+        .write.format("deker")
+        .option("path", root).option("collection", "w")
+        .mode("append").save()
+    )
+    chunks_dir = os.path.join(root, "collections", "w", "chunks")
+    some_dir = sorted(_glob.glob(os.path.join(chunks_dir, "array_id=*", "chunk_idx=*")))[0]
+    # plant the orphan: a structurally valid run that would poison cell
+    # (0, 0) with 9999 if any reader ever visited it
+    orphan = os.path.join(some_dir, f"{TMP_PREFIX}deadbeef.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "origin": pa.array([[0, 0]], pa.list_(pa.int64())),
+                "shape": pa.array([[1, 1]], pa.list_(pa.int64())),
+                "data": pa.array([[9999.0]], pa.list_(pa.float64())),
+                "seq": pa.array([2**62], pa.int64()),  # "newest" — must still lose
+            }
+        ),
+        orphan,
+    )
+    arr = wh.collections.read("w").arrays.get_by_id("a1")
+    np.testing.assert_allclose(arr.read_data((slice(None), slice(None))), data)
+    pdf = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load().toPandas()
+    )
+    assert len(pdf) == 240 and float(pdf[(pdf.x == 0) & (pdf.y == 0)].value.iloc[0]) == 0.0
+    reader = DekerStreamReader(root, "w", spark.read.format("deker")
+                               .option("path", root).option("collection", "w").load().schema)
+    assert not any(TMP_PREFIX in f for f in reader._current_files())
+    store = ChunkStore(spark, os.path.join(root, "collections", "w"))
+    store.compact()
+    assert os.path.exists(orphan)  # compact never touches in-flight temps
+    # a committed write touching the same chunk dir GCs the orphan
+    (
+        spark.createDataFrame([("a1", 0, 1, 7.0)], "array_id string, x long, y long, value double")
+        .coalesce(1)
+        .write.format("deker")
+        .option("path", root).option("collection", "w")
+        .mode("append").save()
+    )
+    assert not os.path.exists(orphan)
+    got = arr.read_data((slice(None), slice(None)))
+    assert got[0, 0] == 0.0 and got[0, 1] == 7.0
