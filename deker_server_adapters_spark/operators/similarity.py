@@ -381,6 +381,25 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of PQ ADC + exact re-rank vs the brute-force baseline —
+    measures what reconstruction noise costs once the shortlist/refine
+    trade is in place. The DuckDB oracle replays the whole trainer
+    (unrolled Lloyd CTEs, ``_pq_train_cte``), converting the family's
+    last pytest-only recall guarantee into a driver-gate hash row."""
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir), ann_pq_cosine(spark, sf_dir)
+    )
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the composed IVF x PQ x refine path vs brute force —
+    the production configuration's end-to-end quality row."""
+    return _recall_vs_exact(
+        ann_cosine_topk(spark, sf_dir), ann_ivfpq_cosine(spark, sf_dir)
+    )
+
+
 def _duck_lsh_buckets() -> str:
     """(vec_id, tbl, bucket) in DuckDB mirroring ``lsh_signatures``
     exactly: same md5 planes (8 tables x 4 bits), same left-to-right
@@ -463,11 +482,14 @@ qt AS (
 """
 
 
-def _ivf_recall_sql() -> str:
+def _ivf_cand_cte() -> str:
+    """WITH-fragment replaying the IVF candidate generation
+    (``_ivf_centroids`` + inverted file + query probes) in DuckDB;
+    ends with ``cand(query_id, neighbor_id)``. Shared by the IVF and
+    IVFPQ recall oracles."""
     from deker_server_adapters_spark.functions.hashing import h32_sql
 
     return f"""
-WITH exact AS ({ANN_TOPK_SQL}),
 seeds AS (
   SELECT vec_id, embedding,
          CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
@@ -504,7 +526,13 @@ seeds AS (
   SELECT DISTINCT q.query_id, i.neighbor_id
   FROM qcells q JOIN inv i ON q.cell = i.cell
   WHERE q.query_id <> i.neighbor_id
-), scored AS (
+)"""
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH exact AS ({ANN_TOPK_SQL}),
+{_ivf_cand_cte()}, scored AS (
   SELECT c.query_id, c.neighbor_id,
          round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
   FROM cand c
@@ -673,10 +701,16 @@ def pq_codebooks(
             [(mm, c, books_[mm][c]) for mm in range(m) for c in range(k)],
             "m int, c int, ce array<double>",
         )
-        dist = F.aggregate(
-            F.zip_with(F.col("sv"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        # rounded to 1e-9 before ranking (ties then break to the lowest
+        # c) so the DuckDB oracle's replay assigns identically — the
+        # IVF/kmeans determinism discipline
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
         )
         w = Window.partitionBy("vec_id", "m").orderBy("dist", "c")
         return (
@@ -717,6 +751,139 @@ def pq_codebooks(
 
 
 _PQ_RERANK = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def _pq_train_cte() -> str:
+    """WITH-fragment replaying ``pq_codebooks`` + the ADC lookup table
+    in DuckDB, bit for bit: md5-smallest seeds (vec_id tiebreak),
+    ``_PQ_ITERS`` Lloyd iterations UNROLLED into CTE chains
+    (assign -> decimal-mean -> coalesce empty cells), distances rounded
+    to 1e-9 before the argmin with ties to the lowest code — the exact
+    discipline the Spark trainer follows so both engines walk the same
+    centroid trajectory. Ends with ``pq_codes(vec_id, m, code)``,
+    ``pqlut(query_id, m, c, qdot, cnorm2)`` and ``pqqn(query_id, qn)``.
+    """
+    from deker_server_adapters_spark.functions.hashing import h32_sql
+
+    m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
+    sub = _DIM // m
+    sqdist = (
+        "round(list_sum(list_transform(list_zip(s.sv, b.ce), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2]))), 9)"
+    )
+    parts = [
+        f"""pqseeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c
+  FROM (SELECT vec_id FROM embeddings ORDER BY {h32_sql("vec_id")}, vec_id LIMIT {k})
+), pqsv AS (
+  SELECT e.vec_id, CAST(mm.m AS INT) AS m,
+         list_transform(list_slice(e.embedding, mm.m * {sub} + 1, (mm.m + 1) * {sub}),
+                        x -> CAST(x AS DOUBLE)) AS sv
+  FROM embeddings e, range(0, {m}) AS mm(m)
+), pqcb0 AS (
+  SELECT s.m, p.c, s.sv AS ce
+  FROM pqseeds p JOIN pqsv s ON s.vec_id = p.vec_id
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pqasg{i} AS (
+  SELECT vec_id, m, sv, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM (SELECT s.vec_id, s.m, s.sv, b.c, {sqdist} AS dist
+          FROM pqsv s JOIN pqcb{i} b ON b.m = s.m) t0
+  ) t WHERE rn = 1
+), pqcb{i + 1}m AS (
+  SELECT m, c, CAST(u.i - 1 AS INT) AS d,
+         round(CAST(sum(CAST(sv[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*), 9) AS cv
+  FROM pqasg{i}, UNNEST(range(1, {sub} + 1)) u(i)
+  GROUP BY m, c, d
+), pqcb{i + 1} AS (
+  SELECT b.m, b.c, coalesce(n.ce, b.ce) AS ce
+  FROM pqcb{i} b
+  LEFT JOIN (SELECT m, c, list(cv ORDER BY d) AS ce FROM pqcb{i + 1}m GROUP BY m, c) n
+    ON n.m = b.m AND n.c = b.c
+)"""
+        )
+    parts.append(
+        f"""pq_codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM (SELECT s.vec_id, s.m, b.c, {sqdist} AS dist
+          FROM pqsv s JOIN pqcb{iters} b ON b.m = s.m) t0
+  ) t WHERE rn = 1
+), pqlut AS (
+  SELECT s.vec_id AS query_id, b.m, b.c,
+         list_sum(list_transform(list_zip(s.sv, b.ce), z -> z[1] * z[2])) AS qdot,
+         list_sum(list_transform(b.ce, x -> x * x)) AS cnorm2
+  FROM pqsv s JOIN pqcb{iters} b ON b.m = s.m
+  WHERE s.vec_id < {_N_QUERIES}
+), pqqn AS (
+  SELECT vec_id AS query_id,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+)"""
+    )
+    return ", ".join(parts)
+
+
+_PQ_RERANK_TAIL = f"""pqshort AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id) AS rnk
+    FROM pqadc
+  ) t WHERE rnk <= {_PQ_RERANK}
+), pqscored AS (
+  SELECT p.query_id, p.neighbor_id,
+         round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
+  FROM pqshort p
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = p.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM pqscored
+  ) t WHERE rnk <= {_TOP_K}
+)"""
+
+
+def _pq_recall_sql() -> str:
+    """recall@k oracle for ``ann_pq_cosine``: replayed codebooks/codes
+    feed the same ADC scoring (6-dp rounded, neighbor_id tiebreak),
+    top-``_PQ_RERANK`` shortlist, exact-cosine re-rank, top-k."""
+    return f"""
+WITH exact AS ({ANN_TOPK_SQL}),
+{_pq_train_cte()}, pqadc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         round(sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2))), 6) AS adc_cosine
+  FROM pq_codes cd
+  JOIN pqlut l ON l.m = cd.m AND l.c = cd.code
+  JOIN pqqn n ON n.query_id = l.query_id
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY l.query_id, cd.vec_id
+), {_PQ_RERANK_TAIL}
+{_RECALL_TAIL_SQL}
+"""
+
+
+def _ivfpq_recall_sql() -> str:
+    """recall@k oracle for ``ann_ivfpq_cosine``: the IVF candidate
+    replay (``_ivf_cand_cte``) composed with the PQ replay — ADC runs
+    only over the cell-pruned candidate pairs, exactly like the op."""
+    return f"""
+WITH exact AS ({ANN_TOPK_SQL}),
+{_ivf_cand_cte()},
+{_pq_train_cte()}, pqadc AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2))), 6) AS adc_cosine
+  FROM cand c
+  JOIN pq_codes cd ON cd.vec_id = c.neighbor_id
+  JOIN pqlut l ON l.query_id = c.query_id AND l.m = cd.m AND l.c = cd.code
+  JOIN pqqn n ON n.query_id = c.query_id
+  GROUP BY c.query_id, c.neighbor_id
+), {_PQ_RERANK_TAIL}
+{_RECALL_TAIL_SQL}
+"""
 
 
 def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1221,24 @@ OPS = {
         ann_ivf_recall,
         _ivf_recall_sql(),
         description="per-query recall@k of the IVF probe path vs brute force",
+    ),
+    "ann_pq_recall": Op(
+        "ann_pq_recall",
+        ann_pq_recall,
+        _pq_recall_sql(),
+        description=(
+            "per-query recall@k of PQ ADC + refine vs brute force; "
+            "oracle replays the Lloyd trainer in unrolled SQL"
+        ),
+    ),
+    "ann_ivfpq_recall": Op(
+        "ann_ivfpq_recall",
+        ann_ivfpq_recall,
+        _ivfpq_recall_sql(),
+        description=(
+            "per-query recall@k of the composed IVF x PQ x refine path "
+            "vs brute force; oracle replays both trainers"
+        ),
     ),
     "label_centroids": Op("label_centroids", label_centroids, CENTROID_SQL),
     "embeddings_pca": Op(

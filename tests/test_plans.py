@@ -382,6 +382,8 @@ _ITERATIVE_BUILDERS = {
     "embeddings_pq",
     "ann_pq_cosine",
     "ann_ivfpq_cosine",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
     "dedup_components",
     "docs_dedup_pipeline",
 }
@@ -394,6 +396,8 @@ _INTENTIONAL_BNLJ = {
     "ann_lsh_recall",
     "ann_int8_recall",
     "ann_ivf_recall",
+    "ann_pq_recall",
+    "ann_ivfpq_recall",
     # 1-row / bounded-k-row broadcast scalar joins (tm / corpus totals /
     # the 8-row IVF centroid table / market basket's order-total ride)
     "ann_ivf_cosine",
