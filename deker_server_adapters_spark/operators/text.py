@@ -956,7 +956,9 @@ def _bpe_apply_merge(s, a: str, b: str):
     )
 
 
-def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, str, str, int]]:
+def bpe_merge_table(
+    docs: DataFrame, k: int = _BPE_MERGES, checkpoint_every: int = 64
+) -> list[tuple[int, str, str, int]]:
     """Learn the first ``k`` BPE merges over the corpus, distributed.
 
     Classic BPE tokenizer training: start from characters (within
@@ -970,8 +972,13 @@ def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, st
     traffic is k rows total. At 100 TB each round is one pass over the
     cached encodings — exactly how production BPE trainers distribute
     (the count table is the shuffle; symbols never leave the
-    executors). Lineage grows one projection per round; for k in the
-    thousands, interleave ``localCheckpoint()`` to truncate it."""
+    executors). Lineage grows one projection per round, so every
+    ``checkpoint_every`` rounds the encoding is ``localCheckpoint``-ed:
+    plan depth and the recompute chain reset to O(checkpoint_every)
+    instead of O(k), making k in the thousands a parameter choice, not
+    a caveat (k=256 pinned by test). Local checkpoints trade
+    executor-loss recoverability for lineage truncation — the right
+    trade for a trainer whose full restart is cheap."""
     enc = (
         docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
         .filter("w != ''")
@@ -1013,8 +1020,16 @@ def bpe_merge_table(docs: DataFrame, k: int = _BPE_MERGES) -> list[tuple[int, st
             if rank < k - 1:
                 new_enc = enc.select(
                     _bpe_apply_merge(F.col("s"), top.a, top.b).alias("s")
-                ).persist()
-                prev, enc = enc, new_enc
+                )
+                if (rank + 1) % checkpoint_every == 0:
+                    # eager checkpoint materializes fresh blocks, so the
+                    # previous cache can drop immediately
+                    new_enc = new_enc.localCheckpoint(eager=True)
+                    enc.unpersist()
+                    prev, enc = None, new_enc
+                else:
+                    new_enc = new_enc.persist()
+                    prev, enc = enc, new_enc
     finally:
         enc.unpersist()
         if prev is not None:
