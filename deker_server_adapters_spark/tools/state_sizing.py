@@ -1,0 +1,89 @@
+"""Measure state-store footprint of the stateful streaming twins under
+the RocksDB provider (SURVEY §7 / VERDICT r7 item 7).
+
+Runs each stateful twin over the sf events table split into micro-
+batches, on the RocksDB state-store provider, and reports the final
+``stateOperators`` progress metrics: state rows, bytes in memory,
+RocksDB SST bytes on disk, and derived bytes/key — the numbers a
+100 TB operator needs to size executor memory and local disks for each
+op. Results land in docs/PERF.md.
+
+    python -m deker_server_adapters_spark.tools.state_sizing [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
+    from deker_server_adapters_spark.streaming.events_stream import (
+        stream_events_source,
+        streaming_cms_sketch,
+        streaming_inactivity_alerts,
+        streaming_inter_arrival,
+        streaming_running_totals,
+    )
+
+    twins = {
+        # twin -> (builder, writeStream outputMode)
+        "inter_arrival": (streaming_inter_arrival, "update"),
+        "running_totals": (streaming_running_totals, "append"),
+        "cms_sketch": (streaming_cms_sketch, "update"),
+        "inactivity_alerts": (streaming_inactivity_alerts, "append"),
+    }
+    out: dict = {}
+    for name, (builder, mode) in twins.items():
+        src = stream_events_source(spark, sf_dir, n_files=n_files)
+        q = (
+            builder(src)
+            .writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", f"/tmp/deker_state_sizing/{name}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            prog = q.lastProgress
+        finally:
+            q.stop()
+        ops = (prog or {}).get("stateOperators") or []
+        if not ops:
+            out[name] = {"error": "no stateOperators progress"}
+            continue
+        so = ops[0]
+        custom = so.get("customMetrics") or {}
+        rows = so.get("numRowsTotal", 0)
+        mem = so.get("memoryUsedBytes", 0)
+        sst = custom.get("rocksdbSstFileSize", 0)
+        out[name] = {
+            "operator": so.get("operatorName"),
+            "state_rows": rows,
+            "memory_used_bytes": mem,
+            "rocksdb_sst_bytes": sst,
+            "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
+            "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
+            "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
+        }
+    return out
+
+
+def main() -> None:
+    import shutil
+
+    from deker_server_adapters_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    shutil.rmtree("/tmp/deker_state_sizing", ignore_errors=True)
+    spark = get_spark(app_name="deker-state-sizing")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    print(json.dumps({"sf_dir": sf_dir, "twins": measure(spark, sf_dir)}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,6 +7,7 @@ materialization) — exactly what a 100 TB deployment would hit.
 Usage: python stress.py [K] (default 10)
        python stress.py [K] --skew        (skewed-user events mode)
        python stress.py [K] --skew-join   (skewed fact-fact join mode)
+       python stress.py [K] --skew-join --skew-frac=0.4   (hot-key share)
 
 ``--skew`` additionally gives ONE user ~10%% of ALL events in the
 scaled copy and runs the user_id-partitioned window family
@@ -44,6 +45,7 @@ def scale_tables(
     out_dir: str,
     skew_events: bool = False,
     skew_lineitem: bool = False,
+    skew_frac: float = 0.1,
 ) -> None:
     from pyspark.sql import functions as F
 
@@ -88,11 +90,13 @@ def scale_tables(
                 hot = load_table(spark, src_dir, "lineitem").agg(
                     F.min("l_orderkey")
                 ).first()[0]
+                gate = int(round(skew_frac * 100))
                 scaled = scaled.withColumn(
                     "l_orderkey",
                     F.when(
                         F.expr(
-                            "pmod(xxhash64(l_orderkey, l_linenumber, l_partkey), 10) = 0"
+                            "pmod(xxhash64(l_orderkey, l_linenumber, l_partkey), 100)"
+                            f" < {gate}"
                         ),
                         F.lit(int(hot)),
                     ).otherwise(F.col("l_orderkey")),
@@ -101,10 +105,12 @@ def scale_tables(
                 # ONE hot user owns ~10% of all events across every
                 # replica — deterministic gate so reruns see the same
                 # skew
+                gate = int(round(skew_frac * 100))
                 scaled = scaled.withColumn(
                     "user_id",
                     F.when(
-                        F.expr("pmod(xxhash64(event_id), 10) = 0"), F.lit(424242)
+                        F.expr(f"pmod(xxhash64(event_id), 100) < {gate}"),
+                        F.lit(424242),
                     ).otherwise(F.col("user_id")),
                 )
             # write with real map parallelism: the crossJoin replicate
@@ -185,17 +191,20 @@ def salted_latency_histogram(spark, sf_dir):
     )
 
 
-def run_skew_join(spark, base: str, k: int) -> dict:
+def run_skew_join(spark, base: str, k: int, skew_frac: float = 0.1) -> dict:
     from deker_server_adapters_spark.operators import all_ops
 
     uniform_dir = tempfile.mkdtemp(prefix="deker_stress_u_")
     skew_dir = tempfile.mkdtemp(prefix="deker_stress_s_")
     scale_tables(spark, base, k, uniform_dir)
-    scale_tables(spark, base, k, skew_dir, skew_events=True, skew_lineitem=True)
+    scale_tables(
+        spark, base, k, skew_dir,
+        skew_events=True, skew_lineitem=True, skew_frac=skew_frac,
+    )
 
     joins = ("order_ship_latency_histogram", "events_range_join")
     ops = {n: all_ops()[n] for n in joins}
-    report: dict = {"k": k, "mode": "skew-join", "ops": {}}
+    report: dict = {"k": k, "mode": "skew-join", "skew_frac": skew_frac, "ops": {}}
     # the orders side must SHUFFLE for skew handling to be in play at
     # this toy scale; on a cluster the 10x-scaled fact side does this
     # by itself
@@ -242,6 +251,10 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in sys.argv[1:]
     skew_join = "--skew-join" in sys.argv[1:]
+    skew_frac = 0.1
+    for a in sys.argv[1:]:
+        if a.startswith("--skew-frac="):
+            skew_frac = float(a.split("=", 1)[1])
     k = int(args[0]) if args else 10
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -252,7 +265,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if skew_join:
-        sys.stdout.write(json.dumps(run_skew_join(spark, base, k)) + "\n")
+        sys.stdout.write(json.dumps(run_skew_join(spark, base, k, skew_frac)) + "\n")
         return
 
     out_dir = tempfile.mkdtemp(prefix="deker_stress_")
