@@ -1072,7 +1072,96 @@ LEFT JOIN labels l ON d.doc_id = l.doc_id
 """
 
 
+# --- exact-substring duplication (fixed-width n-gram flavor) ----------
+
+_DUPGRAM_N = 8  # tokens per window — the Lee et al. exact-substring
+# dedup idea bounded to a fixed width so it stays one equi-keyed
+# aggregate instead of a suffix array
+
+
+def docs_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact-substring duplication profile: the fraction of a
+    doc's token-``_DUPGRAM_N``-gram WINDOWS whose exact text occurs
+    more than once in the corpus (any doc, including self-repeats).
+    High dup_frac docs are boilerplate/templated/copied — the
+    train-data signal exact-substring dedup cuts on.
+
+    Scale shape: windows are POSITIONAL (every occurrence counts, no
+    per-doc distinct), keyed by the portable 60-bit hash so the one
+    shuffle moves 8-byte keys, not 50-byte strings; the global window
+    count is a map-side-combinable count(*); the dup flag broadcasts
+    nothing — it rides the same (hash) partitioning back onto the
+    window stream via an equi-join, then one per-doc aggregate.
+    Collision risk at h64: ~n²/2⁶¹ false dup pairs — negligible below
+    ~10¹² windows (and the oracle hashes identically, so parity is
+    unaffected either way)."""
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
+        F.expr(f"size(t) >= {_DUPGRAM_N}")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_DUPGRAM_N - 1}), "
+                f"i -> array_join(slice(t, i, {_DUPGRAM_N}), ' '))"
+            )
+        ).alias("g"),
+    ).select("doc_id", h64(F.col("g")).alias("gh"))
+    counts = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
+    return (
+        grams.join(counts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
+        )
+    )
+
+
+def _dupgram_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    gram = f"array_to_string(list_slice(t, i.i, i.i + {_DUPGRAM_N - 1}), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents
+  WHERE len({_TOKENS_DUCK}) >= {_DUPGRAM_N}
+),
+grams AS (
+  SELECT doc_id, {h64_sql(gram)} AS gh
+  FROM toks, UNNEST(range(1, len(t) - {_DUPGRAM_N - 1} + 1)) i(i)
+),
+counts AS (SELECT gh, count(*) AS n_occ FROM grams GROUP BY gh)
+SELECT g.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       round(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+FROM grams g JOIN counts c ON g.gh = c.gh
+GROUP BY g.doc_id
+"""
+
+
 OPS = {
+    "docs_duplicate_ngrams": Op(
+        "docs_duplicate_ngrams",
+        docs_duplicate_ngrams,
+        _dupgram_sql(),
+        description=(
+            f"per-doc fraction of token-{_DUPGRAM_N}-gram windows whose "
+            "exact text repeats in the corpus (positional, self-repeats "
+            "included) — fixed-width exact-substring dedup signal; one "
+            "hash-keyed shuffle"
+        ),
+    ),
     "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),
     "dedup_components": Op("dedup_components", dedup_components, COMPONENTS_SQL, headline=True),
     "docs_near_dup_eval": Op(

@@ -1015,6 +1015,137 @@ FROM a JOIN mau m ON a.month = m.month
 """
 
 
+# --- deterministic HyperLogLog (Flajolet et al. 2007, portable md5
+# hashing) -------------------------------------------------------------
+#
+# The companion to the CMS sketch: DISTINCT-count state for an
+# unbounded key domain in a fixed 2^p-register table. Unlike Spark's
+# approx_count_distinct (whose HLL++ sketch is engine-internal), every
+# step here is explicit integer/bit arithmetic on the portable h64
+# hash, so DuckDB replays the registers AND the estimate bit-for-bit —
+# a fully ORACLED approximate-distinct op. Registers merge by MAX
+# (idempotent, commutative), which is what makes the sketch the scale
+# path: shard-local sketches union without re-reading data, and the
+# streaming twin maintains the same table incrementally.
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_WBITS = 60 - _HLL_P  # h64 is 60-bit; rank bits left after indexing
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def hll_registers_df(ev: DataFrame) -> DataFrame:
+    """(reg, max_rank) register table over ``user_id`` — pure Catalyst
+    (md5 + integer div/mod + ``bin()`` bit-length, identical in
+    DuckDB). Rank = position of the highest set bit from the top of
+    the 51 post-index bits; an all-zero remainder ranks 52."""
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    return (
+        ev.select(h64(F.col("user_id")).alias("h"))
+        .select(
+            F.expr(f"pmod(h, {_HLL_M})").cast("long").alias("reg"),
+            F.expr(f"h DIV {_HLL_M}").alias("w"),
+        )
+        .select(
+            "reg",
+            F.when(
+                F.col("w") > 0,
+                F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w"))),
+            )
+            .otherwise(F.lit(_HLL_WBITS + 1))
+            .cast("int")
+            .alias("rank"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register table itself — ≤512 rows whatever the corpus
+    size. This is the mergeable artifact a 100 TB pipeline persists per
+    shard/day; unions of shards combine by ``max(max_rank)`` with no
+    rescan."""
+    return hll_registers_df(load_table(spark, sf_dir, "events"))
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate + its error vs the exact count — the
+    estimator-quality eval row (the recall-ops pattern). Standard
+    small-range correction: linear counting from empty registers when
+    the raw estimate is under 2.5·m."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers_df(ev)
+    sketch = regs.agg(
+        F.count("*").alias("occupied"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))), F.lit(0.0)).alias(
+            "ssum"
+        ),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+    zeros = F.lit(_HLL_M) - F.col("occupied")
+    est_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("ssum") + zeros)
+    est = F.when(
+        (est_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(est_raw)
+    return sketch.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("long").alias("m_registers"),
+        F.col("occupied").cast("long").alias("occupied"),
+        F.round(est, 4).alias("est_users"),
+        F.col("n_exact"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round((est - F.col("n_exact")) / F.col("n_exact") * 100, 4),
+        ).alias("err_pct"),
+    )
+
+
+def _hll_sql_core() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    return f"""
+hllh AS (SELECT {h64_sql("user_id")} AS h FROM events),
+hllwr AS (SELECT CAST(h % {_HLL_M} AS BIGINT) AS reg, h // {_HLL_M} AS w FROM hllh),
+hllregs AS (
+  SELECT reg,
+         CAST(max(CASE WHEN w > 0 THEN {_HLL_WBITS + 1} - length(bin(w))
+                       ELSE {_HLL_WBITS + 1} END) AS INT) AS max_rank
+  FROM hllwr GROUP BY reg
+)"""
+
+
+HLL_REG_SQL = f"""
+WITH {_hll_sql_core()}
+SELECT reg, max_rank FROM hllregs
+"""
+
+HLL_EST_SQL = f"""
+WITH {_hll_sql_core()},
+sk AS (
+  SELECT count(*) AS occupied,
+         coalesce(sum(power(2.0, -max_rank)), 0.0) AS ssum
+  FROM hllregs
+),
+ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events),
+est AS (
+  SELECT occupied,
+         CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M} / (ssum + ({_HLL_M} - occupied)) <= {2.5 * _HLL_M}
+                   AND ({_HLL_M} - occupied) > 0
+              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / ({_HLL_M} - occupied))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M} / (ssum + ({_HLL_M} - occupied)) END AS e
+  FROM sk
+)
+SELECT CAST({_HLL_M} AS BIGINT) AS m_registers,
+       CAST(occupied AS BIGINT) AS occupied,
+       round(e, 4) AS est_users,
+       ex.n_exact,
+       CASE WHEN ex.n_exact > 0 THEN round((e - ex.n_exact) / ex.n_exact * 100, 4) END AS err_pct
+FROM est CROSS JOIN ex
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
     "events_dau_mau_stickiness": Op(
@@ -1027,6 +1158,26 @@ OPS = {
         "events_approx_distinct_users", events_approx_distinct_users, None
     ),
     "events_approx_quantiles": Op("events_approx_quantiles", events_approx_quantiles, None),
+    "events_hll_registers": Op(
+        "events_hll_registers",
+        events_hll_registers,
+        HLL_REG_SQL,
+        description=(
+            f"deterministic HyperLogLog register table (p={_HLL_P}, "
+            f"m={_HLL_M}): distinct-count state for an unbounded key "
+            "domain in <=512 rows, merged by max — fully oracled, "
+            "unlike engine-internal approx_count_distinct sketches"
+        ),
+    ),
+    "events_hll_distinct": Op(
+        "events_hll_distinct",
+        events_hll_distinct,
+        HLL_EST_SQL,
+        description=(
+            "HLL distinct-user estimate with linear-counting small-range "
+            "correction + error vs exact — the estimator-quality eval row"
+        ),
+    ),
     "events_heavy_hitters_cms": Op(
         "events_heavy_hitters_cms",
         events_heavy_hitters_cms,

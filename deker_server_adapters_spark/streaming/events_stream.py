@@ -364,6 +364,22 @@ def streaming_cms_sketch(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_hll_registers(events: DataFrame) -> DataFrame:
+    """Streaming HyperLogLog: the batch op's ≤512-row register table
+    (``operators.events.hll_registers_df``) maintained incrementally as
+    a plain streaming MAX aggregation — the distinct-count companion to
+    the CMS twin. Register maxima only grow and merge idempotently
+    (max is commutative/associative/idempotent), so update-mode emits
+    are monotone and the sketch after any stream prefix equals the
+    batch sketch of that prefix exactly: O(1) state for distinct
+    counting over an unbounded user domain, where the exact streaming
+    ``approx_count_distinct`` alternative is engine-internal and a
+    per-user distinct aggregate holds O(users) state."""
+    from deker_server_adapters_spark.operators.events import hll_registers_df
+
+    return hll_registers_df(events)
+
+
 def streaming_inactivity_alerts(
     events: DataFrame, idle: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

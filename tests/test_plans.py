@@ -365,9 +365,12 @@ def test_ivf_builders_leave_nothing_persisted(spark, sf_dir, op_name):
     to be persist()ed and leak past the builder. It is now collected to
     a K-row LocalRelation instead, so after the op runs NO cached
     RDD/DataFrame blocks may remain registered with the context."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     _plan(spark, sf_dir, op_name).collect()
-    leaked = spark.sparkContext._jsc.getPersistentRDDs()
-    assert leaked.isEmpty(), f"{op_name} left {leaked.size()} persisted RDD(s)"
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # compare against the session's pre-existing caches (other tests'
+    # fixtures may legitimately hold some): this op must add none
+    assert after <= before, f"{op_name} left {after - before} persisted RDD(s)"
 
 
 # Ops whose builder runs a driver-side iterative loop (training rounds,
@@ -406,6 +409,7 @@ _INTENTIONAL_BNLJ = {
     "docs_source_token_mix",
     "docs_tfidf_topk",
     "text_term_pmi",
+    "events_hll_distinct",
     "q11_important_parts",
     "q15_top_supplier",
     "q22_global_sales_opportunity",

@@ -403,6 +403,42 @@ def test_streaming_cms_sketch_equals_batch_sketch(spark, sf_dir):
     assert len(got) <= 5 * 8192
 
 
+def test_streaming_hll_registers_equal_batch_sketch(spark, sf_dir):
+    """The streaming HLL register table after ALL micro-batches must
+    equal the batch sketch of the same events exactly (maxima merge
+    idempotently — the HLL property). Update-mode memory sink keeps one
+    row per (reg, batch); register maxima only grow, so max() per reg
+    is the final value. Multi-file source forces >1 micro-batch."""
+    from deker_server_adapters_spark.operators.events import (
+        _HLL_M,
+        hll_registers_df,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.events_stream import (
+        stream_events_source,
+        streaming_hll_registers,
+    )
+
+    src = stream_events_source(spark, sf_dir, n_files=4)
+    _run_stream(streaming_hll_registers(src), "t_hll", "update")
+    got = (
+        spark.table("t_hll")
+        .groupBy("reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .toPandas()
+        .sort_values("reg")
+        .reset_index(drop=True)
+    )
+    want = (
+        hll_registers_df(load_table(spark, sf_dir, "events"))
+        .toPandas()
+        .sort_values("reg")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) <= _HLL_M  # the sketch's scale contract
+
+
 def test_streaming_inactivity_alerts_fire_on_true_gaps(spark, tmp_path):
     """EventTimeTimeout state eviction: a user who stops sending events
     gets ONE alert once the watermark (driven by OTHER users' events)
