@@ -1088,13 +1088,19 @@ def docs_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: windows are POSITIONAL (every occurrence counts, no
     per-doc distinct), keyed by the portable 60-bit hash so the one
-    shuffle moves 8-byte keys, not 50-byte strings; the global window
-    count is a map-side-combinable count(*); the dup flag broadcasts
-    nothing — it rides the same (hash) partitioning back onto the
-    window stream via an equi-join, then one per-doc aggregate.
+    shuffle moves 8-byte keys, not 50-byte strings; the occurrence
+    count is a ``count(*) OVER (PARTITION BY gh)`` window, so the
+    expensive tokenize/md5 scan materializes ONCE and both the count
+    and the per-occurrence dup flag read the same Exchange(gh) — a
+    groupBy+self-join form would run the scan twice with no reuse
+    (measured: no ReusedExchange). Viral phrases make hot gh keys;
+    the window's whole-partition count frame is one counter per
+    partition, so the hot key costs a fat partition scan, not memory.
     Collision risk at h64: ~n²/2⁶¹ false dup pairs — negligible below
     ~10¹² windows (and the oracle hashes identically, so parity is
     unaffected either way)."""
+    from pyspark.sql.window import Window
+
     from deker_server_adapters_spark.functions.hashing import h64
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1110,9 +1116,8 @@ def docs_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", h64(F.col("g")).alias("gh"))
-    counts = grams.groupBy("gh").agg(F.count("*").alias("n_occ"))
     return (
-        grams.join(counts, "gh")
+        grams.withColumn("n_occ", F.count("*").over(Window.partitionBy("gh")))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
