@@ -1132,6 +1132,95 @@ def docs_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUPWIDTHS = (8, 16, 32)
+
+
+def docs_dup_width_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile at DOUBLING window widths (8/16/32
+    tokens) — the cheap stand-in for longest-duplicate-substring: how
+    much duplication survives as the required exact-match run doubles.
+    A corpus whose dup mass collapses from width 8 to 16 duplicates
+    short phrases; mass surviving at 32 is templated/copied text worth
+    cutting. One row per width: window counts, duplicated-window
+    fraction, and how many docs carry at least one duplicated window.
+
+    Scale shape: per width, the same one-Exchange(gh) window-count
+    device as ``docs_duplicate_ngrams``; widths are independent
+    (3 bounded passes, unioned). n_dup-style sums are map-side
+    combinable; nothing driver-side."""
+    from pyspark.sql.window import Window
+
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for n in _DUPWIDTHS:
+        toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
+            F.expr(f"size(t) >= {n}")
+        )
+        grams = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> array_join(slice(t, i, {n}), ' '))"
+                )
+            ).alias("g"),
+        ).select("doc_id", h64(F.col("g"), seed=n).alias("gh"))
+        flagged = grams.withColumn(
+            "dup", (F.count("*").over(Window.partitionBy("gh")) >= 2).cast("int")
+        )
+        per_doc = flagged.groupBy("doc_id").agg(
+            F.count("*").alias("nw"), F.sum("dup").alias("nd")
+        )
+        parts.append(
+            per_doc.agg(
+                F.sum("nw").alias("n_windows"),
+                F.sum("nd").alias("n_dup_windows"),
+                F.round(F.sum("nd") / F.sum("nw"), 4).alias("dup_frac"),
+                F.sum((F.col("nd") > 0).cast("int")).alias("n_docs_with_dup"),
+            ).select(
+                F.lit(n).cast("int").alias("width"),
+                "n_windows",
+                "n_dup_windows",
+                "dup_frac",
+                "n_docs_with_dup",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dup_width_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    selects = []
+    for n in _DUPWIDTHS:
+        gram = f"array_to_string(list_slice(t, i.i, i.i + {n - 1}), ' ')"
+        selects.append(f"""
+SELECT CAST({n} AS INT) AS width,
+       CAST(sum(nw) AS BIGINT) AS n_windows,
+       CAST(sum(nd) AS BIGINT) AS n_dup_windows,
+       round(sum(nd) / CAST(sum(nw) AS DOUBLE), 4) AS dup_frac,
+       CAST(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup
+FROM (
+  SELECT doc_id, count(*) AS nw, sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS nd
+  FROM (
+    SELECT doc_id, gh, count(*) OVER (PARTITION BY gh) AS n_occ
+    FROM (
+      SELECT doc_id, {h64_sql(gram, seed=n)} AS gh
+      FROM (SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents
+            WHERE len({_TOKENS_DUCK}) >= {n}) toks,
+           UNNEST(range(1, len(t) - {n - 1} + 1)) i(i)
+    ) g
+  ) fl
+  GROUP BY doc_id
+) pd""")
+    return "\nUNION ALL\n".join(selects)
+
+
 def _dupgram_sql() -> str:
     from deker_server_adapters_spark.functions.hashing import h64_sql
 
@@ -1156,6 +1245,16 @@ GROUP BY g.doc_id
 
 
 OPS = {
+    "docs_dup_width_profile": Op(
+        "docs_dup_width_profile",
+        docs_dup_width_profile,
+        _dup_width_sql(),
+        description=(
+            f"corpus duplication mass at doubling window widths "
+            f"{_DUPWIDTHS} — the longest-duplicate-substring proxy: "
+            "dup mass surviving wider windows is templated/copied text"
+        ),
+    ),
     "docs_duplicate_ngrams": Op(
         "docs_duplicate_ngrams",
         docs_duplicate_ngrams,

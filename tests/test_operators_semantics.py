@@ -998,3 +998,32 @@ def test_duplicate_ngrams_flags_known_duplication(spark):
     assert got[1].n_windows == 7 and got[1].n_dup_windows == 1
     assert got[2].n_dup_windows == 1
     assert got[3].n_dup_windows == 0 and got[3].dup_frac == 0.0
+
+
+def test_dup_width_profile_separates_short_and_long_duplication(spark):
+    """A corpus with a shared 8-token phrase but divergent continuations
+    must show dup mass at width 8 and NONE at width 32; two fully
+    copied long docs must keep dup mass at every width."""
+    import os
+    import tempfile
+
+    from deker_server_adapters_spark.operators.dedup import docs_dup_width_profile
+
+    short_shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    long_text = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, f"{short_shared} one ending here with unique words", "en", "a", 0),
+        (2, f"{short_shared} a totally different continuation follows now", "en", "a", 0),
+        (3, long_text, "en", "a", 0),
+        (4, long_text, "en", "a", 0),  # full copy: dup at all widths
+    ]
+    d = tempfile.mkdtemp(prefix="dupw_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    prof = {r.width: r for r in docs_dup_width_profile(spark, d).collect()}
+    assert prof[8].n_dup_windows > 2  # shared phrase + the copied docs
+    assert prof[8].n_docs_with_dup == 4
+    # at width 32 only the full copies can still match
+    assert prof[32].n_docs_with_dup == 2
+    assert prof[32].n_dup_windows == 2 * (40 - 32 + 1)
