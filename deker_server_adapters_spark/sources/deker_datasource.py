@@ -166,9 +166,23 @@ def _chunk_cell_batches(
     bounds: Sequence[Sequence[int]],
     read_cols: Sequence[str],
     dim_meta: dict[str, dict] | None = None,
+    chunk_shape: Sequence[int] | None = None,
+    dedup: bool = False,
 ):
     """Expand one chunk partition's parquet rows into Arrow cell
-    batches — shared by the batch and stream readers."""
+    batches — shared by the batch and stream readers.
+
+    ``dedup=False`` (default): append-log semantics — one row per
+    materialized RUN cell, so a cell re-written by a later append
+    appears once per write (and the stream reader's CDC feed needs
+    exactly this). ``dedup=True`` (batch ``.option("dedup_cells",
+    "true")``): LAST-WRITE-WINS per cell — the chunk's runs replay in
+    ``seq`` order into a chunk-local buffer (Deker read semantics,
+    same resolution as the engine's ``read_slice``) and each written
+    cell emits once with its latest value. Memory for the dedup path
+    is one chunk's dense extent (the storage design unit) plus the
+    run list; seq-less legacy runs order by sorted-file rank, the
+    compaction convention."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -178,20 +192,92 @@ def _chunk_cell_batches(
     ndim = len(shape)
     dim_meta = dim_meta or {}
     dim_pos = {n: i for i, n in enumerate(dim_names)}
-    for path in partition.files:
-        try:
-            table = pq.read_table(path, columns=["origin", "shape", "data"])
-        except FileNotFoundError:
-            # COW race: a concurrent chunk rewrite (dynamic partition
-            # overwrite) can delete a file between offset planning and
-            # read. The deleted file's cells are superseded by the
-            # rewritten chunk file the next batch will pick up, so
-            # skipping is correct — raising would wedge a restarted
-            # stream forever on a WAL offset whose files are gone.
-            import warnings
 
-            warnings.warn(f"deker chunk file vanished (COW rewrite?): {path}")
-            continue
+    def emit(idx: "np.ndarray", values: "np.ndarray"):
+        mask = np.ones(values.shape[0], dtype=bool)
+        for d, (lo, hi) in enumerate(bounds):
+            if lo > 0 or hi < shape[d]:
+                mask &= (idx[d] >= lo) & (idx[d] < hi)
+        if not mask.any():
+            return None
+        midx, mvalues = idx[:, mask], values[mask]
+        cols, names = [], []
+        for name in read_cols:
+            if name == "array_id":
+                cols.append(
+                    pa.array([partition.array_id] * mvalues.shape[0], pa.string())
+                )
+            elif name in dim_pos:
+                cols.append(pa.array(midx[dim_pos[name]], pa.int64()))
+            elif name.endswith("_label") and name[:-6] in dim_pos:
+                lab = np.asarray(dim_meta[name[:-6]]["labels"], dtype=object)
+                cols.append(pa.array(lab[midx[dim_pos[name[:-6]]]], pa.string()))
+            elif name.endswith("_ts") and name[:-3] in dim_pos:
+                m = dim_meta[name[:-3]]
+                micros = m["start_us"] + midx[dim_pos[name[:-3]]] * m["step_us"]
+                cols.append(
+                    pa.array(micros, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
+                )
+            else:  # value
+                cols.append(pa.array(mvalues, pa.float64()))
+            names.append(name)
+        return pa.RecordBatch.from_arrays(cols, names=names)
+
+    def file_tables():
+        for rank, path in enumerate(partition.files):
+            try:
+                yield rank, pq.read_table(path)
+            except FileNotFoundError:
+                # COW race: a concurrent chunk rewrite (dynamic partition
+                # overwrite) can delete a file between offset planning and
+                # read. The deleted file's cells are superseded by the
+                # rewritten chunk file the next batch will pick up, so
+                # skipping is correct — raising would wedge a restarted
+                # stream forever on a WAL offset whose files are gone.
+                import warnings
+
+                warnings.warn(f"deker chunk file vanished (COW rewrite?): {path}")
+
+    if dedup and chunk_shape is not None and partition.chunk_idx >= 0:
+        box = _chunk_box(partition.chunk_idx, shape, chunk_shape)
+        ext = [b - a for a, b in box]
+        lo0 = np.asarray([a for a, _ in box], dtype=np.int64)
+        buf = np.empty(ext, dtype=np.float64)
+        written = np.zeros(ext, dtype=bool)
+        runs = []
+        for rank, table in file_tables():
+            names = table.schema.names
+            seqs = (
+                table["seq"].to_pylist()
+                if "seq" in names
+                else [None] * len(table)
+            )
+            for ri, (o, sh, da, sq) in enumerate(
+                zip(
+                    table["origin"].to_pylist(),
+                    table["shape"].to_pylist(),
+                    table["data"].to_pylist(),
+                    seqs,
+                )
+            ):
+                runs.append((sq if sq is not None else -1, rank, ri, o, sh, da))
+        runs.sort(key=lambda r: (r[0], r[1], r[2]))
+        for _, _, _, o, sh, da in runs:
+            sel = tuple(
+                slice(int(oo - a), int(oo - a + ss))
+                for oo, (a, _), ss in zip(o, box, sh)
+            )
+            buf[sel] = np.asarray(da, dtype=np.float64).reshape(sh)
+            written[sel] = True
+        rel = np.argwhere(written)
+        if not len(rel):
+            return
+        batch = emit(rel.T + lo0[:, None], buf[written])
+        if batch is not None:
+            yield batch
+        return
+
+    for _, table in file_tables():
         for origin_v, shape_v, data_v in zip(
             table["origin"].to_pylist(),
             table["shape"].to_pylist(),
@@ -202,34 +288,9 @@ def _chunk_cell_batches(
             values = np.asarray(data_v, dtype=np.float64)
             # absolute index per dim for every cell, vectorized
             idx = np.indices(cshape).reshape(ndim, -1) + origin[:, None]
-            mask = np.ones(values.shape[0], dtype=bool)
-            for d, (lo, hi) in enumerate(bounds):
-                if lo > 0 or hi < shape[d]:
-                    mask &= (idx[d] >= lo) & (idx[d] < hi)
-            if not mask.any():
-                continue
-            idx, values = idx[:, mask], values[mask]
-            cols, names = [], []
-            for name in read_cols:
-                if name == "array_id":
-                    cols.append(
-                        pa.array([partition.array_id] * values.shape[0], pa.string())
-                    )
-                elif name in dim_pos:
-                    cols.append(pa.array(idx[dim_pos[name]], pa.int64()))
-                elif name.endswith("_label") and name[:-6] in dim_pos:
-                    lab = np.asarray(dim_meta[name[:-6]]["labels"], dtype=object)
-                    cols.append(pa.array(lab[idx[dim_pos[name[:-6]]]], pa.string()))
-                elif name.endswith("_ts") and name[:-3] in dim_pos:
-                    m = dim_meta[name[:-3]]
-                    micros = m["start_us"] + idx[dim_pos[name[:-3]]] * m["step_us"]
-                    cols.append(
-                        pa.array(micros, pa.int64()).cast(pa.timestamp("us", tz="UTC"))
-                    )
-                else:  # value
-                    cols.append(pa.array(values, pa.float64()))
-                names.append(name)
-            yield pa.RecordBatch.from_arrays(cols, names=names)
+            batch = emit(idx, values)
+            if batch is not None:
+                yield batch
 
 
 class DekerDataSource(DataSource):
@@ -271,7 +332,8 @@ class DekerDataSource(DataSource):
 
     def reader(self, schema: StructType) -> "DekerReader":
         root, coll = self._root_and_collection()
-        return DekerReader(root, coll, schema)
+        dedup = str(self.options.get("dedup_cells", "false")).lower() == "true"
+        return DekerReader(root, coll, schema, dedup_cells=dedup)
 
     def streamReader(self, schema: StructType) -> "DekerStreamReader":
         root, coll = self._root_and_collection()
@@ -295,8 +357,17 @@ class DekerDataSource(DataSource):
 
 
 class DekerReader(DataSourceReader):
-    def __init__(self, root: str, collection: str, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        collection: str,
+        schema: StructType,
+        dedup_cells: bool = False,
+    ):
         meta = _load_collection_meta(root, collection)
+        # .option("dedup_cells", "true"): last-write-wins per cell (the
+        # engine's read_data resolution) instead of append-log rows
+        self.dedup_cells = dedup_cells
         self.chunks_dir = os.path.join(root, "collections", collection, "chunks")
         self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
         self.dim_meta = _dim_meta(meta)
@@ -377,7 +448,7 @@ class DekerReader(DataSourceReader):
     def read(self, partition: DekerChunkPartition):
         yield from _chunk_cell_batches(
             partition, self.shape, self.dim_names, self.bounds, self.read_cols,
-            self.dim_meta,
+            self.dim_meta, chunk_shape=self.chunk_shape, dedup=self.dedup_cells,
         )
 
 
@@ -446,6 +517,8 @@ class DekerStreamReader(DataSourceStreamReader):
         return parts or [DekerChunkPartition("", -1, ())]
 
     def read(self, partition: DekerChunkPartition):
+        # CDC semantics by design: every run of every new file emits
+        # (no dedup option here — a changefeed consumer wants writes)
         yield from _chunk_cell_batches(
             partition, self.shape, self.dim_names, self.bounds, self.read_cols,
             self.dim_meta,

@@ -810,3 +810,57 @@ def test_orphaned_temp_files_are_invisible_and_gcd(spark, tmp_path):
     assert not os.path.exists(orphan)
     got = arr.read_data((slice(None), slice(None)))
     assert got[0, 0] == 0.0 and got[0, 1] == 7.0
+
+
+def test_dedup_cells_option_resolves_last_write_wins(spark, tmp_path):
+    """The batch reader's default is append-log semantics (one row per
+    materialized run — a re-written cell appears once per write); with
+    ``.option("dedup_cells", "true")`` each written cell emits ONCE
+    with its seq-latest value — the engine's read_data resolution
+    through the datasource surface. Pruning filters still apply."""
+    root = str(tmp_path / "whdd")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    base = [("a1", i, j, float(10 * i + j)) for i in range(4) for j in range(12)]
+    rewrite = [("a1", 0, j, float(900 + j)) for j in range(12)]
+    for payload in (base, rewrite):
+        (
+            spark.createDataFrame(payload, "array_id string, x long, y long, value double")
+            .coalesce(1)
+            .write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+
+    raw = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load().toPandas()
+    )
+    assert len(raw) == len(base) + len(rewrite)  # append-log: both writes
+
+    dd = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").option("dedup_cells", "true")
+        .load().toPandas()
+    )
+    assert len(dd) == len(base)  # one row per written cell
+    got_row0 = dd[dd.x == 0].sort_values("y").value.tolist()
+    assert got_row0 == [900.0 + j for j in range(12)]  # latest wins
+    got_row1 = dd[dd.x == 1].sort_values("y").value.tolist()
+    assert got_row1 == [10.0 + j for j in range(12)]  # untouched cells keep v1
+    # engine read agrees with the deduped surface
+    arr = wh.collections.read("w").arrays.get_by_id("a1")
+    import numpy as np
+
+    eng = arr.read_data((slice(0, 4), slice(None)))
+    chk = np.zeros((4, 12))
+    chk[dd.x, dd.y] = dd.value
+    np.testing.assert_allclose(chk, eng)
+    # pushdown still prunes with dedup on
+    one = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").option("dedup_cells", "true")
+        .load().filter("x = 0").toPandas()
+    )
+    assert len(one) == 12 and set(one.x) == {0}
