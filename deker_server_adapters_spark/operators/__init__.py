@@ -47,6 +47,51 @@ def _referenced_names(code) -> set:
     return names
 
 
+_IMPORT_RE = re.compile(
+    r"^\s*from\s+(deker_server_adapters_spark[.\w]*)\s+import\s+"
+    r"(\([^)]*\)|[^\n]+)",  # parenthesized (possibly multi-line) or rest-of-line
+    re.MULTILINE,
+)
+
+
+def _local_import_targets(src: str):
+    """(module, name) pairs for in-package ``from X import Y`` found in
+    a source blob. The codebase's dominant helper style imports INSIDE
+    the builder body, which binds a local — invisible to the
+    globals-walk in ``_captured_sources`` — so these have to be
+    resolved from the import statements in the captured text itself
+    (the r8 lesson: the globals-only closure missed ``h64`` et al.,
+    recreating the exact helper-blindness it was built to close, one
+    binding style deeper)."""
+    for m in _IMPORT_RE.finditer(src):
+        module, names = m.group(1), m.group(2)
+        for raw in names.replace("(", " ").replace(")", " ").split(","):
+            name = raw.split(" as ")[0].strip()  # target, not its alias
+            if name.isidentifier():
+                yield module, name
+
+
+def _capture_one(name: str, val, seen: set) -> list:
+    """Capture rules for one referenced value: in-package callables
+    contribute their source (and recurse through THEIR references);
+    plain-data constants contribute a deterministic repr."""
+    out = []
+    mod = getattr(val, "__module__", None)
+    if callable(val) and isinstance(mod, str) and mod.startswith(_PACKAGE_PREFIX):
+        try:
+            src = inspect.getsource(val)
+        except (OSError, TypeError):
+            src = repr(val)
+        out.append(f"--helper {name}--\n{src}")
+        out.extend(_captured_sources(val, seen))
+    elif isinstance(val, (set, frozenset)):
+        # set repr is hash-order dependent across interpreter runs
+        out.append(f"--const {name}--\n{sorted(val, key=repr)!r}")
+    elif isinstance(val, _CONST_TYPES):
+        out.append(f"--const {name}--\n{val!r}")
+    return out
+
+
 def _captured_sources(fn, seen: set) -> list:
     """Transitive definition closure of a builder: source text of every
     in-package function/class it references (recursively), plus reprs of
@@ -54,30 +99,21 @@ def _captured_sources(fn, seen: set) -> list:
     HELPER rewrite change its ops' fingerprints — the r7
     ``text_bpe_merges`` lesson, where the builder body stayed
     byte-identical while ``_bpe_apply_merge``/``bpe_merge_table`` were
-    rewritten, so the old builder-only fingerprint missed it."""
+    rewritten, so the old builder-only fingerprint missed it. Seen-keys
+    are module-qualified so same-named globals in two modules (each
+    module has its own ``_TOKENS``) are captured independently."""
     code = getattr(fn, "__code__", None)
     globals_ns = getattr(fn, "__globals__", None)
     if code is None or globals_ns is None:
         return []
+    mod_name = globals_ns.get("__name__", "?")
     out = []
     for name in sorted(_referenced_names(code)):
-        if name in seen or name not in globals_ns:
+        key = f"{mod_name}.{name}"
+        if key in seen or name not in globals_ns:
             continue
-        seen.add(name)
-        val = globals_ns[name]
-        mod = getattr(val, "__module__", None)
-        if callable(val) and isinstance(mod, str) and mod.startswith(_PACKAGE_PREFIX):
-            try:
-                src = inspect.getsource(val)
-            except (OSError, TypeError):
-                src = repr(val)
-            out.append(f"--helper {name}--\n{src}")
-            out.extend(_captured_sources(val, seen))
-        elif isinstance(val, (set, frozenset)):
-            # set repr is hash-order dependent across interpreter runs
-            out.append(f"--const {name}--\n{sorted(val, key=repr)!r}")
-        elif isinstance(val, _CONST_TYPES):
-            out.append(f"--const {name}--\n{val!r}")
+        seen.add(key)
+        out.extend(_capture_one(name, globals_ns[name], seen))
     return out
 
 
@@ -90,16 +126,42 @@ def op_fingerprint(op: "Op") -> str:
     its name was green recently (r6 `events_heavy_hitters_cms`: rewrite
     hidden behind a stale green round; r7 `text_bpe_merges`: rewrite
     hidden one layer deeper, in helpers the old builder-only hash never
-    saw). Helper capture follows global-name references recursively, so
-    it is exact for the normal module layout (top-level defs + plain
-    constants); dynamic dispatch through containers of functions would
-    still evade it, which the module style deliberately avoids."""
+    saw). Two reference styles are followed: module-global names
+    (recursively, through the code object's name loads) and in-package
+    ``from X import Y`` statements in any captured source text — the
+    latter because function-LOCAL imports bind locals the globals walk
+    cannot see (the r8 lesson: ``h64`` imported inside builder bodies
+    was invisible). Dynamic dispatch through containers of functions
+    would still evade both, which the module style deliberately
+    avoids."""
+    import importlib
+
     try:
         src = inspect.getsource(op.builder)
     except (OSError, TypeError):
         src = repr(op.builder)
     parts = [op.oracle or "<no-oracle>", "--builder--", src]
-    parts.extend(_captured_sources(op.builder, seen=set()))
+    seen: set = set()
+    parts.extend(_captured_sources(op.builder, seen))
+    # fixpoint over in-package imports appearing in ANY captured text
+    # (builder + helpers, transitively): resolve each target and apply
+    # the same capture rules
+    idx = 0
+    while idx < len(parts):
+        text = parts[idx]
+        idx += 1
+        for module, name in _local_import_targets(text):
+            key = f"{module}.{name}"
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                val = getattr(importlib.import_module(module), name)
+            except Exception:
+                parts.append(f"--import {key}: unresolved--")
+                continue
+            parts.append(f"--import {key}--")
+            parts.extend(_capture_one(name, val, seen))
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 

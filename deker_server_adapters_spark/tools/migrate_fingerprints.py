@@ -24,7 +24,13 @@ Run once, after changing the fingerprint algorithm, before any operator
 edits:
 
     python -m deker_server_adapters_spark.tools.migrate_fingerprints
-"""
+
+MID-ROUND caveat: the "latest green round's checked text IS the current
+tree" shortcut is only sound at round start. If operators were edited
+since the latest driver check, re-anchor those ops' entries at the
+latest round's driver commit afterwards (``_fingerprints_at`` does the
+worktree recompute) so edited ops correctly mismatch and front — done
+in r8 after the import-aware algorithm change."""
 
 from __future__ import annotations
 

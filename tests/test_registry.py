@@ -152,6 +152,57 @@ def test_fingerprint_tracks_helper_rewrites():
     assert again == fps[0]
 
 
+def test_fingerprint_tracks_function_local_imports():
+    """The r8 lesson: helpers imported INSIDE the builder body (`from
+    pkg.mod import helper` — the codebase's dominant style) bind locals
+    the globals walk can't see; the fingerprint must resolve those
+    import statements from the captured source and hash the target's
+    source, so rewriting the helper module still fronts its ops."""
+    import linecache
+    import sys
+    import textwrap
+    import types
+
+    from deker_server_adapters_spark.operators import Op, op_fingerprint
+
+    mod_name = "deker_server_adapters_spark.operators._fake_imported_mod"
+
+    def install_helper(body, tag):
+        src = textwrap.dedent(f"""
+            def helper(x):
+                return {body}
+        """)
+        fname = f"<fake-import-{tag}>"
+        mod = types.ModuleType(mod_name)
+        exec(compile(src, fname, "exec"), mod.__dict__)
+        mod.helper.__module__ = mod_name
+        linecache.cache[fname] = (len(src), None, src.splitlines(keepends=True), fname)
+        sys.modules[mod_name] = mod
+
+    builder_src = textwrap.dedent(f"""
+        def build(spark, sf_dir):
+            from {mod_name} import helper
+            return helper(1)
+    """)
+    fname = "<fake-import-builder>"
+    ns = {"__name__": "deker_server_adapters_spark.operators.fake2"}
+    exec(compile(builder_src, fname, "exec"), ns)
+    linecache.cache[fname] = (
+        len(builder_src), None, builder_src.splitlines(keepends=True), fname
+    )
+    build = ns["build"]
+    build.__module__ = "deker_server_adapters_spark.operators.fake2"
+
+    try:
+        install_helper("x * 2", "a")
+        fp_a = op_fingerprint(Op(name="x", builder=build, oracle="SELECT 1"))
+        install_helper("x * 3", "b")  # helper-module rewrite, builder untouched
+        fp_b = op_fingerprint(Op(name="x", builder=build, oracle="SELECT 1"))
+    finally:
+        sys.modules.pop(mod_name, None)
+    assert fp_a != fp_b
+
+
 def test_operator_catalog_is_current():
     """docs/OPERATORS.md must match what the generator renders from the
     live registry — a stale catalog misdocuments the API surface."""
