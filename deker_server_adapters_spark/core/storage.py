@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import threading
 from typing import Iterable, Sequence, Union
 
 import numpy as np
@@ -68,15 +69,31 @@ CHUNK_SCHEMA = StructType(
 )
 
 _SEQ_COUNTER_BITS = 20
+_SEQ_LOCK = threading.Lock()
+_SEQ_LAST = 0
 
 
 def next_write_seq() -> int:
     """Base placement stamp for one write event: wall-clock at ~ms
     granularity shifted to leave ``_SEQ_COUNTER_BITS`` low bits for a
-    within-task run counter. Fits int64 until ~year 2150."""
+    within-task run counter. Fits int64 until ~year 2150.
+
+    Strictly MONOTONIC within a process: two write events issued
+    back-to-back in the same clock tick (or across an NTP step
+    backwards — ``time_ns`` is not monotonic) still get increasing
+    stamps, so same-driver engine writes always resolve last-write-wins
+    in issue order. Across processes (concurrent writers on different
+    machines) ordering remains wall-clock ~ms — the documented
+    uncoordinated-append caveat."""
     import time
 
-    return (time.time_ns() >> _SEQ_COUNTER_BITS) << _SEQ_COUNTER_BITS
+    global _SEQ_LAST
+    with _SEQ_LOCK:
+        stamp = (time.time_ns() >> _SEQ_COUNTER_BITS) << _SEQ_COUNTER_BITS
+        if stamp <= _SEQ_LAST:
+            stamp = _SEQ_LAST + (1 << _SEQ_COUNTER_BITS)
+        _SEQ_LAST = stamp
+        return stamp
 
 # default cap on cells materialized to the driver by read_data —
 # parity with the reference's data-points limit (413 handling).
@@ -541,13 +558,18 @@ class ChunkStore:
         idxs = grid.overlapping_chunks(norm)
         # seq coalesced JVM-side so pandas sees non-null int64 — a
         # nullable long with nulls would arrive as float64 and round
-        # 60-bit stamps (placement corruption); -1 = legacy/oldest
+        # 60-bit stamps (placement corruption); -1 = legacy/oldest.
+        # file_name breaks legacy (-1) ties by sorted-file-name order —
+        # the SAME rank _merge_chunk_dir synthesizes when it stamps
+        # seq-less rows, so a compaction pass never changes which
+        # legacy run wins a read
         scan = self.scan(array_id, idxs).select(
             "chunk_idx",
             "origin",
             "shape",
             "data",
             F.coalesce(F.col("seq"), F.lit(-1)).alias("seq"),
+            F.col("_metadata.file_name").alias("fname"),
         )
         lo = [start for start, _, _ in norm]
         hi = [stop for _, stop, _ in norm]
@@ -577,20 +599,24 @@ class ChunkStore:
                         "shape": shapes,
                         "data": datas,
                         "seq": pdf["seq"].to_numpy(),
+                        "fname": pdf["fname"].to_numpy(),
                     },
-                    columns=["offset", "shape", "data", "seq"],
+                    columns=["offset", "shape", "data", "seq", "fname"],
                 )
 
         pieces = scan.mapInPandas(
             slice_chunks,
-            "offset array<long>, shape array<long>, data array<double>, seq long",
+            "offset array<long>, shape array<long>, data array<double>, "
+            "seq long, fname string",
         ).collect()
-        # overlapping runs place LAST-WRITE-WINS: apply in ascending seq
-        # (stable, so equal-seq runs keep their within-file row order —
-        # the within-task counter makes those strictly increasing
-        # anyway). Collect order (Spark's size-packed splits) carries no
-        # placement meaning and is deliberately not relied on.
-        pieces.sort(key=lambda row: row["seq"])
+        # overlapping runs place LAST-WRITE-WINS: apply in ascending
+        # (seq, file name) — stable, so equal-key runs keep their
+        # within-file row order (the within-task counter makes stamped
+        # runs strictly increasing anyway; the file name orders legacy
+        # -1 runs by the compaction convention). Collect order (Spark's
+        # size-packed splits) carries no placement meaning and is
+        # deliberately not relied on.
+        pieces.sort(key=lambda row: (row["seq"], row["fname"]))
         # cells no stored run covers read as the ARRAY'S fill value:
         # engine-created arrays materialize full chunks so this never
         # surfaces there, but the deker writer's bulk appends are

@@ -168,6 +168,7 @@ def _chunk_cell_batches(
     dim_meta: dict[str, dict] | None = None,
     chunk_shape: Sequence[int] | None = None,
     dedup: bool = False,
+    on_vanish: str = "skip",
 ):
     """Expand one chunk partition's parquet rows into Arrow cell
     batches — shared by the batch and stream readers.
@@ -224,14 +225,46 @@ def _chunk_cell_batches(
         return pa.RecordBatch.from_arrays(cols, names=names)
 
     def file_tables():
+        if on_vanish == "relist":
+            # BATCH semantics: a vanished file means compact() (merged
+            # and removed it) or delete_array raced the planning
+            # snapshot. A batch query has no "next batch" to heal it,
+            # so skipping would silently DROP the chunk's cells —
+            # instead re-list the dir and read the CURRENT visible set
+            # (the merged file carries every removed run).
+            files = list(partition.files)
+            for _ in range(3):
+                tables, ok = [], True
+                for rank, path in enumerate(files):
+                    try:
+                        tables.append((rank, pq.read_table(path)))
+                    except FileNotFoundError:
+                        ok = False
+                        break
+                if ok:
+                    yield from tables
+                    return
+                d = os.path.dirname(files[0])
+                if not os.path.isdir(d):
+                    return  # delete_array: the chunk is legitimately gone
+                files = sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet") and not f.startswith(".")
+                )
+                if not files:
+                    return
+            raise RuntimeError(
+                f"deker chunk dir kept changing during batch read: {d}"
+            )
         for rank, path in enumerate(partition.files):
             try:
                 yield rank, pq.read_table(path)
             except FileNotFoundError:
-                # COW race: a concurrent chunk rewrite (dynamic partition
-                # overwrite) can delete a file between offset planning and
-                # read. The deleted file's cells are superseded by the
-                # rewritten chunk file the next batch will pick up, so
+                # STREAM semantics (COW race): a concurrent chunk rewrite
+                # can delete a file between offset planning and read. The
+                # deleted file's cells are superseded by the rewritten
+                # chunk file the NEXT micro-batch will pick up, so
                 # skipping is correct — raising would wedge a restarted
                 # stream forever on a WAL offset whose files are gone.
                 import warnings
@@ -449,6 +482,7 @@ class DekerReader(DataSourceReader):
         yield from _chunk_cell_batches(
             partition, self.shape, self.dim_names, self.bounds, self.read_cols,
             self.dim_meta, chunk_shape=self.chunk_shape, dedup=self.dedup_cells,
+            on_vanish="relist",
         )
 
 
@@ -657,14 +691,15 @@ class DekerWriter(DataSourceArrowWriter):
                 shape = [1] * (ndim - 1) + [int(b - a)]
                 buf.setdefault(key, []).append((origin, shape, s_vals[a:b]))
 
-        import time
+        from deker_server_adapters_spark.core.storage import next_write_seq
 
         task_id = uuid.uuid4().hex
-        # placement stamps: ~ms clock base + within-task run counter
-        # (see core.storage.CHUNK_SCHEMA) — later runs in this task get
-        # strictly larger seq, so an intra-batch re-write of a cell
-        # resolves to the later row
-        seq_base = (time.time_ns() >> _SEQ_COUNTER_BITS) << _SEQ_COUNTER_BITS
+        # placement stamps: one monotonic base per task (the engine's
+        # stamp source, see core.storage.CHUNK_SCHEMA) + a within-task
+        # run counter — later runs in this task get strictly larger
+        # seq, so an intra-batch re-write of a cell resolves to the
+        # later row
+        seq_base = next_write_seq()
         run_counter = 0
         files, array_ids = [], set()
         for (array_id, cidx), runs in sorted(buf.items()):

@@ -864,3 +864,58 @@ def test_dedup_cells_option_resolves_last_write_wins(spark, tmp_path):
         .load().filter("x = 0").toPandas()
     )
     assert len(one) == 12 and set(one.x) == {0}
+
+
+def test_batch_read_survives_concurrent_compaction(spark, tmp_path):
+    """A batch plan whose file snapshot is invalidated by compact()
+    (files merged + removed between planning and read) must re-list
+    and return the chunk's FULL data from the merged file — skipping
+    would silently drop committed cells (batch has no 'next batch')."""
+    import os
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+    from deker_server_adapters_spark.sources.deker_datasource import DekerReader
+
+    root = str(tmp_path / "whrace")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    data = np.arange(240, dtype=np.float64).reshape(20, 12)
+    for stripe in (0, 1):  # two writes -> multi-file chunk dirs
+        rows = [
+            ("a1", i, j, float(data[i, j]))
+            for i in range(stripe, 20, 2)
+            for j in range(12)
+        ]
+        (
+            spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+            .coalesce(1)
+            .write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+    schema = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load().schema
+    )
+    reader = DekerReader(root, "w", schema)
+    parts = reader.partitions()
+    assert any(len(p.files) >= 2 for p in parts)
+    # the race: compaction merges + removes the planned files
+    assert ChunkStore(spark, os.path.join(root, "collections", "w")).compact() >= 1
+    got = np.full((20, 12), np.nan)
+    for p in parts:
+        for batch in reader.read(p):
+            pdf = batch.to_pandas()
+            got[pdf["x"], pdf["y"]] = pdf["value"]
+    np.testing.assert_allclose(got, data)  # nothing dropped
+
+
+def test_write_seq_is_monotonic_within_process():
+    """Same-tick or clock-regressed write events must still stamp
+    strictly increasing placement seqs (the last-write-wins guarantee
+    for back-to-back engine writes)."""
+    from deker_server_adapters_spark.core.storage import next_write_seq
+
+    seqs = [next_write_seq() for _ in range(2000)]
+    assert all(b > a for a, b in zip(seqs, seqs[1:]))
