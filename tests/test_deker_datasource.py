@@ -919,3 +919,68 @@ def test_write_seq_is_monotonic_within_process():
 
     seqs = [next_write_seq() for _ in range(2000)]
     assert all(b > a for a, b in zip(seqs, seqs[1:]))
+
+
+def test_changefeed_composes_with_hll_sketch_twin(spark, tmp_path):
+    """Custom source x sketch twin composition: an HLL register table
+    maintained INCREMENTALLY over the chunk changefeed (distinct cells
+    seen, keyed by cell identity) must equal the batch HLL over the
+    batch cell read — the 'sketch an array stream' shape, where the
+    state for an unbounded cell domain stays <=512 max-merged rows."""
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.operators.events import hll_registers_df
+
+    root = str(tmp_path / "whsk")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    rng = np.random.RandomState(17)
+    data = rng.rand(20, 12)
+    for b in range(3):  # three appends -> three changefeed batches' files
+        rows = [
+            ("a1", i, j, float(data[i, j]))
+            for i in range(b, 20, 3)
+            for j in range(12)
+        ]
+        (
+            spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+            .coalesce(1)
+            .write.format("deker")
+            .option("path", root).option("collection", "w")
+            .mode("append").save()
+        )
+
+    def cell_key(df):
+        return df.select(
+            F.concat_ws(":", "array_id", "x", "y").alias("user_id")
+        )
+
+    feed = (
+        spark.readStream.format("deker")
+        .option("path", root).option("collection", "w").load()
+    )
+    (
+        hll_registers_df(cell_key(feed))
+        .writeStream.format("memory").queryName("t_sk").outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = (
+        spark.table("t_sk")
+        .groupBy("reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .toPandas()
+        .sort_values("reg")
+        .reset_index(drop=True)
+    )
+    batch_cells = cell_key(
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load()
+    )
+    want = hll_registers_df(batch_cells).toPandas().sort_values("reg").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) <= 512
