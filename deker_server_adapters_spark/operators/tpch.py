@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
@@ -1301,7 +1302,136 @@ GROUP BY week_bucket
 """
 
 
+# --- graph analytics: PageRank over the part co-purchase graph --------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+_PR_TOPK = 20
+
+
+def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph (parts are
+    nodes; an edge's weight counts the orders where both parts appear),
+    ``_PR_ITERS`` power iterations, top-``_PR_TOPK`` parts.
+
+    Scale shape — the canonical distributed PageRank: the EDGE table
+    never moves between iterations (its normalized form is an identical
+    subtree in every iteration, deduplicated by exchange reuse; on a
+    cluster you would persist it once), while the rank vector — O(parts)
+    rows, small next to edges — broadcasts into each contribution join,
+    and each iteration's only shuffle is the map-side-combined
+    contribution sum on dst. Per-order pair fan-out is bounded by
+    order size squared (TPC-H ≤ 7 items/order), so edges grow linearly
+    with lineitems. Beyond the broadcast threshold (billions of nodes)
+    the rank join falls back to a co-partitioned shuffle join — same
+    plan shape, one more exchange.
+
+    Determinism: weight normalization and per-edge contributions are
+    single IEEE ops (identical across engines); contributions round to
+    1e-12 and accumulate in DECIMAL(38,12) (order-independent), so the
+    oracle's unrolled-CTE replay is bit-exact. Isolated parts (never
+    co-purchased) are excluded — with symmetric edges every graph node
+    has inbound mass, so no dangling-mass correction is needed."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+    en = edges.join(wsum, "src").select(
+        "src", "dst", F.round(F.col("w") / F.col("wtot"), 12).alias("nw")
+    )
+    n = wsum.agg(F.count("*").cast("double").alias("n_nodes"))
+    pr = wsum.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"), F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("pr")
+    )
+    base = F.lit(1.0 - _PR_DAMPING) / F.col("n_nodes")
+    for _ in range(_PR_ITERS):
+        contrib = en.join(
+            F.broadcast(pr.withColumnRenamed("node", "src")), "src"
+        ).select("dst", F.round(F.col("pr") * F.col("nw"), 12).alias("c"))
+        pr = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("c").cast("decimal(38,12)")).alias("csum"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "node",
+                F.round(
+                    base + F.lit(_PR_DAMPING) * F.col("csum").cast("double"), 12
+                ).alias("pr"),
+            )
+        )
+    w = Window.orderBy(F.desc("pr"), "node")
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PR_TOPK)
+        .select(
+            F.col("node").alias("part_id"),
+            F.round(F.col("pr"), 8).alias("pagerank"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def _pagerank_sql() -> str:
+    d, iters = _PR_DAMPING, _PR_ITERS
+    parts = [
+        f"""edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY src, dst
+), wsum AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY src),
+en AS (
+  SELECT e.src, e.dst, round(e.w / CAST(s.wtot AS DOUBLE), 12) AS nw
+  FROM edges e JOIN wsum s ON e.src = s.src
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM wsum),
+pr0 AS (
+  SELECT src AS node, round(1.0 / nn.n_nodes, 12) AS pr FROM wsum CROSS JOIN nn
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""pr{i + 1} AS (
+  SELECT c.dst AS node,
+         round({1.0 - d} / nn.n_nodes + {d} * CAST(sum(CAST(c.c AS DECIMAL(38,12))) AS DOUBLE), 12) AS pr
+  FROM (
+    SELECT e.dst, round(p.pr * e.nw, 12) AS c
+    FROM en e JOIN pr{i} p ON p.node = e.src
+  ) c CROSS JOIN nn
+  GROUP BY c.dst, nn.n_nodes
+)"""
+        )
+    return f"""
+WITH {", ".join(parts)}
+SELECT node AS part_id, round(pr, 8) AS pagerank, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rnk
+  FROM pr{iters}
+) t WHERE rnk <= {_PR_TOPK}
+"""
+
+
 OPS = {
+    "parts_copurchase_pagerank": Op(
+        "parts_copurchase_pagerank",
+        parts_copurchase_pagerank,
+        _pagerank_sql(),
+        description=(
+            f"weighted PageRank on the part co-purchase graph, "
+            f"{_PR_ITERS} power iterations (edges stay put, rank vector "
+            "broadcasts; contribution sums decimal-exact); oracle "
+            "replays the iterations as unrolled CTEs"
+        ),
+    ),
     "q1_pricing_summary": Op("q1_pricing_summary", q1_pricing_summary, Q1_SQL, headline=True),
     "order_key_sets": Op("order_key_sets", order_key_sets, ORDER_SETS_SQL),
     "customer_balance_distribution": Op(

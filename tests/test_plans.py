@@ -410,6 +410,7 @@ _INTENTIONAL_BNLJ = {
     "docs_tfidf_topk",
     "text_term_pmi",
     "events_hll_distinct",
+    "parts_copurchase_pagerank",
     "q11_important_parts",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
@@ -448,3 +449,16 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         ) and name not in _INTENTIONAL_PYTHON:
             failures.append(f"{name}: Python eval node in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_pagerank_reuses_edge_exchange_and_broadcasts_rank(spark, sf_dir):
+    """The canonical distributed-PageRank shape: the normalized edge
+    subtree is identical across iterations (deduped by exchange reuse —
+    edges never recompute per iteration) and the rank vector reaches
+    each contribution join as a broadcast, so edges never reshuffle."""
+    df = _plan(spark, sf_dir, "parts_copurchase_pagerank")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
