@@ -1015,6 +1015,127 @@ FROM a JOIN mau m ON a.month = m.month
 """
 
 
+# --- mergeable histogram quantile sketch ------------------------------
+
+_HIST_BINS = 256
+_HIST_QS = (0.5, 0.9, 0.99)
+
+
+def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from a bounded equi-width histogram, with the
+    error vs the exact continuous quantile — the estimator-quality eval
+    row for the SCALE path to quantiles: bin counts are a
+    ``_HIST_BINS``-row mergeable table (shards/streams sum them; the
+    exact form needs a global sort), and the estimate interpolates
+    inside the bin holding the target rank. Every arithmetic step is a
+    single IEEE op over exact integers and the min/max doubles, so the
+    DuckDB oracle replays estimates bit-for-bit — unlike
+    approx_percentile's engine-internal sketch. The cumulative window
+    runs over ≤256 bin rows (SinglePartition by construction and by
+    size)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    mm = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _HIST_BINS
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
+    )
+    qs = spark.createDataFrame([(q,) for q in _HIST_QS], "q double")
+    target = F.col("q") * F.col("n")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(mm))
+        .filter(F.col("cum") >= target)
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "q",
+            F.round(
+                F.col("mn")
+                + (
+                    F.col("bin")
+                    + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                )
+                * width,
+                6,
+            ).alias("est_value"),
+        )
+    )
+    exact = None
+    for q in _HIST_QS:
+        one = ev.agg(
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias("exact_value")
+        ).select(F.lit(q).alias("q"), "exact_value")
+        exact = one if exact is None else exact.unionByName(one)
+    return hit.join(exact, "q").select(
+        "q",
+        "est_value",
+        "exact_value",
+        F.round(F.col("est_value") - F.col("exact_value"), 6).alias("err"),
+    )
+
+
+def _hist_quantiles_sql() -> str:
+    b = _HIST_BINS
+    exacts = "\nUNION ALL\n".join(
+        f"SELECT {q} AS q, round(quantile_cont(value, {q}), 6) AS exact_value FROM {EVENTS_DUCK}"
+        for q in _HIST_QS
+    )
+    qvals = ", ".join(f"({q})" for q in _HIST_QS)
+    return f"""
+WITH mm AS (
+  SELECT min(value) AS mn, max(value) AS mx, CAST(count(*) AS BIGINT) AS n
+  FROM {EVENTS_DUCK}
+),
+bnn AS (
+  SELECT CASE WHEN mm.mx = mm.mn THEN 0
+              ELSE CAST(least({b - 1}, floor((value - mm.mn) / (mm.mx - mm.mn) * {b})) AS INT)
+         END AS bin
+  FROM {EVENTS_DUCK} CROSS JOIN mm
+),
+hist AS (SELECT bin, count(*) AS cnt FROM bnn GROUP BY bin),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+qs(q) AS (VALUES {qvals}),
+hit AS (
+  SELECT q,
+         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(b)}), 6) AS est_value
+  FROM (
+    SELECT qs.q, c.bin, c.cnt, c.cum, mm.mn, mm.mx, mm.n,
+           row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
+    FROM cum c CROSS JOIN qs CROSS JOIN mm
+    WHERE c.cum >= qs.q * mm.n
+  ) t WHERE rn = 1
+),
+ex AS ({exacts})
+SELECT hit.q, hit.est_value, ex.exact_value,
+       round(hit.est_value - ex.exact_value, 6) AS err
+FROM hit JOIN ex ON hit.q = ex.q
+"""
+
+
 # --- deterministic HyperLogLog (Flajolet et al. 2007, portable md5
 # hashing) -------------------------------------------------------------
 #
@@ -1158,6 +1279,17 @@ OPS = {
         "events_approx_distinct_users", events_approx_distinct_users, None
     ),
     "events_approx_quantiles": Op("events_approx_quantiles", events_approx_quantiles, None),
+    "events_value_histogram_quantiles": Op(
+        "events_value_histogram_quantiles",
+        events_value_histogram_quantiles,
+        _hist_quantiles_sql(),
+        description=(
+            f"quantile estimates from a {_HIST_BINS}-bin mergeable "
+            "equi-width histogram + error vs the exact continuous "
+            "quantile — the bounded-state scale path to percentiles, "
+            "fully oracled unlike approx_percentile's internal sketch"
+        ),
+    ),
     "events_hll_registers": Op(
         "events_hll_registers",
         events_hll_registers,

@@ -1027,3 +1027,22 @@ def test_dup_width_profile_separates_short_and_long_duplication(spark):
     # at width 32 only the full copies can still match
     assert prof[32].n_docs_with_dup == 2
     assert prof[32].n_dup_windows == 2 * (40 - 32 + 1)
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The equi-width histogram estimate must land within ~2 bin widths
+    of the exact continuous quantile (interpolation error is bounded by
+    the bin holding the target rank)."""
+    from deker_server_adapters_spark.operators.events import (
+        _HIST_BINS,
+        events_value_histogram_quantiles,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.min("value"), F.max("value")).first()
+    bin_w = (mx - mn) / _HIST_BINS
+    rows = events_value_histogram_quantiles(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert abs(r.err) <= 2 * bin_w, (r.q, r.err, bin_w)

@@ -411,6 +411,7 @@ _INTENTIONAL_BNLJ = {
     "text_term_pmi",
     "events_hll_distinct",
     "parts_copurchase_pagerank",
+    "events_value_histogram_quantiles",
     "q11_important_parts",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
