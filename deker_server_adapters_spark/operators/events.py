@@ -1021,6 +1021,33 @@ _HIST_BINS = 256
 _HIST_QS = (0.5, 0.9, 0.99)
 
 
+def value_histogram_df(
+    ev: DataFrame, lo: float, hi: float, bins: int = _HIST_BINS
+) -> DataFrame:
+    """(bin, cnt) equi-width histogram with FIXED bounds — the
+    mergeable/streamable form (counts sum across shards and
+    micro-batches; the data-derived-bounds op above can't stream
+    because min/max evolve). Out-of-range values clamp to the edge
+    bins, so no row is lost."""
+    return (
+        ev.select(
+            F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("value") - F.lit(lo)) / F.lit(hi - lo) * bins
+                    ),
+                ),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile estimates from a bounded equi-width histogram, with the
     error vs the exact continuous quantile — the estimator-quality eval

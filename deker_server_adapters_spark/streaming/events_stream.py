@@ -380,6 +380,26 @@ def streaming_hll_registers(events: DataFrame) -> DataFrame:
     return hll_registers_df(events)
 
 
+def streaming_value_histogram(
+    events: DataFrame, lo: float, hi: float, bins: int = 256
+) -> DataFrame:
+    """Streaming value histogram: the fixed-bounds
+    ``operators.events.value_histogram_df`` maintained incrementally as
+    a plain streaming COUNT aggregation — the quantile-state member of
+    the sketch-twin trilogy (CMS = frequency, HLL = distinct,
+    histogram = quantiles). Bin counts merge by addition, so
+    update-mode emits are monotone and the table after any stream
+    prefix equals the batch histogram of that prefix exactly; state is
+    bounded at ``bins`` rows whatever the stream length, and quantile
+    estimates interpolate from the table batch-side exactly as the
+    batch op does. Bounds are FIXED configuration (historical min/max)
+    — the price of streamability, since data-derived bounds evolve
+    mid-stream."""
+    from deker_server_adapters_spark.operators.events import value_histogram_df
+
+    return value_histogram_df(events, lo, hi, bins)
+
+
 def streaming_inactivity_alerts(
     events: DataFrame, idle: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

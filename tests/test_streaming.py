@@ -439,6 +439,39 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, sf_dir):
     assert len(got) <= _HLL_M  # the sketch's scale contract
 
 
+def test_streaming_value_histogram_equals_batch(spark, sf_dir):
+    """The fixed-bounds histogram after ALL micro-batches must equal
+    the batch histogram with the same bounds exactly (counts merge by
+    addition). Update-mode memory sink keeps one row per (bin, batch);
+    counts only grow, so max() per bin is the final value."""
+    from deker_server_adapters_spark.operators.events import value_histogram_df
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.events_stream import (
+        stream_events_source,
+        streaming_value_histogram,
+    )
+
+    lo, hi = 0.0, 250.0
+    src = stream_events_source(spark, sf_dir, n_files=4)
+    _run_stream(streaming_value_histogram(src, lo, hi), "t_hist", "update")
+    got = (
+        spark.table("t_hist")
+        .groupBy("bin")
+        .agg(F.max("cnt").alias("cnt"))
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = (
+        value_histogram_df(load_table(spark, sf_dir, "events"), lo, hi)
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) <= 256
+
+
 def test_streaming_inactivity_alerts_fire_on_true_gaps(spark, tmp_path):
     """EventTimeTimeout state eviction: a user who stops sending events
     gets ONE alert once the watermark (driven by OTHER users' events)
