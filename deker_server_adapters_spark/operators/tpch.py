@@ -1302,6 +1302,119 @@ GROUP BY week_bucket
 """
 
 
+# --- RFM customer segmentation ----------------------------------------
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order,
+    vs the corpus max date), Frequency (order count) and Monetary
+    (decimal-exact total spend) each bucket into quintiles 1–5 and
+    concatenate into the classic three-digit segment code; output is
+    the segment-level rollup (customer counts + EXACT metric totals —
+    integer/decimal sums, immune to the cross-engine half-way rounding
+    an average at money scales hits; consumers derive means).
+
+    Scale shape: quintile BOUNDARIES come from one continuous-quantile
+    aggregate (a 1-row broadcast), and each customer buckets by
+    comparing against them — never a global ``ntile`` window, whose
+    SinglePartition sort is exactly what dies at 10⁹ customers. Bucket
+    = 1 + count(boundaries strictly below the metric), so boundary
+    ties resolve identically in both engines (single IEEE comparisons
+    against the same interpolated doubles)."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").cast("double").alias("recency"),
+        F.col("frequency").cast("double").alias("frequency"),
+        "monetary",
+    )
+    bounds = rfm.agg(
+        F.expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").alias("rb"),
+        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias("fb"),
+        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias("mb"),
+    )
+
+    def bucket(metric: str, bs: str, invert: bool = False):
+        # 1 + number of boundaries strictly below the metric; recency
+        # inverts (LOW recency = best) so 5 is always "best"
+        raw = F.lit(1) + F.aggregate(
+            F.col(bs),
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(metric) > b, 1).otherwise(0),
+        )
+        return (F.lit(6) - raw if invert else raw).cast("int")
+
+    seg = rfm.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        "recency",
+        "frequency",
+        "monetary",
+        bucket("recency", "rb", invert=True).alias("r_score"),
+        bucket("frequency", "fb").alias("f_score"),
+        bucket("monetary", "mb").alias("m_score"),
+    )
+    return (
+        seg.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("recency").cast("long")).alias("total_recency_days"),
+            dsum(F.col("monetary")).alias("total_monetary"),
+        )
+        .select(
+            F.concat_ws("", "r_score", "f_score", "m_score").alias("segment"),
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            "total_recency_days",
+            "total_monetary",
+        )
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         {dsum_sql("o_totalprice")} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+maxd AS (SELECT max(o_orderdate) AS max_date FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', last_order, max_date) AS DOUBLE) AS recency,
+         CAST(frequency AS DOUBLE) AS frequency, monetary
+  FROM per_cust CROSS JOIN maxd
+),
+bounds AS (
+  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
+         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+  FROM rfm
+),
+seg AS (
+  SELECT o_custkey, recency, frequency, monetary,
+         CAST(6 - (1 + len(list_filter(rb, b -> recency > b))) AS INT) AS r_score,
+         CAST(1 + len(list_filter(fb, b -> frequency > b)) AS INT) AS f_score,
+         CAST(1 + len(list_filter(mb, b -> monetary > b)) AS INT) AS m_score
+  FROM rfm CROSS JOIN bounds
+)
+SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
+       r_score, f_score, m_score,
+       count(*) AS n_customers,
+       CAST(sum(CAST(recency AS BIGINT)) AS BIGINT) AS total_recency_days,
+       {dsum_sql("monetary")} AS total_monetary
+FROM seg
+GROUP BY r_score, f_score, m_score
+"""
+
+
 # --- graph analytics: PageRank over the part co-purchase graph --------
 
 _PR_DAMPING = 0.85
@@ -1421,6 +1534,16 @@ FROM (
 
 
 OPS = {
+    "customer_rfm_segments": Op(
+        "customer_rfm_segments",
+        customer_rfm_segments,
+        RFM_SQL,
+        description=(
+            "RFM quintile segmentation via broadcast quantile "
+            "boundaries — never a global ntile sort; segment-level "
+            "rollup with decimal-exact means"
+        ),
+    ),
     "parts_copurchase_pagerank": Op(
         "parts_copurchase_pagerank",
         parts_copurchase_pagerank,

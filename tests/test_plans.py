@@ -412,6 +412,7 @@ _INTENTIONAL_BNLJ = {
     "events_hll_distinct",
     "parts_copurchase_pagerank",
     "events_value_histogram_quantiles",
+    "customer_rfm_segments",
     "q11_important_parts",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
