@@ -1060,8 +1060,6 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
     approx_percentile's engine-internal sketch. The cumulative window
     runs over ≤256 bin rows (SinglePartition by construction and by
     size)."""
-    from pyspark.sql.window import Window
-
     ev = load_table(spark, sf_dir, "events").select("value")
     mm = ev.agg(
         F.min("value").alias("mn"),
@@ -1111,12 +1109,18 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("est_value"),
         )
     )
-    exact = None
-    for q in _HIST_QS:
-        one = ev.agg(
-            F.round(F.expr(f"percentile(value, {q})"), 6).alias("exact_value")
-        ).select(F.lit(q).alias("q"), "exact_value")
-        exact = one if exact is None else exact.unionByName(one)
+    # exact side in ONE pass: percentile over the q array, exploded
+    qarr = ", ".join(str(q) for q in _HIST_QS)
+    exact = (
+        ev.agg(F.expr(f"percentile(value, array({qarr}))").alias("ps"))
+        .select(F.posexplode("ps").alias("i", "exact_raw"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in _HIST_QS]), F.col("i") + 1
+            ).alias("q"),
+            F.round(F.col("exact_raw"), 6).alias("exact_value"),
+        )
+    )
     return hit.join(exact, "q").select(
         "q",
         "est_value",

@@ -1327,7 +1327,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("frequency"),
         dsum(F.col("o_totalprice")).alias("monetary"),
     )
-    maxd = orders.agg(F.max("o_orderdate").alias("max_date"))
+    # max(last_order) over the per-customer aggregate == max(o_orderdate)
+    # over orders — no second scan of the big table
+    maxd = per_cust.agg(F.max("last_order").alias("max_date"))
     rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
         "o_custkey",
         F.datediff("max_date", "last_order").cast("double").alias("recency"),

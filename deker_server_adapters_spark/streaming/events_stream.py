@@ -381,7 +381,7 @@ def streaming_hll_registers(events: DataFrame) -> DataFrame:
 
 
 def streaming_value_histogram(
-    events: DataFrame, lo: float, hi: float, bins: int = 256
+    events: DataFrame, lo: float, hi: float, bins: int | None = None
 ) -> DataFrame:
     """Streaming value histogram: the fixed-bounds
     ``operators.events.value_histogram_df`` maintained incrementally as
@@ -395,9 +395,12 @@ def streaming_value_histogram(
     batch op does. Bounds are FIXED configuration (historical min/max)
     — the price of streamability, since data-derived bounds evolve
     mid-stream."""
-    from deker_server_adapters_spark.operators.events import value_histogram_df
+    from deker_server_adapters_spark.operators.events import (
+        _HIST_BINS,
+        value_histogram_df,
+    )
 
-    return value_histogram_df(events, lo, hi, bins)
+    return value_histogram_df(events, lo, hi, _HIST_BINS if bins is None else bins)
 
 
 def streaming_inactivity_alerts(

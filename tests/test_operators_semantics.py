@@ -1030,9 +1030,12 @@ def test_dup_width_profile_separates_short_and_long_duplication(spark):
 
 
 def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
-    """The equi-width histogram estimate must land within ~2 bin widths
-    of the exact continuous quantile (interpolation error is bounded by
-    the bin holding the target rank)."""
+    """The estimator's REAL guarantee, not a data-shape observation:
+    the estimate lands within 2 bin widths PLUS the gap between the
+    order statistics bracketing the target rank (with gapped/heavy-
+    tailed data the exact continuous quantile interpolates across
+    empty bins the histogram cannot see — the bound must include that
+    gap or a regenerated dataset breaks the test spuriously)."""
     from deker_server_adapters_spark.operators.events import (
         _HIST_BINS,
         events_value_histogram_quantiles,
@@ -1040,9 +1043,16 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
     from deker_server_adapters_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    mn, mx = ev.agg(F.min("value"), F.max("value")).first()
+    mn, mx, n = ev.agg(F.min("value"), F.max("value"), F.count("*")).first()
     bin_w = (mx - mn) / _HIST_BINS
     rows = events_value_histogram_quantiles(spark, sf_dir).collect()
     assert len(rows) == 3
     for r in rows:
-        assert abs(r.err) <= 2 * bin_w, (r.q, r.err, bin_w)
+        k = int((n - 1) * r.q)
+        lo_q, hi_q = k / (n - 1), min(1.0, (k + 1) / (n - 1))
+        x_lo, x_hi = ev.agg(
+            F.expr(f"percentile(value, {lo_q})"),
+            F.expr(f"percentile(value, {hi_q})"),
+        ).first()
+        bound = 2 * bin_w + (x_hi - x_lo)
+        assert abs(r.err) <= bound, (r.q, r.err, bound)
