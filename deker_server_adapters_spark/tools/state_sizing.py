@@ -21,9 +21,11 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     from deker_server_adapters_spark.streaming.events_stream import (
         stream_events_source,
         streaming_cms_sketch,
+        streaming_hll_registers,
         streaming_inactivity_alerts,
         streaming_inter_arrival,
         streaming_running_totals,
+        streaming_value_histogram,
     )
 
     twins = {
@@ -32,6 +34,11 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
         "running_totals": (streaming_running_totals, "append"),
         "cms_sketch": (streaming_cms_sketch, "update"),
         "inactivity_alerts": (streaming_inactivity_alerts, "append"),
+        "hll_registers": (streaming_hll_registers, "update"),
+        "value_histogram": (
+            lambda ev: streaming_value_histogram(ev, 0.0, 250.0),
+            "update",
+        ),
     }
     out: dict = {}
     for name, (builder, mode) in twins.items():
