@@ -984,3 +984,50 @@ def test_changefeed_composes_with_hll_sketch_twin(spark, tmp_path):
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) <= 512
+
+
+def test_writer_property_overlapping_writes_last_wins(spark, tmp_path):
+    """Property (the r8 seq semantics): a SEQUENCE of random overlapping
+    cell writes — arbitrary subsets, arbitrary partitioning, arbitrary
+    re-writes of already-written cells — reads back as if applied in
+    write order (numpy reference), before AND after compact(). Within
+    one append a duplicated cell keeps arbitrary-but-valid semantics,
+    so cases write distinct cells per append but freely overlap across
+    appends."""
+    import os
+
+    import numpy as np
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+
+    rng = np.random.RandomState(4242)
+    for case in range(3):
+        root = str(tmp_path / f"wlw{case}")
+        wh = Warehouse(spark, root)
+        wh.collections.create("w", SCHEMA)
+        register(spark)
+        want = np.zeros((20, 12))
+        all_cells = [(i, j) for i in range(20) for j in range(12)]
+        for write_i in range(rng.randint(2, 5)):
+            rng.shuffle(all_cells)
+            chosen = all_cells[: rng.randint(1, 120)]
+            vals = rng.rand(len(chosen)) * 100
+            rows = [
+                ("p1", int(i), int(j), float(v))
+                for (i, j), v in zip(chosen, vals)
+            ]
+            (
+                spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+                .repartition(rng.randint(1, 5))
+                .write.format("deker")
+                .option("path", root).option("collection", "w")
+                .mode("append").save()
+            )
+            for (i, j), v in zip(chosen, vals):
+                want[i, j] = v
+        arr = wh.collections.read("w").arrays.get_by_id("p1")
+        got = arr.read_data((slice(None), slice(None)))
+        np.testing.assert_allclose(got, want, err_msg=f"case {case} pre-compact")
+        ChunkStore(spark, os.path.join(root, "collections", "w")).compact()
+        got2 = arr.read_data((slice(None), slice(None)))
+        np.testing.assert_allclose(got2, want, err_msg=f"case {case} post-compact")
