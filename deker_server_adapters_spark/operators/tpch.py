@@ -1305,6 +1305,9 @@ GROUP BY week_bucket
 # --- RFM customer segmentation ----------------------------------------
 
 
+_RFM_BINS = 256
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per customer, Recency (days since last order,
     vs the corpus max date), Frequency (order count) and Monetary
@@ -1314,34 +1317,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer/decimal sums, immune to the cross-engine half-way rounding
     an average at money scales hits; consumers derive means).
 
-    Scale shape: quintile BOUNDARIES come from one continuous-quantile
-    aggregate (a 1-row broadcast), and each customer buckets by
-    comparing against them — never a global ``ntile`` window, whose
-    SinglePartition sort is exactly what dies at 10⁹ customers. Bucket
-    = 1 + count(boundaries strictly below the metric), so boundary
-    ties resolve identically in both engines (single IEEE comparisons
-    against the same interpolated doubles)."""
-    orders = _t(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").cast("long").alias("frequency"),
-        dsum(F.col("o_totalprice")).alias("monetary"),
-    )
-    # max(last_order) over the per-customer aggregate == max(o_orderdate)
-    # over orders — no second scan of the big table
-    maxd = per_cust.agg(F.max("last_order").alias("max_date"))
-    rfm = per_cust.crossJoin(F.broadcast(maxd)).select(
-        "o_custkey",
-        F.datediff("max_date", "last_order").cast("double").alias("recency"),
-        F.col("frequency").cast("double").alias("frequency"),
-        "monetary",
-    )
-    bounds = rfm.agg(
-        F.expr("percentile(recency, array(0.2, 0.4, 0.6, 0.8))").alias("rb"),
-        F.expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").alias("fb"),
-        F.expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").alias("mb"),
-    )
-
+    Scale shape: quintile BOUNDARIES derive from the repo's bounded
+    ``_RFM_BINS``-bin mergeable equi-width histogram (the
+    ``events_value_histogram_quantiles`` device) — aggregate state is
+    ≤ 3·256 (metric, bin) count rows regardless of customer count,
+    never a global ``ntile`` window (SinglePartition sort of 10⁹
+    customers) and never the exact ``percentile`` aggregate, which
+    buffers every value in the single final-agg task. Boundary error
+    is ≤ 1 bin width of the metric's range (pinned by pytest); each
+    customer then buckets by comparing against the 4 boundaries.
+    Bucket = 1 + count(boundaries strictly below the metric), so
+    boundary ties resolve identically in both engines (single IEEE
+    comparisons against the same interpolated, 1e-9-rounded doubles —
+    the oracle replays binning and interpolation bit-for-bit)."""
+    rfm = _rfm_metrics(spark, sf_dir)
+    bounds = _rfm_hist_bounds(spark, rfm)
     def bucket(metric: str, bs: str, invert: bool = False):
         # 1 + number of boundaries strictly below the metric; recency
         # inverts (LOW recency = best) so 5 is always "best"
@@ -1359,7 +1349,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         bucket("recency", "rb", invert=True).alias("r_score"),
         bucket("frequency", "fb").alias("f_score"),
-        bucket("monetary", "mb").alias("m_score"),
+        bucket("monetary_d", "mb").alias("m_score"),
     )
     return (
         seg.groupBy("r_score", "f_score", "m_score")
@@ -1380,6 +1370,128 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rfm_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (recency, frequency, monetary) metric table — the
+    input to the histogram boundary device and the bucketing join."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    # max(last_order) over the per-customer aggregate == max(o_orderdate)
+    # over orders — no second scan of the big table
+    maxd = per_cust.agg(F.max("last_order").alias("max_date"))
+    return per_cust.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff("max_date", "last_order").cast("double").alias("recency"),
+        F.col("frequency").cast("double").alias("frequency"),
+        "monetary",
+        F.col("monetary").cast("double").alias("monetary_d"),
+    )
+
+
+def _rfm_hist_bounds(spark: SparkSession, rfm: DataFrame) -> DataFrame:
+    """Quintile boundaries (0.2/0.4/0.6/0.8) for the three RFM metrics
+    from a ``_RFM_BINS``-bin equi-width histogram: one 1-row min/max/n
+    agg, a ≤3·256-row (metric, bin) count table, rank interpolation
+    inside the hit bin, 1e-9 rounding. Returns one row with sorted
+    boundary arrays ``rb``/``fb``/``mb``. Estimate error ≤ 1 bin width
+    of the metric's range (pinned by
+    ``test_rfm_hist_bounds_within_one_bin_width``)."""
+    # one bounded agg: per-metric min/max + the customer count
+    mm = rfm.agg(
+        F.min("recency").alias("rmn"),
+        F.max("recency").alias("rmx"),
+        F.min("frequency").alias("fmn"),
+        F.max("frequency").alias("fmx"),
+        F.min("monetary_d").alias("mmn"),
+        F.max("monetary_d").alias("mmx"),
+        F.count("*").cast("double").alias("n"),
+    )
+
+    def _bin(col: str, mn: str, mx: str):
+        return (
+            F.when(F.col(mx) == F.col(mn), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(_RFM_BINS - 1),
+                    F.floor(
+                        (F.col(col) - F.col(mn))
+                        / (F.col(mx) - F.col(mn))
+                        * _RFM_BINS
+                    ),
+                )
+            )
+            .cast("int")
+        )
+
+    binned = rfm.crossJoin(F.broadcast(mm)).select(
+        _bin("recency", "rmn", "rmx").alias("rbin"),
+        _bin("frequency", "fmn", "fmx").alias("fbin"),
+        _bin("monetary_d", "mmn", "mmx").alias("mbin"),
+    )
+    pairs = binned.select(
+        F.expr("stack(3, 'r', rbin, 'f', fbin, 'm', mbin) AS (metric, bin)")
+    )
+    hist = pairs.groupBy("metric", "bin").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "metric",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("metric").orderBy("bin")).alias("cum"),
+    )
+    qs = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "q double")
+    mn_of = (
+        F.when(F.col("metric") == "r", F.col("rmn"))
+        .when(F.col("metric") == "f", F.col("fmn"))
+        .otherwise(F.col("mmn"))
+    )
+    mx_of = (
+        F.when(F.col("metric") == "r", F.col("rmx"))
+        .when(F.col("metric") == "f", F.col("fmx"))
+        .otherwise(F.col("mmx"))
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(mm))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("metric", "q").orderBy("bin")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "metric",
+            "q",
+            F.round(
+                mn_of
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * ((mx_of - mn_of) / F.lit(float(_RFM_BINS))),
+                9,
+            ).alias("b"),
+        )
+    )
+    # 12 boundary rows fold into one broadcastable row of 3 sorted arrays
+    return hit.groupBy().agg(
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("metric") == m, F.struct("q", "b"))
+                    )
+                ),
+                lambda s: s["b"],
+            ).alias(name)
+            for m, name in (("r", "rb"), ("f", "fb"), ("m", "mb"))
+        ]
+    )
+
+
 RFM_SQL = f"""
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
@@ -1391,20 +1503,63 @@ maxd AS (SELECT max(o_orderdate) AS max_date FROM orders),
 rfm AS (
   SELECT o_custkey,
          CAST(date_diff('day', last_order, max_date) AS DOUBLE) AS recency,
-         CAST(frequency AS DOUBLE) AS frequency, monetary
+         CAST(frequency AS DOUBLE) AS frequency, monetary,
+         CAST(monetary AS DOUBLE) AS monetary_d
   FROM per_cust CROSS JOIN maxd
 ),
-bounds AS (
-  SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS rb,
-         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fb,
-         quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+mm AS (
+  SELECT min(recency) AS rmn, max(recency) AS rmx,
+         min(frequency) AS fmn, max(frequency) AS fmx,
+         min(monetary_d) AS mmn, max(monetary_d) AS mmx,
+         CAST(count(*) AS DOUBLE) AS n
   FROM rfm
+),
+pairs AS (
+  SELECT 'r' AS metric,
+         CASE WHEN rmx = rmn THEN 0
+              ELSE CAST(least({_RFM_BINS - 1}, floor((recency - rmn) / (rmx - rmn) * {_RFM_BINS})) AS INT) END AS bin
+  FROM rfm CROSS JOIN mm
+  UNION ALL
+  SELECT 'f',
+         CASE WHEN fmx = fmn THEN 0
+              ELSE CAST(least({_RFM_BINS - 1}, floor((frequency - fmn) / (fmx - fmn) * {_RFM_BINS})) AS INT) END
+  FROM rfm CROSS JOIN mm
+  UNION ALL
+  SELECT 'm',
+         CASE WHEN mmx = mmn THEN 0
+              ELSE CAST(least({_RFM_BINS - 1}, floor((monetary_d - mmn) / (mmx - mmn) * {_RFM_BINS})) AS INT) END
+  FROM rfm CROSS JOIN mm
+),
+hist AS (SELECT metric, bin, count(*) AS cnt FROM pairs GROUP BY metric, bin),
+cum AS (
+  SELECT metric, bin, cnt,
+         sum(cnt) OVER (PARTITION BY metric ORDER BY bin) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
+hit AS (
+  SELECT metric, q,
+         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_RFM_BINS)}), 9) AS b
+  FROM (
+    SELECT c.metric, s.q, c.bin, c.cnt, c.cum, m.n,
+           CASE c.metric WHEN 'r' THEN m.rmn WHEN 'f' THEN m.fmn ELSE m.mmn END AS mn,
+           CASE c.metric WHEN 'r' THEN m.rmx WHEN 'f' THEN m.fmx ELSE m.mmx END AS mx,
+           row_number() OVER (PARTITION BY c.metric, s.q ORDER BY c.bin) AS rn
+    FROM cum c CROSS JOIN qs s CROSS JOIN mm m
+    WHERE c.cum >= s.q * m.n
+  ) t WHERE rn = 1
+),
+bounds AS (
+  SELECT list(b ORDER BY q) FILTER (WHERE metric = 'r') AS rb,
+         list(b ORDER BY q) FILTER (WHERE metric = 'f') AS fb,
+         list(b ORDER BY q) FILTER (WHERE metric = 'm') AS mb
+  FROM hit
 ),
 seg AS (
   SELECT o_custkey, recency, frequency, monetary,
          CAST(6 - (1 + len(list_filter(rb, b -> recency > b))) AS INT) AS r_score,
          CAST(1 + len(list_filter(fb, b -> frequency > b)) AS INT) AS f_score,
-         CAST(1 + len(list_filter(mb, b -> monetary > b)) AS INT) AS m_score
+         CAST(1 + len(list_filter(mb, b -> monetary_d > b)) AS INT) AS m_score
   FROM rfm CROSS JOIN bounds
 )
 SELECT CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS segment,
@@ -1484,15 +1639,16 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+    # Top-K via orderBy().limit() => TakeOrderedAndProject (per-partition
+    # top-K + driver merge of K*partitions rows), never a SinglePartition
+    # sort of the whole O(nodes) rank vector; rnk derives on the K
+    # survivors only (a K-row window is driver-trivial at any scale).
+    topk = pr.orderBy(F.desc("pr"), "node").limit(_PR_TOPK)
     w = Window.orderBy(F.desc("pr"), "node")
-    return (
-        pr.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PR_TOPK)
-        .select(
-            F.col("node").alias("part_id"),
-            F.round(F.col("pr"), 8).alias("pagerank"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
+    return topk.select(
+        F.col("node").alias("part_id"),
+        F.round(F.col("pr"), 8).alias("pagerank"),
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
 
 

@@ -1056,3 +1056,37 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
         ).first()
         bound = 2 * bin_w + (x_hi - x_lo)
         assert abs(r.err) <= bound, (r.q, r.err, bound)
+
+
+def test_rfm_hist_bounds_within_one_bin_width(spark, sf_dir):
+    """The RFM quintile-boundary device (256-bin histogram + in-bin
+    rank interpolation) must land each boundary within 2 bin widths of
+    the exact continuous quintile, plus the gap between the order
+    statistics bracketing the target rank (same caveat as the
+    histogram-quantile estimator test above: with gapped data the
+    exact quantile interpolates across empty bins the histogram cannot
+    see)."""
+    from deker_server_adapters_spark.operators.tpch import (
+        _RFM_BINS,
+        _rfm_hist_bounds,
+        _rfm_metrics,
+    )
+
+    rfm = _rfm_metrics(spark, sf_dir)
+    bounds = _rfm_hist_bounds(spark, rfm).first()
+    n = rfm.count()
+    for metric, arr in (("recency", "rb"), ("frequency", "fb"), ("monetary_d", "mb")):
+        mn, mx = rfm.agg(F.min(metric), F.max(metric)).first()
+        bin_w = (mx - mn) / _RFM_BINS
+        ests = bounds[arr]
+        assert len(ests) == 4
+        for q, est in zip((0.2, 0.4, 0.6, 0.8), ests):
+            exact = rfm.agg(F.expr(f"percentile({metric}, {q})")).first()[0]
+            k = int((n - 1) * q)
+            lo_q, hi_q = k / (n - 1), min(1.0, (k + 1) / (n - 1))
+            x_lo, x_hi = rfm.agg(
+                F.expr(f"percentile({metric}, {lo_q})"),
+                F.expr(f"percentile({metric}, {hi_q})"),
+            ).first()
+            bound = 2 * bin_w + (x_hi - x_lo)
+            assert abs(est - exact) <= bound, (metric, q, est, exact, bound)

@@ -464,3 +464,6 @@ def test_pagerank_reuses_edge_exchange_and_broadcasts_rank(spark, sf_dir):
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+    # top-K must be TakeOrderedAndProject (per-partition top-K + driver
+    # merge), never a SinglePartition sort of the whole rank vector
+    assert "TakeOrderedAndProject" in plan
