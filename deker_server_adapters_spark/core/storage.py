@@ -34,7 +34,7 @@ from typing import Iterable, Sequence, Union
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -245,8 +245,12 @@ def _merge_chunk_dir(d: str) -> int:
     - Races: a file that vanishes between the listing snapshot and its
       read (concurrent ``delete_array``) is skipped; only files that
       were actually merged are removed, and removal tolerates a
-      concurrent delete. Two concurrent compacts of the SAME dir remain
-      unsupported (each would merge-and-remove the other's output).
+      concurrent delete. The merged output publishes atomically (dot-
+      prefixed temp + ``os.replace``), so a concurrent reader can never
+      open a partially-written merge file; a crashed compact's temp is
+      GC'd by the next compact of the dir. Two concurrent compacts of
+      the SAME dir remain unsupported (each would merge-and-remove the
+      other's output).
     """
     import os as _os
     import uuid as _uuid
@@ -262,10 +266,17 @@ def _merge_chunk_dir(d: str) -> int:
             ("seq", _pa.int64()),
         ]
     )
+    listing = _os.listdir(d)
+    # GC temp output of a crashed prior compact of THIS dir (concurrent
+    # compacts of one dir are unsupported, so any such file is stale)
+    for f in listing:
+        if f.startswith(".part-compact-") and f.endswith(".tmp"):
+            try:
+                _os.remove(_os.path.join(d, f))
+            except FileNotFoundError:
+                pass
     files = sorted(
-        f
-        for f in _os.listdir(d)
-        if f.endswith(".parquet") and not f.startswith(".")
+        f for f in listing if f.endswith(".parquet") and not f.startswith(".")
     )
     if len(files) < 2:
         return 0
@@ -284,8 +295,15 @@ def _merge_chunk_dir(d: str) -> int:
     if len(tables) < 2:
         return 0
     merged = _pa.concat_tables(tables)
-    out = _os.path.join(d, f"part-compact-{_uuid.uuid4().hex}.parquet")
-    _pq.write_table(merged, out)
+    # Publish atomically, matching the writer's temp/rename protocol: a
+    # dot-prefixed temp name is invisible to every listing (batch relist,
+    # stream reader, dedup replay), so no concurrent reader can open a
+    # partially-written merge output; os.replace makes it appear whole.
+    token = _uuid.uuid4().hex
+    out = _os.path.join(d, f"part-compact-{token}.parquet")
+    tmp = _os.path.join(d, f".part-compact-{token}.parquet.tmp")
+    _pq.write_table(merged, tmp)
+    _os.replace(tmp, out)
     for f in merged_files:
         try:
             _os.remove(_os.path.join(d, f))
@@ -530,6 +548,72 @@ class ChunkStore:
             sc.parallelize(dirs, n_slices).map(_merge_chunk_dir).sum()
         )
 
+    def maintenance_stats(self) -> DataFrame:
+        """Per-chunk-dir maintenance view — the table an operator
+        queries to decide WHERE to compact: visible file count and
+        bytes (feeds ``plans.layout.compaction_plan`` thresholds) plus
+        in-flight/orphaned dot-prefixed temp count. Dir names list on
+        the driver (pure metadata, same as ``compact``); per-dir stat
+        work parallelizes over executors, so millions of chunk dirs
+        stat at cluster width, not driver speed. Vanished files/dirs
+        (concurrent delete or compact) are tolerated."""
+        import glob as _glob
+
+        dirs = _glob.glob(os.path.join(self.path, "array_id=*", "chunk_idx=*"))
+        if not dirs:
+            return self.spark.createDataFrame(
+                [],
+                "array_id string, chunk_idx long, n_files long, "
+                "bytes long, n_temp long",
+            )
+
+        def _stat(d: str):
+            import os as _os
+
+            try:
+                names = _os.listdir(d)
+            except FileNotFoundError:
+                return None
+            vis = [
+                f
+                for f in names
+                if f.endswith(".parquet") and not f.startswith(".")
+            ]
+            # in-flight/orphaned temps only — Hadoop .crc checksum
+            # companions are bookkeeping, not uncommitted data
+            n_temp = sum(
+                1
+                for f in names
+                if f.startswith(".") and not f.endswith(".crc")
+            )
+            total = 0
+            for f in vis:
+                try:
+                    total += _os.path.getsize(_os.path.join(d, f))
+                except FileNotFoundError:
+                    pass
+            parts = dict(
+                p.split("=", 1) for p in d.split(_os.sep)[-2:] if "=" in p
+            )
+            return (
+                parts.get("array_id", ""),
+                int(parts.get("chunk_idx", -1)),
+                len(vis),
+                total,
+                n_temp,
+            )
+
+        sc = self.spark.sparkContext
+        n_slices = min(len(dirs), sc.defaultParallelism)
+        rows = sc.parallelize(dirs, n_slices).map(_stat).filter(
+            lambda r: r is not None
+        )
+        return self.spark.createDataFrame(
+            rows,
+            "array_id string, chunk_idx long, n_files long, "
+            "bytes long, n_temp long",
+        )
+
     def delete_array(self, array_id: str) -> None:
         """Drop all chunk partitions of one array (metadata-cheap: a
         directory delete, no data rewrite)."""
@@ -698,9 +782,18 @@ class ChunkStore:
                 )
 
         # seq coalesced JVM-side (see read_slice): nulls would reach
-        # pandas as float64 and round 60-bit stamps
+        # pandas as float64 and round 60-bit stamps. Legacy seq-less
+        # rows get a SYNTHESIZED per-file rank in sorted-file-name
+        # order (the _merge_chunk_dir convention) rather than a flat
+        # -1: the rewrite moves rows into NEW files, so the read path's
+        # file-name tiebreak would otherwise re-order overlapping
+        # legacy runs after a COW of a disjoint region of the chunk.
+        w = Window.partitionBy("chunk_idx").orderBy(F.col("_metadata.file_path"))
         source = self.scan(array_id, idxs).withColumn(
-            "seq", F.coalesce(F.col("seq"), F.lit(-1))
+            "seq",
+            F.coalesce(
+                F.col("seq"), (F.dense_rank().over(w) - 1).cast("long")
+            ),
         )
         updated = source.mapInPandas(patch_chunks, CHUNK_SCHEMA)
         # materialize BEFORE overwriting: the plan reads the very
@@ -709,14 +802,38 @@ class ChunkStore:
         updated = updated.localCheckpoint(eager=True)
         self.overwrite_chunks(updated)
 
-    def cell_df(self, array_id: str, dim_names: Sequence[str]) -> DataFrame:
+    def cell_df(
+        self, array_id: str, dim_names: Sequence[str], dedup: bool = False
+    ) -> DataFrame:
         """Long-format view: one row per cell, pure-JVM index math
         (posexplode + div/mod over the chunk shape) — no Python in the
-        path, so arrays compose with SQL at full codegen speed."""
+        path, so arrays compose with SQL at full codegen speed.
+
+        ``dedup=False`` (default) is the append-log view: overlapping
+        runs each emit their row, matching the ``deker`` source's
+        default. ``dedup=True`` resolves per-cell LAST-WRITE-WINS
+        (``read_data``'s semantics) as a ``max_by(value, (seq, file))``
+        aggregate over the cell coordinates — still pure JVM, but it
+        costs one shuffle on the dims; at scale prefer the datasource's
+        ``.option("dedup_cells", "true")``, which resolves inside each
+        chunk partition with zero shuffle. Tie order mirrors
+        ``read_slice``'s (seq, file-name) sort; the one divergence is
+        two overlapping runs in the SAME pre-seq legacy file, where the
+        aggregate has no row-order tiebreak (no engine writer produces
+        that layout)."""
         df = self.scan(array_id)
-        df = df.select(
-            "origin", "shape", F.posexplode("data").alias("pos", "value")
-        )
+        if dedup:
+            df = df.select(
+                "origin",
+                "shape",
+                F.coalesce(F.col("seq"), F.lit(-1)).alias("seq"),
+                F.col("_metadata.file_name").alias("fname"),
+                F.posexplode("data").alias("pos", "value"),
+            )
+        else:
+            df = df.select(
+                "origin", "shape", F.posexplode("data").alias("pos", "value")
+            )
         strides = []
         n = len(dim_names)
         for d in range(n):
@@ -728,4 +845,12 @@ class ChunkStore:
             (F.expr(f"origin[{d}] + (pos DIV ({strides[d]})) % shape[{d}]")).alias(dim_names[d])
             for d in range(n)
         ]
+        if dedup:
+            return (
+                df.select(*cols, "value", "seq", "fname")
+                .groupBy(*[F.col(d) for d in dim_names])
+                .agg(
+                    F.max_by("value", F.struct("seq", "fname")).alias("value")
+                )
+            )
         return df.select(*cols, F.col("value"))

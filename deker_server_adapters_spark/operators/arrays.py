@@ -371,12 +371,197 @@ def deker_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def deker_dedup_read_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slice-aggregate through the ``.option("dedup_cells",
+    "true")`` LAST-WRITE-WINS batch read (SURVEY §7 r9): the dense grid
+    is bulk-written TWICE — first a decoy pass (every value shifted by
+    +1000), then the real cells — so every cell exists in two
+    overlapping runs and only seq-ordered per-cell resolution can
+    reproduce the oracle's numbers. If dedup failed open (append-log
+    rows leak through) the row count doubles; if it resolved the WRONG
+    run the +1000 shift lands in every sum — either way a hash
+    mismatch, not a silent pass. Write passes are separate jobs, so
+    the second pass's ~ms placement stamps are strictly newer."""
+    from deker_server_adapters_spark.core import ArraySchema, DimensionSchema, Warehouse
+    from deker_server_adapters_spark.sources.deker_datasource import register
+
+    root = scratch_dir("deker_spark_dd_")
+    wh = Warehouse(spark, root)
+    schema = ArraySchema(
+        dtype="float64",
+        dimensions=(DimensionSchema("day", _N_DAYS), DimensionSchema("hour", _N_HOURS)),
+    )
+    wh.collections.create("events_grid", schema)
+    register(spark)
+    grid = spark.range(_N_DAYS).select(F.col("id").alias("day")).crossJoin(
+        spark.range(_N_HOURS).select(F.col("id").alias("hour"))
+    )
+    dense = grid.join(_event_cells(spark, sf_dir), ["day", "hour"], "left").select(
+        F.lit("ev").alias("array_id"),
+        "day",
+        "hour",
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+    )
+    for pass_df in (dense.withColumn("value", F.col("value") + 1000.0), dense):
+        (
+            pass_df.write.format("deker")
+            .option("path", root)
+            .option("collection", "events_grid")
+            .mode("append")
+            .save()
+        )
+    cells = (
+        spark.read.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .option("dedup_cells", "true")
+        .load()
+    )
+    return (
+        cells.filter((F.col("day") >= 5) & (F.col("day") < 15) & (F.col("hour") < 12))
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
+_MX_VGRID = (5, 4)  # 20 chunk dirs for the maintenance-loop op
+
+
+def deker_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance loop as a queryable op (SURVEY §7 r9): bulk-
+    ingest the dense event grid through the ``deker`` writer in TWO
+    disjoint passes (even/odd hours — every one of the
+    ``prod(_MX_VGRID)`` chunk dirs ends with ≥2 files), run
+    ``ChunkStore.compact()``, and return the maintenance summary.
+    Oracled rows are the DETERMINISTIC facts: the structural ones
+    (chunk-dir count from the vgrid, every dir compacted, exactly one
+    visible file per dir afterwards — post-compact invariants of the
+    engine) plus the post-compact cell count and value checksum, which
+    the DuckDB oracle recomputes straight from events, proving compact
+    lost/duplicated nothing. Task-layout-dependent facts (pre-compact
+    file counts, bytes) are NOT oracle-able; they surface through the
+    engine's ``ChunkStore.maintenance_stats()`` DataFrame, pinned by
+    ``test_maintenance_stats_pre_and_post_compact``."""
+    from deker_server_adapters_spark.core import (
+        DimensionSchema,
+        VArraySchema,
+        Warehouse,
+    )
+    from deker_server_adapters_spark.core.storage import ChunkStore
+    from deker_server_adapters_spark.sources.deker_datasource import register
+
+    root = scratch_dir("deker_spark_mx_")
+    wh = Warehouse(spark, root)
+    schema = VArraySchema(
+        dtype="float64",
+        dimensions=(
+            DimensionSchema("day", _N_DAYS),
+            DimensionSchema("hour", _N_HOURS),
+        ),
+        vgrid=_MX_VGRID,
+    )
+    coll = wh.collections.create("events_grid", schema)
+    register(spark)
+    grid = spark.range(_N_DAYS).select(F.col("id").alias("day")).crossJoin(
+        spark.range(_N_HOURS).select(F.col("id").alias("hour"))
+    )
+    dense = grid.join(_event_cells(spark, sf_dir), ["day", "hour"], "left").select(
+        F.lit("ev").alias("array_id"),
+        "day",
+        "hour",
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+    )
+    for parity in (0, 1):
+        (
+            dense.filter(F.col("hour") % 2 == parity)
+            .write.format("deker")
+            .option("path", root)
+            .option("collection", "events_grid")
+            .mode("append")
+            .save()
+        )
+    store = ChunkStore(spark, coll.path)
+    dirs_compacted = store.compact()
+    post = store.maintenance_stats().agg(
+        F.count("*").alias("n_dirs"), F.sum("n_files").alias("n_files")
+    ).first()
+    cells = (
+        spark.read.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .load()
+    )
+    structural = spark.createDataFrame(
+        [
+            ("n_chunk_dirs", float(post["n_dirs"])),
+            ("dirs_compacted", float(dirs_compacted)),
+            ("files_after", float(post["n_files"])),
+        ],
+        "metric string, value double",
+    )
+    data_checks = cells.agg(
+        F.count("*").cast("double").alias("cells_total"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("value_checksum"),
+    ).select(
+        F.expr(
+            "stack(2, 'cells_total', cells_total, "
+            "'value_checksum', value_checksum) AS (metric, value)"
+        )
+    )
+    return structural.union(data_checks)
+
+
+_MX_N_CHUNKS = _MX_VGRID[0] * _MX_VGRID[1]
+COMPACT_STATS_SQL = f"""
+WITH cells AS (
+  SELECT date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) AS day, hour(ts) AS hour,
+         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 6) AS DOUBLE) AS value
+  FROM {EVENTS_DUCK}
+  WHERE date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) BETWEEN 0 AND {_N_DAYS - 1}
+  GROUP BY day, hour
+)
+SELECT 'n_chunk_dirs' AS metric, {float(_MX_N_CHUNKS)} AS value
+UNION ALL SELECT 'dirs_compacted', {float(_MX_N_CHUNKS)}
+UNION ALL SELECT 'files_after', {float(_MX_N_CHUNKS)}
+UNION ALL SELECT 'cells_total', {float(_N_DAYS * _N_HOURS)}
+UNION ALL SELECT 'value_checksum',
+  (SELECT CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) FROM cells)
+"""
+
+
 OPS = {
     "array_slice_agg": Op("array_slice_agg", array_slice_agg, ARRAY_SLICE_SQL, headline=True),
     "deker_datasource_scan": Op(
         "deker_datasource_scan", deker_datasource_scan, ARRAY_SLICE_SQL
     ),
     "deker_write_scan": Op("deker_write_scan", deker_write_scan, ARRAY_SLICE_SQL),
+    "deker_dedup_read_scan": Op(
+        "deker_dedup_read_scan",
+        deker_dedup_read_scan,
+        ARRAY_SLICE_SQL,
+        description=(
+            "last-write-wins dedup_cells batch read over a doubly-"
+            "written grid; decoy first pass makes wrong or missing "
+            "resolution a hash mismatch"
+        ),
+    ),
+    "deker_compact_stats": Op(
+        "deker_compact_stats",
+        deker_compact_stats,
+        COMPACT_STATS_SQL,
+        description=(
+            "two-pass bulk ingest -> compact() -> maintenance summary; "
+            "oracle pins the post-compact invariants + recomputes the "
+            "cell count/value checksum from events"
+        ),
+    ),
     "array_update_roundtrip": Op("array_update_roundtrip", array_update_roundtrip, ARRAY_UPDATE_SQL),
     "varray_cell_table": Op("varray_cell_table", varray_cell_table, VARRAY_CELL_SQL),
     "hash_ring_assignment": Op("hash_ring_assignment", hash_ring_assignment, HASH_RING_SQL),

@@ -1191,8 +1191,146 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cosine similarity THRESHOLD self-join (r9) -----------------------
+
+_TJ_TAU = 0.35  # on this corpus: ~p99.9 of the pair-cosine distribution
+
+
+def ann_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity SELF-JOIN: every embedding pair with cosine ≥
+    ``_TJ_TAU`` — the family member next to top-k that dedup and
+    recommendation pipelines actually ask for ("all pairs above τ",
+    not "k best per probe"). Candidates come from the SAME multi-table
+    LSH index as ``ann_lsh_cosine`` (pairs sharing ≥ 1 (table, bucket)
+    cell), then exact cosine verifies inside the candidate set — the
+    n² cross join never appears in the plan. Approximate by design:
+    recall vs the exact join is the LSH collision guarantee, measured
+    by ``ann_threshold_join_recall``.
+
+    Scale shape: the bucket equi-join shuffles both sides on the
+    narrow (tbl, bucket) key; per-bucket pair fan-out is (n/2^b)²·L —
+    at 10⁹ vectors you raise ``_BITS_PER_TABLE`` so bucket occupancy
+    stays ~constant (b ≈ log₂(n/target_bucket)), which is a constants
+    change, not a plan change. Deterministic end to end (md5
+    hyperplanes, 6-dp cosine), so the DuckDB oracle replays the exact
+    bucket structure and the driver hash-checks every surviving pair."""
+    emb = lsh_signatures(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "tbl", "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "tbl", "bucket"
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ea", "eb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cosine") >= _TJ_TAU)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+def _threshold_join_sql() -> str:
+    return f"""
+WITH b AS (
+{_duck_lsh_buckets()}
+), cand AS (
+  SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
+  FROM b pa JOIN b pb ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket
+  WHERE pa.vec_id < pb.vec_id
+), scored AS (
+  SELECT c.a_id, c.b_id,
+         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.a_id
+  JOIN embeddings eb ON eb.vec_id = c.b_id
+)
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {_TJ_TAU}
+"""
+
+
+def ann_threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality eval for the threshold join: pairs the LSH
+    path finds vs the exact n² join at the same τ (the brute-force
+    side is eval-only, same as every other recall row). One row:
+    n_exact / n_found / n_hit / recall — false positives are
+    impossible (candidates exact-verify), so n_found == n_hit and the
+    interesting number is recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cosine") >= _TJ_TAU)
+        .select("a_id", "b_id")
+    )
+    found = ann_cosine_threshold_join(spark, sf_dir).select(
+        "a_id", "b_id", F.lit(1).alias("hit")
+    )
+    n_found = found.agg(F.count("*").cast("long").alias("n_found"))
+    return (
+        exact.join(found, ["a_id", "b_id"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        )
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_exact",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+def _threshold_join_recall_sql() -> str:
+    return f"""
+WITH found AS ({_threshold_join_sql()}),
+exact AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {_TJ_TAU}
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+       (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact e JOIN found f
+          ON e.a_id = f.a_id AND e.b_id = f.b_id) AS n_hit,
+       round((SELECT count(*) FROM exact e JOIN found f
+          ON e.a_id = f.a_id AND e.b_id = f.b_id)
+         / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
+"""
+
+
 OPS = {
     "ann_cosine_topk": Op("ann_cosine_topk", ann_cosine_topk, ANN_TOPK_SQL, headline=True),
+    "ann_cosine_threshold_join": Op(
+        "ann_cosine_threshold_join",
+        ann_cosine_threshold_join,
+        _threshold_join_sql(),
+        description=(
+            "all-pairs-above-tau similarity self-join via the LSH "
+            "bucket index (no n^2 cross join); oracle replays buckets"
+        ),
+    ),
+    "ann_threshold_join_recall": Op(
+        "ann_threshold_join_recall",
+        ann_threshold_join_recall,
+        _threshold_join_recall_sql(),
+        description=(
+            "threshold-join recall vs the exact n^2 join at the same "
+            "tau (brute-force side eval-only)"
+        ),
+    ),
     "ann_lsh_cosine": Op("ann_lsh_cosine", ann_lsh_cosine, None),
     "ann_ivf_cosine": Op("ann_ivf_cosine", ann_ivf_cosine, None),
     "ann_int8_cosine": Op(

@@ -232,8 +232,16 @@ def _chunk_cell_batches(
             # so skipping would silently DROP the chunk's cells —
             # instead re-list the dir and read the CURRENT visible set
             # (the merged file carries every removed run).
+            # NOTE on isolation: the relist picks up whatever is
+            # visible NOW, including files committed after planning —
+            # a batch read under concurrent writes is read-committed
+            # per chunk, not a planning-time snapshot. Backoff between
+            # attempts lets a steady compact/delete cadence drain
+            # instead of turning a survivable race into a query error.
+            import time as _time
+
             files = list(partition.files)
-            for _ in range(3):
+            for attempt in range(8):
                 tables, ok = [], True
                 for rank, path in enumerate(files):
                     try:
@@ -247,6 +255,7 @@ def _chunk_cell_batches(
                 d = os.path.dirname(files[0])
                 if not os.path.isdir(d):
                     return  # delete_array: the chunk is legitimately gone
+                _time.sleep(min(0.05 * (2**attempt), 1.0))
                 files = sorted(
                     os.path.join(d, f)
                     for f in os.listdir(d)
@@ -390,6 +399,16 @@ class DekerDataSource(DataSource):
 
 
 class DekerReader(DataSourceReader):
+    """Batch reader over one collection's chunk store.
+
+    Isolation under concurrency: when a planned file vanishes mid-read
+    (compact merged it, or delete_array dropped the array), the task
+    re-lists the chunk dir with backoff and reads the CURRENT visible
+    set — so a batch read racing writers/compaction is READ-COMMITTED
+    per chunk partition, not a planning-time snapshot (a file committed
+    after planning can appear in the result). Quiescent stores read
+    exactly the planned snapshot."""
+
     def __init__(
         self,
         root: str,
@@ -715,7 +734,12 @@ class DekerWriter(DataSourceArrowWriter):
             seqs = []
             for _ in runs:
                 if run_counter == 1 << _SEQ_COUNTER_BITS:
-                    seq_base += 1 << _SEQ_COUNTER_BITS
+                    # reserve the next range through the process-global
+                    # counter (never a local bump: a local seq_base +=
+                    # range is invisible to _SEQ_LAST, so a later
+                    # next_write_seq() in this process could hand out a
+                    # stamp at or below it, inverting last-write-wins)
+                    seq_base = next_write_seq()
                     run_counter = 0
                 seqs.append(seq_base + run_counter)
                 run_counter += 1

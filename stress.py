@@ -247,10 +247,93 @@ def run_skew_join(spark, base: str, k: int, skew_frac: float = 0.1) -> dict:
     return report
 
 
+def run_dedup_read(spark, k: int) -> dict:
+    """10x ratio for the deker ``dedup_cells`` read path (SURVEY §7
+    r9): bulk-write a dense grid D times (duplication 2 and 4), read
+    it back through ``.option("dedup_cells", "true")`` at base cells
+    and k·base cells, and report seconds + ratios. The dedup reader
+    resolves cells per chunk partition (numpy last-write-wins over the
+    chunk's runs), so time should grow ~linearly in cells × dup — a
+    super-linear ratio means per-chunk resolution has a cliff."""
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.core import (
+        ArraySchema,
+        DimensionSchema,
+        Warehouse,
+    )
+    from deker_server_adapters_spark.sources.deker_datasource import register
+
+    register(spark)
+    base_days, hours = 400, 250  # 100k cells at 1x
+    out: dict = {"k": k, "cases": {}}
+    for scale in (1, k):
+        days = base_days * scale
+        for dup in (2, 4):
+            root = tempfile.mkdtemp(prefix=f"deker_ddr_{scale}_{dup}_")
+            wh = Warehouse(spark, root)
+            wh.collections.create(
+                "g",
+                ArraySchema(
+                    dtype="float64",
+                    dimensions=(
+                        DimensionSchema("day", days),
+                        DimensionSchema("hour", hours),
+                    ),
+                ),
+            )
+            dense = (
+                spark.range(days)
+                .select(F.col("id").alias("day"))
+                .crossJoin(spark.range(hours).select(F.col("id").alias("hour")))
+                .select(
+                    F.lit("a").alias("array_id"),
+                    "day",
+                    "hour",
+                    (F.col("day") * 0.5 + F.col("hour")).alias("value"),
+                )
+            )
+            for p in range(dup):
+                (
+                    dense.withColumn("value", F.col("value") + p)
+                    .write.format("deker")
+                    .option("path", root)
+                    .option("collection", "g")
+                    .mode("append")
+                    .save()
+                )
+            reader = (
+                spark.read.format("deker")
+                .option("path", root)
+                .option("collection", "g")
+                .option("dedup_cells", "true")
+            )
+            reader.load().count()  # warmup: JIT + Python worker spin-up
+            secs = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                n = reader.load().count()
+                secs.append(time.monotonic() - t0)
+                assert n == days * hours, (n, days * hours)  # dedup held
+            sec = round(min(secs), 3)
+            out["cases"][f"cells{scale}x_dup{dup}"] = sec
+    for dup in (2, 4):
+        out[f"ratio_dup{dup}"] = round(
+            out["cases"][f"cells{k}x_dup{dup}"]
+            / max(out["cases"][f"cells1x_dup{dup}"], 1e-3),
+            1,
+        )
+    out["ratio_dup2_to_dup4_at_1x"] = round(
+        out["cases"]["cells1x_dup4"] / max(out["cases"]["cells1x_dup2"], 1e-3), 1
+    )
+    return out
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in sys.argv[1:]
     skew_join = "--skew-join" in sys.argv[1:]
+    dedup_read = "--dedup-read" in sys.argv[1:]
     skew_frac = 0.1
     for a in sys.argv[1:]:
         if a.startswith("--skew-frac="):
@@ -266,6 +349,10 @@ def main() -> None:
 
     if skew_join:
         sys.stdout.write(json.dumps(run_skew_join(spark, base, k, skew_frac)) + "\n")
+        return
+
+    if dedup_read:
+        sys.stdout.write(json.dumps(run_dedup_read(spark, k)) + "\n")
         return
 
     out_dir = tempfile.mkdtemp(prefix="deker_stress_")

@@ -1007,6 +1007,7 @@ def test_writer_property_overlapping_writes_last_wins(spark, tmp_path):
         wh.collections.create("w", SCHEMA)
         register(spark)
         want = np.zeros((20, 12))
+        written: set[tuple[int, int]] = set()
         all_cells = [(i, j) for i in range(20) for j in range(12)]
         for write_i in range(rng.randint(2, 5)):
             rng.shuffle(all_cells)
@@ -1025,9 +1026,234 @@ def test_writer_property_overlapping_writes_last_wins(spark, tmp_path):
             )
             for (i, j), v in zip(chosen, vals):
                 want[i, j] = v
+                written.add((i, j))
         arr = wh.collections.read("w").arrays.get_by_id("p1")
         got = arr.read_data((slice(None), slice(None)))
         np.testing.assert_allclose(got, want, err_msg=f"case {case} pre-compact")
+
+        def check_dedup_view(tag: str) -> None:
+            # engine-side LWW long view must agree with read_data on
+            # every written cell and emit each exactly once
+            rows = arr.cell_df(dedup=True).collect()
+            assert len(rows) == len(written), (tag, len(rows), len(written))
+            for r in rows:
+                np.testing.assert_allclose(
+                    r["value"], want[r["x"], r["y"]], err_msg=f"{tag} {r}"
+                )
+
+        check_dedup_view(f"case {case} pre-compact")
         ChunkStore(spark, os.path.join(root, "collections", "w")).compact()
         got2 = arr.read_data((slice(None), slice(None)))
         np.testing.assert_allclose(got2, want, err_msg=f"case {case} post-compact")
+        check_dedup_view(f"case {case} post-compact")
+
+
+def test_maintenance_stats_pre_and_post_compact(spark, tmp_path):
+    """ChunkStore.maintenance_stats() must report the task-layout facts
+    the oracled deker_compact_stats op deliberately omits: multi-file
+    dirs and nonzero bytes before compact, exactly one file per dir and
+    zero temps after (SURVEY §7 r9 maintenance-op entry)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+
+    root = str(tmp_path / "whmx")
+    wh = Warehouse(spark, root)
+    coll = wh.collections.create("w", SCHEMA)
+    rng = np.random.default_rng(11)
+    a = coll.arrays.create(data=rng.normal(size=(20, 12)))
+    # second write pass into the same chunks -> every dir gets >=2 files
+    a.update(
+        (slice(0, 20), slice(0, 12)), rng.normal(size=(20, 12))
+    ) if hasattr(a, "update") else None
+    register(spark)
+    patch_rows = [(a.id, x, 0, float(x)) for x in range(20)]
+    (
+        spark.createDataFrame(
+            patch_rows, "array_id string, x long, y long, value double"
+        )
+        .coalesce(1)
+        .write.format("deker")
+        .option("path", root)
+        .option("collection", "w")
+        .option("create_arrays", "false")
+        .mode("append")
+        .save()
+    )
+    store = ChunkStore(spark, os.path.join(root, "collections", "w"))
+    pre = store.maintenance_stats()
+    pre_rows = {r["chunk_idx"]: r for r in pre.collect()}
+    assert pre_rows, "no chunk dirs found"
+    assert all(r["bytes"] > 0 for r in pre_rows.values())
+    assert any(r["n_files"] >= 2 for r in pre_rows.values())
+    compacted = store.compact()
+    assert compacted >= 1
+    post = store.maintenance_stats()
+    assert post.filter(F.col("n_files") != 1).count() == 0
+    assert post.filter(F.col("n_temp") != 0).count() == 0
+    assert post.count() == len(pre_rows)
+
+
+def test_compact_publishes_atomically_and_gcs_stale_tmp(spark, tmp_path):
+    """ADVICE r8 (medium): compact's merged output must appear via a
+    dot-prefixed temp + os.replace — never as a partially-written file
+    under its final visible name — and a crashed compact's leftover
+    temp is GC'd by the next compact of that dir."""
+    import glob as _glob
+    import os
+
+    from deker_server_adapters_spark.core.storage import ChunkStore, _merge_chunk_dir
+
+    root = str(tmp_path / "whatomic")
+    wh = Warehouse(spark, root)
+    coll = wh.collections.create("w", SCHEMA)
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 12))
+    a = coll.arrays.create(data=base)
+    register(spark)
+    (
+        spark.createDataFrame(
+            [(a.id, 1, j, float(j)) for j in range(12)],
+            "array_id string, x long, y long, value double",
+        )
+        .coalesce(1)
+        .write.format("deker")
+        .option("path", root)
+        .option("collection", "w")
+        .option("create_arrays", "false")
+        .mode("append")
+        .save()
+    )
+    chunks = os.path.join(root, "collections", "w", "chunks")
+    d = next(
+        d
+        for d in _glob.glob(os.path.join(chunks, "array_id=*", "chunk_idx=*"))
+        if len([f for f in os.listdir(d) if f.endswith(".parquet") and not f.startswith(".")]) >= 2
+    )
+    # plant a stale crashed-compact temp; a real crash leaves exactly this
+    stale = os.path.join(d, ".part-compact-deadbeef.parquet.tmp")
+    with open(stale, "wb") as f:
+        f.write(b"garbage")
+    assert _merge_chunk_dir(d) == 1
+    names = os.listdir(d)
+    assert not any(n.endswith(".tmp") for n in names), names  # temp GC'd + none left
+    vis = [n for n in names if n.endswith(".parquet") and not n.startswith(".")]
+    assert len(vis) == 1 and vis[0].startswith("part-compact-")
+    # the published file is complete and readable
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(d, vis[0]))
+    assert len(t) >= 1 and "seq" in t.schema.names
+
+
+def test_cow_rewrite_preserves_legacy_run_precedence(spark, tmp_path):
+    """ADVICE r8: a COW update must stamp seq-less legacy rows with
+    their sorted-file-name rank (the _merge_chunk_dir convention)
+    instead of a flat -1 — otherwise overlapping pre-seq runs OUTSIDE
+    the patched slice read back with scan-dependent precedence after
+    the rewrite moves them into new files."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "whlegacy")
+    wh = Warehouse(spark, root)
+    coll = wh.collections.create("w", SCHEMA)
+    a = coll.arrays.create(data=np.zeros((20, 12)))
+    chunks = os.path.join(root, "collections", "w", "chunks")
+    dirs = _glob.glob(os.path.join(chunks, "array_id=*", "chunk_idx=*"))
+    # find the chunk dir covering row 0 (chunk grids split dim 0)
+    d = sorted(dirs)[0]
+    # make the store PRE-SEQ: strip the seq column from the engine file
+    # (and its Hadoop .crc companion, which would no longer match)
+    for f in os.listdir(d):
+        p = os.path.join(d, f)
+        if f.endswith(".parquet") and not f.startswith("."):
+            t = pq.read_table(p)
+            if "seq" in t.schema.names:
+                pq.write_table(t.drop_columns(["seq"]), p)
+        elif f.startswith(".") and f.endswith(".crc"):
+            os.remove(p)
+
+    def legacy_file(name: str, value: float):
+        # a pre-seq run covering cells (0, 0..11) — NO seq column
+        t = pa.table(
+            {
+                "origin": pa.array([[0, 0]], pa.list_(pa.int64())),
+                "shape": pa.array([[1, 12]], pa.list_(pa.int64())),
+                "data": pa.array([[value] * 12], pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(t, os.path.join(d, name))
+
+    # sorted-file-name order: aaa < bbb -> bbb must win reads
+    legacy_file("part-aaa-legacy.parquet", 100.0)
+    legacy_file("part-bbb-legacy.parquet", 200.0)
+    before = a.read_data((0, slice(0, 12)))
+    np.testing.assert_allclose(before, [200.0] * 12)
+    # COW-update a DISJOINT region of the same chunk (row 1)
+    a.update((1, slice(0, 12)), np.full(12, 7.0))
+    after = a.read_data((0, slice(0, 12)))
+    np.testing.assert_allclose(after, [200.0] * 12)
+    np.testing.assert_allclose(a.read_data((1, slice(0, 12))), [7.0] * 12)
+
+
+def test_seq_overflow_reserves_global_range(spark, tmp_path, monkeypatch):
+    """ADVICE r8: when a task's within-task run counter overflows its
+    seq range, the writer must reserve the next range through the
+    process-global counter — a later next_write_seq() in the same
+    process must stamp NEWER than every run the overflowing task
+    wrote, or last-write-wins inverts. Counter bits shrink to 2 and
+    the clock freezes so the overflow path runs deterministically."""
+    import glob as _glob
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from deker_server_adapters_spark.core import storage
+    from deker_server_adapters_spark.sources import deker_datasource as dds
+
+    root = str(tmp_path / "whovf")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    monkeypatch.setattr(storage, "_SEQ_COUNTER_BITS", 2)
+    monkeypatch.setattr(dds, "_SEQ_COUNTER_BITS", 2)
+    # frozen clock: every next_write_seq() takes the monotonic branch
+    monkeypatch.setattr(time, "time_ns", lambda: 0)
+    struct = StructType(
+        [
+            StructField("array_id", StringType()),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    writer = dds.DekerWriter(root, "w", struct, create_arrays=True)
+    # 24 single-cell runs (gapped y) -> five 2-bit counter overflows
+    cells = [(x, y) for x in range(4) for y in range(0, 12, 2)]
+    batch = pa.record_batch(
+        {
+            "array_id": pa.array(["a1"] * len(cells)),
+            "x": pa.array([c[0] for c in cells], pa.int64()),
+            "y": pa.array([c[1] for c in cells], pa.int64()),
+            "value": pa.array([float(i) for i in range(len(cells))]),
+        }
+    )
+    commit = writer.write(iter([batch]))
+    max_seq = max(
+        pq.read_table(f)["seq"].to_pylist()[-1] for f in commit.files
+    )
+    assert storage.next_write_seq() > max_seq

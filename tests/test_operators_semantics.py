@@ -1090,3 +1090,19 @@ def test_rfm_hist_bounds_within_one_bin_width(spark, sf_dir):
             ).first()
             bound = 2 * bin_w + (x_hi - x_lo)
             assert abs(est - exact) <= bound, (metric, q, est, exact, bound)
+
+
+def test_ann_threshold_join_recall_floor_and_no_false_positives(spark, sf_dir):
+    """The threshold join's quality contract: LSH candidates + exact
+    verify can MISS pairs (collision probability < 1) but can never
+    invent one — n_found == n_hit exactly — and recall at tau=0.35
+    stays above the 8x4-table collision floor (~0.70 predicted,
+    0.71-0.75 measured across sf0.001/0.01/0.1)."""
+    from deker_server_adapters_spark.operators.similarity import (
+        ann_threshold_join_recall,
+    )
+
+    r = ann_threshold_join_recall(spark, sf_dir).first()
+    assert r["n_found"] == r["n_hit"]  # exact verify: no false positives
+    assert r["n_exact"] > 0
+    assert r["recall"] >= 0.6, r

@@ -396,6 +396,7 @@ _INTENTIONAL_BNLJ = {
     "ann_cosine_topk",
     "ann_int8_cosine",
     # recall evals embed their brute-force baseline side
+    "ann_threshold_join_recall",
     "ann_lsh_recall",
     "ann_int8_recall",
     "ann_ivf_recall",
