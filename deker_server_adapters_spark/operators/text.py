@@ -1170,8 +1170,102 @@ FROM per CROSS JOIN tot
 """
 
 
+# --- character-level Shannon entropy (r9) -----------------------------
+
+_LN2 = 0.6931471805599453
+
+
+def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char), rolled
+    up per (source, lang) — the classic cheap junk detector for
+    training-data pipelines: binary-ish or base64 blobs score high,
+    template/repetitive boilerplate scores low, natural text sits in a
+    narrow band.
+
+    Determinism across engines: per-doc entropy computes from INTEGER
+    character counts only — H = (ln L − Σ c·ln c / L) / ln 2 — so the
+    transcendental inputs are small integers (both engines call the
+    same libm on the same args); each c·ln(c) term rounds to 1e-9 and
+    accumulates in DECIMAL (order-independent), the per-doc H rounds
+    to 1e-6, and the rollup mean decimal-accumulates the rounded H
+    (the ``user_value_decay`` convention). Scale shape: one explode
+    (linear in corpus chars), two map-side-combined groupBys — no
+    windows, no driver materialization."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    cc = chars.groupBy("doc_id", "source", "lang", "ch").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = (
+        cc.groupBy("doc_id", "source", "lang")
+        .agg(
+            F.sum("c").cast("long").alias("L"),
+            F.sum(
+                F.round(F.col("c") * F.log(F.col("c")), 9).cast("decimal(38,9)")
+            ).alias("S"),
+        )
+        .select(
+            "source",
+            "lang",
+            F.round(
+                (F.log(F.col("L")) - F.col("S").cast("double") / F.col("L"))
+                / F.lit(_LN2),
+                6,
+            ).alias("h"),
+        )
+    )
+    return per_doc.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.col("h").cast("decimal(38,6)")).cast("double") / F.count("*"),
+            4,
+        ).alias("avg_entropy_bits"),
+        F.min("h").alias("min_entropy_bits"),
+        F.max("h").alias("max_entropy_bits"),
+    )
+
+
+CHAR_ENTROPY_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, source, lang, unnest(string_split(text, '')) AS ch
+  FROM documents
+), cc AS (
+  SELECT doc_id, source, lang, ch, count(*) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, source, lang, ch
+), per_doc AS (
+  SELECT doc_id, source, lang,
+         CAST(sum(c) AS BIGINT) AS L,
+         sum(CAST(round(c * ln(c), 9) AS DECIMAL(38,9))) AS S
+  FROM cc GROUP BY doc_id, source, lang
+), h AS (
+  SELECT source, lang,
+         round((ln(L) - CAST(S AS DOUBLE) / L) / {_LN2}, 6) AS h
+  FROM per_doc
+)
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(h AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_entropy_bits,
+       min(h) AS min_entropy_bits, max(h) AS max_entropy_bits
+FROM h GROUP BY source, lang
+"""
+
+
 OPS = {
     "text_token_count": Op("text_token_count", text_token_count, TOKEN_COUNT_SQL),
+    "docs_char_entropy": Op(
+        "docs_char_entropy",
+        docs_char_entropy,
+        CHAR_ENTROPY_SQL,
+        description=(
+            "per-doc char-level Shannon entropy (bits/char) from integer "
+            "counts only, rolled up per (source, lang); junk/boilerplate "
+            "detector"
+        ),
+    ),
     "docs_source_token_mix": Op(
         "docs_source_token_mix", docs_source_token_mix, SOURCE_MIX_SQL
     ),

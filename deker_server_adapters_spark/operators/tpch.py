@@ -1691,6 +1691,242 @@ FROM (
 """
 
 
+# --- grouped bounded-state quantiles ----------------------------------
+
+_NQ_BINS = 256
+
+
+def nation_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-value median and p90 — the GROUPED form of the
+    bounded-state histogram quantile device (events'
+    ``events_value_histogram_quantiles`` proves the estimator; RFM uses
+    it globally; this is the per-group grain every BI rollup needs).
+
+    Scale shape: a grouped EXACT ``percentile`` buffers each group's
+    full value list in its final-agg task — a hot nation at 10⁹ orders
+    is an OOM, not a slowdown. Here aggregate state is ≤ groups ×
+    ``_NQ_BINS`` count rows: one bounded (nation, min/max/n) agg
+    broadcasts back, values bin map-side, the cumulative window runs
+    over ≤ 256 rows per nation partition, estimates interpolate inside
+    the hit bin (error ≤ 1 bin width of the nation's value range —
+    same contract the estimator test pins). All arithmetic is single
+    IEEE ops over exact counts, replayed bit-for-bit by the oracle."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    vals = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.col("o_totalprice").cast("double").alias("v"))
+    )
+    mm = vals.groupBy("n_name").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("*").cast("double").alias("n"),
+    )
+    binned = vals.join(broadcast(mm), "n_name").select(
+        "n_name",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_NQ_BINS - 1),
+                F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * _NQ_BINS),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("n_name", "bin").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "n_name",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("n_name").orderBy("bin")).alias("cum"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,)], "q double")
+    est = (
+        cum.crossJoin(broadcast(qs))
+        .join(broadcast(mm), "n_name")
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("n_name", "q").orderBy("bin")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            "q",
+            F.col("n").cast("long").alias("n_orders"),
+            F.round(
+                F.col("mn")
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * ((F.col("mx") - F.col("mn")) / F.lit(float(_NQ_BINS))),
+                6,
+            ).alias("est"),
+        )
+    )
+    return est.groupBy("n_name").agg(
+        F.max("n_orders").alias("n_orders"),
+        F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("median_est"),
+        F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("p90_est"),
+    )
+
+
+NATION_QUANTILES_SQL = f"""
+WITH vals AS (
+  SELECT n.n_name, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+mm AS (
+  SELECT n_name, min(v) AS mn, max(v) AS mx, CAST(count(*) AS DOUBLE) AS n
+  FROM vals GROUP BY n_name
+),
+binned AS (
+  SELECT v.n_name,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE CAST(least({_NQ_BINS - 1}, floor((v.v - m.mn) / (m.mx - m.mn) * {_NQ_BINS})) AS INT) END AS bin
+  FROM vals v JOIN mm m ON v.n_name = m.n_name
+),
+hist AS (SELECT n_name, bin, count(*) AS cnt FROM binned GROUP BY n_name, bin),
+cum AS (
+  SELECT n_name, bin, cnt,
+         sum(cnt) OVER (PARTITION BY n_name ORDER BY bin) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([0.5, 0.9]) AS q),
+est AS (
+  SELECT n_name, q, CAST(n AS BIGINT) AS n_orders,
+         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_NQ_BINS)}), 6) AS est
+  FROM (
+    SELECT c.n_name, s.q, c.bin, c.cnt, c.cum, m.n, m.mn, m.mx,
+           row_number() OVER (PARTITION BY c.n_name, s.q ORDER BY c.bin) AS rn
+    FROM cum c CROSS JOIN qs s JOIN mm m ON c.n_name = m.n_name
+    WHERE c.cum >= s.q * m.n
+  ) t WHERE rn = 1
+)
+SELECT n_name, max(n_orders) AS n_orders,
+       max(CASE WHEN q = 0.5 THEN est END) AS median_est,
+       max(CASE WHEN q = 0.9 THEN est END) AS p90_est
+FROM est GROUP BY n_name
+"""
+
+
+# --- graph analytics: triangle counting -------------------------------
+
+_TRI_TOPK = 20
+
+
+def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the (undirected) part co-purchase graph —
+    top-``_TRI_TOPK`` parts by the number of triangles they close, the
+    classic local-clustering signal (a part whose co-purchase partners
+    are also co-purchased with each other).
+
+    Scale shape — DEGREE-ORDERED orientation, the standard distributed
+    triangle algorithm: every undirected edge orients from its lower
+    (degree, id) endpoint, so each triangle {a,b,c} materializes as
+    exactly ONE wedge join match (a→b, a→c closed by b→c) and — the
+    part that matters at 10⁹ edges — wedge fan-out is bounded by
+    out-degree under the orientation, O(√E) even for celebrity nodes,
+    instead of the hub's full degree squared. The per-order pair
+    fan-out is bounded by order size (TPC-H ≤ 7 items). The (deg, id)
+    order packs into one long key (deg << 32 | id — fine while ids fit
+    32 bits; at bigger ids widen to a struct compare), identical
+    arithmetic in the DuckDB oracle. Top-K via orderBy().limit()
+    (TakeOrderedAndProject), never a global window sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    key = (F.col("deg") * F.lit(1 << 32).cast("long") + F.col("n")).alias("k")
+    dk = deg.select("n", key)
+    ek = (
+        edges.join(dk.select(F.col("n").alias("u"), F.col("k").alias("ku")), "u")
+        .join(dk.select(F.col("n").alias("v"), F.col("k").alias("kv")), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.least("ku", "kv").alias("ks"),
+            F.greatest("ku", "kv").alias("kd"),
+        )
+    )
+    x, y, z = ek.alias("x"), ek.alias("y"), ek.alias("z")
+    tri = (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.kd") < F.col("y.kd")))
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("na"),
+            F.col("x.dst").alias("nb"),
+            F.col("y.dst").alias("nc"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("na", "nb", "nc")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    topk = per_node.orderBy(F.desc("n_triangles"), "part_id").limit(_TRI_TOPK)
+    w = Window.orderBy(F.desc("n_triangles"), "part_id")
+    return topk.select(
+        "part_id", "n_triangles", F.row_number().over(w).cast("int").alias("rnk")
+    )
+
+
+TRIANGLES_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
+  GROUP BY n
+), dk AS (SELECT n, deg * {1 << 32} + n AS k FROM deg),
+ek AS (
+  SELECT CASE WHEN du.k < dv.k THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.k < dv.k THEN e.v ELSE e.u END AS dst,
+         least(du.k, dv.k) AS ks, greatest(du.k, dv.k) AS kd
+  FROM edges e JOIN dk du ON du.n = e.u JOIN dk dv ON dv.n = e.v
+), tri AS (
+  SELECT x.src AS na, x.dst AS nb, y.dst AS nc
+  FROM ek x JOIN ek y ON x.src = y.src AND x.kd < y.kd
+  JOIN ek z ON z.src = x.dst AND z.dst = y.dst
+), per_node AS (
+  SELECT part_id, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT na AS part_id FROM tri UNION ALL SELECT nb FROM tri UNION ALL SELECT nc FROM tri) t
+  GROUP BY part_id
+)
+SELECT part_id, n_triangles, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT part_id, n_triangles,
+         row_number() OVER (ORDER BY n_triangles DESC, part_id) AS rnk
+  FROM per_node
+) t WHERE rnk <= {_TRI_TOPK}
+"""
+
+
 OPS = {
     "customer_rfm_segments": Op(
         "customer_rfm_segments",
@@ -1700,6 +1936,26 @@ OPS = {
             "RFM quintile segmentation via broadcast quantile "
             "boundaries — never a global ntile sort; segment-level "
             "rollup with decimal-exact means"
+        ),
+    ),
+    "nation_order_value_quantiles": Op(
+        "nation_order_value_quantiles",
+        nation_order_value_quantiles,
+        NATION_QUANTILES_SQL,
+        description=(
+            "per-nation median/p90 order value via the grouped 256-bin "
+            "histogram device — bounded state per group, never a "
+            "grouped exact percentile buffer"
+        ),
+    ),
+    "parts_copurchase_triangles": Op(
+        "parts_copurchase_triangles",
+        parts_copurchase_triangles,
+        TRIANGLES_SQL,
+        description=(
+            "degree-ordered triangle counting on the part co-purchase "
+            "graph (each triangle matched once, wedge fan-out O(sqrt E)); "
+            f"top-{_TRI_TOPK} parts by closed triangles"
         ),
     ),
     "parts_copurchase_pagerank": Op(

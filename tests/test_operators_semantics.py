@@ -1106,3 +1106,102 @@ def test_ann_threshold_join_recall_floor_and_no_false_positives(spark, sf_dir):
     assert r["n_found"] == r["n_hit"]  # exact verify: no false positives
     assert r["n_exact"] > 0
     assert r["recall"] >= 0.6, r
+
+
+def test_triangle_counting_on_planted_cliques(spark):
+    """Planted ground truth for the degree-ordered triangle count: one
+    4-clique order (4 triangles, every member closes 3), one triangle
+    order sharing a node with it, and one plain edge. The orientation
+    must count each triangle exactly once regardless of how many
+    wedge matches the shared hub could produce."""
+    import os
+    import tempfile
+
+    from deker_server_adapters_spark.operators.tpch import (
+        parts_copurchase_triangles,
+    )
+
+    # orders: o1 = {1,2,3,4} (K4), o2 = {4,5,6} (triangle sharing part
+    # 4), o3 = {7,8} (edge, no triangle)
+    rows = [(1, p) for p in (1, 2, 3, 4)] + [(2, p) for p in (4, 5, 6)] + [
+        (3, p) for p in (7, 8)
+    ]
+    d = tempfile.mkdtemp(prefix="tri_")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    got = {r.part_id: r.n_triangles for r in parts_copurchase_triangles(spark, d).collect()}
+    # K4: 4 triangles; part 4 additionally closes {4,5,6} -> 3 + 1
+    assert got == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1, 6: 1}
+
+
+def test_nation_quantiles_within_bin_width_of_exact(spark, sf_dir):
+    """Grouped histogram quantiles must land within 2 bin widths of the
+    exact per-group percentile plus the bracketing order-stat gap —
+    the same estimator contract as the global device, checked at the
+    grouped grain."""
+    from deker_server_adapters_spark.operators.tpch import (
+        _NQ_BINS,
+        nation_order_value_quantiles,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    vals = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.col("o_totalprice").cast("double").alias("v"))
+    )
+    got = {r.n_name: r for r in nation_order_value_quantiles(spark, sf_dir).collect()}
+    assert got
+    exact = {
+        r.n_name: r
+        for r in vals.groupBy("n_name")
+        .agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    for name, r in got.items():
+        e = exact[name]
+        bin_w = (e.mx - e.mn) / _NQ_BINS
+        n = e.n
+        for q, est, ex in ((0.5, r.median_est, e.p50), (0.9, r.p90_est, e.p90)):
+            k = int((n - 1) * q)
+            lo_q, hi_q = k / (n - 1), min(1.0, (k + 1) / (n - 1))
+            x_lo, x_hi = vals.filter(F.col("n_name") == name).agg(
+                F.expr(f"percentile(v, {lo_q})"),
+                F.expr(f"percentile(v, {hi_q})"),
+            ).first()
+            assert abs(est - ex) <= 2 * bin_w + (x_hi - x_lo), (name, q, est, ex)
+
+
+def test_char_entropy_known_values(spark):
+    """Planted ground truth: 'aaaa' has 0 bits/char, 'abab' exactly 1,
+    'abcd' exactly 2 — and the rollup averages them per (source, lang)."""
+    import os
+    import tempfile
+
+    from deker_server_adapters_spark.operators.text import docs_char_entropy
+
+    rows = [
+        (1, "aaaa", "en", "s0", 4),
+        (2, "abab", "en", "s0", 4),
+        (3, "abcd", "en", "s1", 4),
+    ]
+    d = tempfile.mkdtemp(prefix="ent_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.source: r for r in docs_char_entropy(spark, d).collect()}
+    assert got["s0"].n_docs == 2
+    assert got["s0"].min_entropy_bits == 0.0
+    assert got["s0"].max_entropy_bits == 1.0
+    assert got["s0"].avg_entropy_bits == 0.5
+    assert got["s1"].avg_entropy_bits == 2.0
