@@ -1298,8 +1298,128 @@ FROM est CROSS JOIN ex
 """
 
 
+# --- session duration distribution (r9) -------------------------------
+
+_SDQ_QS = (0.5, 0.9, 0.99)
+
+
+def events_session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session DURATION distribution — p50/p90/p99 of gap-based session
+    lengths, the product-analytics staple next to the session table
+    itself. A composition of two already-proven devices: the
+    ``events_sessionization`` window pipeline feeds the 256-bin
+    histogram quantile estimator, so the whole thing stays
+    bounded-state (the alternative — exact percentile over all session
+    durations — buffers every session in one task). Durations are
+    exact integer micros (no float time math); estimates interpolate
+    inside the hit bin and convert to seconds at the end. The heavy
+    zero-duration mass (single-event sessions) just occupies bin 0 —
+    reported separately as ``n_single_event`` so the quantiles read
+    correctly."""
+    sess = events_sessionization(spark, sf_dir)
+    dur = sess.select(
+        (F.unix_micros("session_end") - F.unix_micros("session_start"))
+        .cast("double")
+        .alias("v")
+    )
+    mm = dur.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    )
+    binned = dur.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _HIST_BINS
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
+    )
+    qs = spark.createDataFrame([(q,) for q in _SDQ_QS], "q double")
+    target = F.col("q") * F.col("n")
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(mm))
+        .filter(F.col("cum") >= target)
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "q",
+            F.col("n").cast("long").alias("n_sessions"),
+            F.col("n0").alias("n_single_event"),
+            F.round(
+                (
+                    F.col("mn")
+                    + (
+                        F.col("bin")
+                        + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                    )
+                    * width
+                )
+                / 1e6,
+                6,
+            ).alias("est_duration_sec"),
+        )
+    )
+
+
+SESSION_DURATION_SQL = f"""
+WITH sessions AS ({SESSION_SQL}),
+dur AS (
+  SELECT CAST(epoch_us(session_end) - epoch_us(session_start) AS DOUBLE) AS v
+  FROM sessions
+),
+mm AS (
+  SELECT min(v) AS mn, max(v) AS mx, count(*) AS n,
+         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM dur
+),
+binned AS (
+  SELECT CASE WHEN m.mx = m.mn THEN 0
+              ELSE CAST(least({_HIST_BINS - 1}, floor((d.v - m.mn) / (m.mx - m.mn) * {_HIST_BINS})) AS INT) END AS bin
+  FROM dur d CROSS JOIN mm m
+),
+hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _SDQ_QS)}]) AS q)
+SELECT q, CAST(n AS BIGINT) AS n_sessions, n0 AS n_single_event,
+       round((mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_HIST_BINS)})) / 1e6, 6) AS est_duration_sec
+FROM (
+  SELECT s.q, c.bin, c.cnt, c.cum, m.n, m.n0, m.mn, m.mx,
+         row_number() OVER (PARTITION BY s.q ORDER BY c.bin) AS rn
+  FROM cum c CROSS JOIN qs s CROSS JOIN mm m
+  WHERE c.cum >= s.q * m.n
+) t WHERE rn = 1
+"""
+
+
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_session_duration_quantiles": Op(
+        "events_session_duration_quantiles",
+        events_session_duration_quantiles,
+        SESSION_DURATION_SQL,
+        description=(
+            "p50/p90/p99 gap-session durations: sessionization window "
+            "pipeline composed with the bounded 256-bin histogram "
+            "quantile estimator"
+        ),
+    ),
     "events_dau_mau_stickiness": Op(
         "events_dau_mau_stickiness", events_dau_mau_stickiness, DAU_MAU_SQL
     ),

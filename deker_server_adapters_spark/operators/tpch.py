@@ -1822,6 +1822,59 @@ FROM est GROUP BY n_name
 _TRI_TOPK = 20
 
 
+def _copurchase_graph(spark: SparkSession, sf_dir: str):
+    """(edges, deg) of the undirected part co-purchase graph: distinct
+    u<v pairs appearing in the same order, and each node's degree."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return edges, deg
+
+
+def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """One row (na, nb, nc) per triangle, each matched exactly once via
+    the degree-ordered orientation (see parts_copurchase_triangles)."""
+    key = (F.col("deg") * F.lit(1 << 32).cast("long") + F.col("n")).alias("k")
+    dk = deg.select("n", key)
+    ek = (
+        edges.join(dk.select(F.col("n").alias("u"), F.col("k").alias("ku")), "u")
+        .join(dk.select(F.col("n").alias("v"), F.col("k").alias("kv")), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.least("ku", "kv").alias("ks"),
+            F.greatest("ku", "kv").alias("kd"),
+        )
+    )
+    x, y, z = ek.alias("x"), ek.alias("y"), ek.alias("z")
+    return (
+        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.kd") < F.col("y.kd")))
+        .join(
+            z,
+            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
+        )
+        .select(
+            F.col("x.src").alias("na"),
+            F.col("x.dst").alias("nb"),
+            F.col("y.dst").alias("nc"),
+        )
+    )
+
+
 def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the (undirected) part co-purchase graph —
     top-``_TRI_TOPK`` parts by the number of triangles they close, the
@@ -1840,48 +1893,8 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 bits; at bigger ids widen to a struct compare), identical
     arithmetic in the DuckDB oracle. Top-K via orderBy().limit()
     (TakeOrderedAndProject), never a global window sort."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
-    key = (F.col("deg") * F.lit(1 << 32).cast("long") + F.col("n")).alias("k")
-    dk = deg.select("n", key)
-    ek = (
-        edges.join(dk.select(F.col("n").alias("u"), F.col("k").alias("ku")), "u")
-        .join(dk.select(F.col("n").alias("v"), F.col("k").alias("kv")), "v")
-        .select(
-            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.least("ku", "kv").alias("ks"),
-            F.greatest("ku", "kv").alias("kd"),
-        )
-    )
-    x, y, z = ek.alias("x"), ek.alias("y"), ek.alias("z")
-    tri = (
-        x.join(y, (F.col("x.src") == F.col("y.src")) & (F.col("x.kd") < F.col("y.kd")))
-        .join(
-            z,
-            (F.col("z.src") == F.col("x.dst")) & (F.col("z.dst") == F.col("y.dst")),
-        )
-        .select(
-            F.col("x.src").alias("na"),
-            F.col("x.dst").alias("nb"),
-            F.col("y.dst").alias("nc"),
-        )
-    )
+    edges, deg = _copurchase_graph(spark, sf_dir)
+    tri = _oriented_triangles(edges, deg)
     per_node = (
         tri.select(F.explode(F.array("na", "nb", "nc")).alias("part_id"))
         .groupBy("part_id")
@@ -1927,6 +1940,107 @@ FROM (
 """
 
 
+_JAC_TOPK = 20
+
+
+def parts_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for co-purchased part pairs —
+    the "related products" scorer: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)|
+    over co-purchase neighborhoods, evaluated ONLY on pairs that are
+    themselves edges (candidates a recommender actually ranks).
+    Top-``_JAC_TOPK`` pairs by (J, common-neighbor count).
+
+    Scale shape: the common-neighbor count per edge is exactly the
+    number of triangles containing it, so it reuses the degree-ordered
+    triangle stream (each triangle contributes one count to each of
+    its three edges) — the naive per-edge wedge intersection would pay
+    hub-degree² fan-out; the oriented form is O(√E)-bounded. The union
+    size needs only the two degrees: |N(u)∪N(v)| = deg(u)+deg(v)−cn−2
+    (each endpoint's neighborhood contains the other, never itself) —
+    and cn ≥ 1 forces both degrees ≥ cn+1, so the denominator is ≥ cn,
+    never zero. Top-K via TakeOrderedAndProject."""
+    edges, deg = _copurchase_graph(spark, sf_dir)
+    tri = _oriented_triangles(edges, deg)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v")
+                ),
+                F.struct(
+                    F.least("na", "nc").alias("u"), F.greatest("na", "nc").alias("v")
+                ),
+                F.struct(
+                    F.least("nb", "nc").alias("u"), F.greatest("nb", "nc").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+    cn = tri_edges.groupBy("u", "v").agg(F.count("*").cast("long").alias("cn"))
+    scored = (
+        cn.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "cn",
+            F.round(
+                F.col("cn")
+                / (F.col("du") + F.col("dv") - F.col("cn") - F.lit(2)).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    topk = scored.orderBy(F.desc("jaccard"), F.desc("cn"), "u", "v").limit(_JAC_TOPK)
+    w = Window.orderBy(F.desc("jaccard"), F.desc("cn"), "u", "v")
+    return topk.select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        F.col("cn").alias("common_neighbors"),
+        "jaccard",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+JACCARD_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT u AS n FROM edges UNION ALL SELECT v FROM edges) t
+  GROUP BY n
+), dk AS (SELECT n, deg * {1 << 32} + n AS k FROM deg),
+ek AS (
+  SELECT CASE WHEN du.k < dv.k THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.k < dv.k THEN e.v ELSE e.u END AS dst,
+         least(du.k, dv.k) AS ks, greatest(du.k, dv.k) AS kd
+  FROM edges e JOIN dk du ON du.n = e.u JOIN dk dv ON dv.n = e.v
+), tri AS (
+  SELECT x.src AS na, x.dst AS nb, y.dst AS nc
+  FROM ek x JOIN ek y ON x.src = y.src AND x.kd < y.kd
+  JOIN ek z ON z.src = x.dst AND z.dst = y.dst
+), tri_edges AS (
+  SELECT least(na, nb) AS u, greatest(na, nb) AS v FROM tri
+  UNION ALL SELECT least(na, nc), greatest(na, nc) FROM tri
+  UNION ALL SELECT least(nb, nc), greatest(nb, nc) FROM tri
+), cn AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS cn FROM tri_edges GROUP BY u, v
+), scored AS (
+  SELECT c.u, c.v, c.cn,
+         round(c.cn / CAST(du.deg + dv.deg - c.cn - 2 AS DOUBLE), 6) AS jaccard
+  FROM cn c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+)
+SELECT u AS part_a, v AS part_b, cn AS common_neighbors, jaccard, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT u, v, cn, jaccard,
+         row_number() OVER (ORDER BY jaccard DESC, cn DESC, u, v) AS rnk
+  FROM scored
+) t WHERE rnk <= {_JAC_TOPK}
+"""
+
+
 OPS = {
     "customer_rfm_segments": Op(
         "customer_rfm_segments",
@@ -1946,6 +2060,16 @@ OPS = {
             "per-nation median/p90 order value via the grouped 256-bin "
             "histogram device — bounded state per group, never a "
             "grouped exact percentile buffer"
+        ),
+    ),
+    "parts_copurchase_jaccard": Op(
+        "parts_copurchase_jaccard",
+        parts_copurchase_jaccard,
+        JACCARD_SQL,
+        description=(
+            "neighborhood Jaccard for co-purchased part pairs (related "
+            "products): common-neighbor counts from the oriented "
+            f"triangle stream, top-{_JAC_TOPK} pairs"
         ),
     ),
     "parts_copurchase_triangles": Op(

@@ -1205,3 +1205,33 @@ def test_char_entropy_known_values(spark):
     assert got["s0"].max_entropy_bits == 1.0
     assert got["s0"].avg_entropy_bits == 0.5
     assert got["s1"].avg_entropy_bits == 2.0
+
+
+def test_jaccard_on_planted_graph(spark):
+    """Planted ground truth for the related-products scorer on
+    K4 {1,2,3,4} + side triangle {4,5,6}: K4 edges away from the hub
+    (deg 3+3, cn 2) score J = 2/(3+3-2-2) = 1.0; K4 edges touching
+    hub 4 (deg 5) score 2/(3+5-2-2) = 0.5; the side triangle's hub
+    edges score 1/(5+2-1-2) = 0.25 and its far edge (deg 2+2)
+    1/(2+2-1-2) = 1.0."""
+    import os
+    import tempfile
+
+    from deker_server_adapters_spark.operators.tpch import parts_copurchase_jaccard
+
+    rows = [(1, p) for p in (1, 2, 3, 4)] + [(2, p) for p in (4, 5, 6)]
+    d = tempfile.mkdtemp(prefix="jac_")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    got = {
+        (r.part_a, r.part_b): (r.common_neighbors, r.jaccard)
+        for r in parts_copurchase_jaccard(spark, d).collect()
+    }
+    for e in ((1, 2), (1, 3), (2, 3)):
+        assert got[e] == (2, 1.0), (e, got.get(e))
+    for e in ((1, 4), (2, 4), (3, 4)):
+        assert got[e] == (2, 0.5), (e, got.get(e))
+    assert got[(4, 5)] == (1, 0.25)
+    assert got[(4, 6)] == (1, 0.25)
+    assert got[(5, 6)] == (1, 1.0)  # deg(5)=deg(6)=2: union == {4} u {4}
