@@ -1244,7 +1244,104 @@ GROUP BY g.doc_id
 """
 
 
+# --- asymmetric containment near-dup (r9) -----------------------------
+
+_CONTAIN_TAU = 0.8
+
+
+def docs_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT near-dup: pairs where
+    C(A,B) = |S_A ∩ S_B| / min(|S_A|, |S_B|) ≥ ``_CONTAIN_TAU`` over
+    word-5-gram shingle sets — the quote/excerpt/short-in-long
+    detector symmetric Jaccard structurally misses (a 50-shingle doc
+    fully embedded in a 500-shingle doc scores J ≈ 0.1 but C = 1.0).
+    Output keeps both scores so consumers see exactly which pairs the
+    Jaccard op would have dropped.
+
+    Scale shape: identical to the Jaccard op's (the device is shared):
+    DF-ceiling pruning kills ubiquitous shingles, the shingle
+    equi-join bounds candidates, sizes broadcast back per side — no
+    all-pairs stage anywhere."""
+    sh = _shingle_table(spark, sf_dir)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _DF_CEILING)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common") / F.least("size_a", "size_b").cast("double"), 4
+            ),
+        )
+        .filter(F.col("containment") >= _CONTAIN_TAU)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .select("doc_a", "doc_b", "n_common", "containment", "jaccard")
+    )
+
+
+CONTAINMENT_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_DF_CEILING}
+), shr AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM shr GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 4) AS containment,
+       round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 4) >= {_CONTAIN_TAU}
+"""
+
+
 OPS = {
+    "docs_containment_dedup": Op(
+        "docs_containment_dedup",
+        docs_containment_dedup,
+        CONTAINMENT_SQL,
+        description=(
+            "asymmetric shingle containment >= 0.8 (short-doc-inside-"
+            "long-doc detector Jaccard misses); shares the DF-ceiling "
+            "bounded shingle join"
+        ),
+    ),
     "docs_dup_width_profile": Op(
         "docs_dup_width_profile",
         docs_dup_width_profile,

@@ -1940,6 +1940,87 @@ FROM (
 """
 
 
+def nation_shipping_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier-nation order→ship latency TREND: the OLS slope of
+    (ship − order) days against ship month — "is this nation's supply
+    chain getting slower?" — plus the exact mean latency. A regression
+    shape the registry lacked.
+
+    Determinism: both OLS inputs are INTEGERS (x = months since epoch
+    from the ship date, y = day latency), so every sum in
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) accumulates exactly in
+    LONG/DECIMAL — no float order-dependence anywhere; the single
+    final division is one IEEE op, rounded 6. Scale shape: the
+    lineitem→orders equi-join is the plan's one big shuffle (both
+    sides key-partitioned on orderkey), supplier rides the same
+    shuffle, nation broadcasts; then one map-side-combined groupBy on
+    ~25 nations; constant output."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+            .cast("long")
+            .alias("x"),
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("y"),
+        )
+    )
+    agg = base.groupBy("n_name").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxy")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("sxx")
+        - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+    )
+    return agg.select(
+        "n_name",
+        F.col("n").alias("n_items"),
+        F.round(F.col("sy") / F.col("n").cast("double"), 4).alias("avg_latency_days"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_days_per_month"
+        ),
+    )
+
+
+SHIPPING_TREND_SQL = """
+WITH base AS (
+  SELECT n.n_name,
+         CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS BIGINT) AS x,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS y
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+), agg AS (
+  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM base GROUP BY n_name
+)
+SELECT n_name, n AS n_items,
+       round(sy / CAST(n AS DOUBLE), 4) AS avg_latency_days,
+       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+             / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS slope_days_per_month
+FROM agg
+"""
+
+
 _JAC_TOPK = 20
 
 
@@ -2060,6 +2141,16 @@ OPS = {
             "per-nation median/p90 order value via the grouped 256-bin "
             "histogram device — bounded state per group, never a "
             "grouped exact percentile buffer"
+        ),
+    ),
+    "nation_shipping_trend": Op(
+        "nation_shipping_trend",
+        nation_shipping_trend,
+        SHIPPING_TREND_SQL,
+        description=(
+            "per-nation delivery-delay OLS slope vs ship month — "
+            "integer-sum regression, exact accumulation, one final "
+            "IEEE division"
         ),
     ),
     "parts_copurchase_jaccard": Op(

@@ -1235,3 +1235,36 @@ def test_jaccard_on_planted_graph(spark):
     assert got[(4, 5)] == (1, 0.25)
     assert got[(4, 6)] == (1, 0.25)
     assert got[(5, 6)] == (1, 1.0)  # deg(5)=deg(6)=2: union == {4} u {4}
+
+
+def test_containment_catches_short_in_long_that_jaccard_misses(spark):
+    """A short doc fully embedded in a much longer one must clear the
+    containment gate (C = 1.0) while its symmetric Jaccard stays far
+    below the Jaccard op's 0.5 threshold — the exact pair class this
+    op exists for. An unrelated doc must not pair at all."""
+    import os
+    import tempfile
+
+    from deker_server_adapters_spark.operators.dedup import (
+        docs_containment_dedup,
+    )
+
+    words = [f"tok{i}" for i in range(200)]
+    long_doc = " ".join(words)
+    short_doc = " ".join(words[40:60])  # 20 words embedded verbatim
+    other = " ".join(f"zzz{i}" for i in range(50))
+    rows = [
+        (1, long_doc, "en", "s0", len(long_doc)),
+        (2, short_doc, "en", "s0", len(short_doc)),
+        (3, other, "en", "s0", len(other)),
+    ]
+    d = tempfile.mkdtemp(prefix="cont_")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {(r.doc_a, r.doc_b): r for r in docs_containment_dedup(spark, d).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r.containment == 1.0
+    assert r.jaccard < 0.5  # the Jaccard op would have dropped it
+    assert not any(3 in pair for pair in got)
