@@ -413,6 +413,8 @@ _INTENTIONAL_BNLJ = {
     "events_hll_distinct",
     "parts_copurchase_pagerank",
     "events_value_histogram_quantiles",
+    "events_session_duration_quantiles",
+    "nation_order_value_quantiles",
     "customer_rfm_segments",
     "q11_important_parts",
     "q15_top_supplier",
