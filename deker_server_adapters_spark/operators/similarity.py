@@ -1196,29 +1196,87 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TJ_TAU = 0.35  # on this corpus: ~p99.9 of the pair-cosine distribution
 
 
+# adaptive bucket resolution: bits per table grow with corpus size so
+# expected occupancy stays ≤ _TJ_TARGET_BUCKET (integer CASE ladder —
+# no float log, identical in both engines). Measured motivation
+# (PERF.md): at FIXED 4-bit tables the 10x corpus cost 45x (pair work
+# is occupancy², i.e. n²/2^b); with the ladder occupancy — and with it
+# per-bucket pair fan-out per vector — is ~constant, restoring ~linear
+# growth. The price is per-table collision probability p^b, i.e.
+# recall decays as resolution rises — the standard LSH trade; buy it
+# back with more tables. Recall at the current corpus is pinned; at
+# any scale it's measured by ann_threshold_join_recall.
+_TJ_TABLES = _N_TABLES
+_TJ_MIN_BITS = _BITS_PER_TABLE  # ladder floor = the top-k config
+# cap covers ~2M vectors at ≤512 occupancy; for a larger corpus raise
+# the cap (a constants change — signature cost is MAX_BITS dots/table,
+# map-only) rather than letting occupancy grow past the target again
+_TJ_MAX_BITS = 12
+_TJ_TARGET_BUCKET = 8192 // 16  # n/2^b ≤ 512 at every ladder step
+
+
+def _tj_bits_ladder_sql(n_expr: str) -> str:
+    """CASE ladder: smallest b in [_TJ_MIN_BITS, _TJ_MAX_BITS] with
+    n/2^b ≤ _TJ_TARGET_BUCKET — pure integer comparisons."""
+    branches = []
+    for b in range(_TJ_MIN_BITS, _TJ_MAX_BITS):
+        branches.append(
+            f"WHEN {n_expr} <= {_TJ_TARGET_BUCKET * (1 << b)} THEN {b}"
+        )
+    return f"CASE {' '.join(branches)} ELSE {_TJ_MAX_BITS} END"
+
+
+def _tj_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
+    """(vec_id, embedding, tbl, bucket) under the ADAPTIVE bit count:
+    every vector computes all _TJ_MAX_BITS sign bits per table, and the
+    bucket keeps the first ``nbits`` of them (nbits from the corpus-
+    size ladder, broadcast in as a 1-row table)."""
+    planes = _hyperplanes(_TJ_TABLES * _TJ_MAX_BITS, _DIM)
+    buckets = []
+    for t in range(_TJ_TABLES):
+        sig = F.lit(0).cast("long")
+        for i in range(_TJ_MAX_BITS):
+            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
+            sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        buckets.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return (
+        emb.crossJoin(F.broadcast(nrow))
+        .withColumn("tb", F.explode(F.array(*buckets)))
+        .select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
 def ann_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity SELF-JOIN: every embedding pair with cosine ≥
     ``_TJ_TAU`` — the family member next to top-k that dedup and
     recommendation pipelines actually ask for ("all pairs above τ",
-    not "k best per probe"). Candidates come from the SAME multi-table
-    LSH index as ``ann_lsh_cosine`` (pairs sharing ≥ 1 (table, bucket)
-    cell), then exact cosine verifies inside the candidate set — the
-    n² cross join never appears in the plan. Approximate by design:
-    recall vs the exact join is the LSH collision guarantee, measured
-    by ``ann_threshold_join_recall``.
+    not "k best per probe"). Candidates are pairs sharing ≥ 1
+    (table, bucket) LSH cell, then exact cosine verifies inside the
+    candidate set — the n² cross join never appears in the plan.
+    Approximate by design: recall is the LSH collision guarantee,
+    measured by ``ann_threshold_join_recall``.
 
     Scale shape: the bucket equi-join shuffles both sides on the
-    narrow (tbl, bucket) key; per-bucket pair fan-out is (n/2^b)²·L —
-    at 10⁹ vectors you raise ``_BITS_PER_TABLE`` so bucket occupancy
-    stays ~constant (b ≈ log₂(n/target_bucket)), which is a constants
-    change, not a plan change. Deterministic end to end (md5
-    hyperplanes, 6-dp cosine), so the DuckDB oracle replays the exact
-    bucket structure and the driver hash-checks every surviving pair."""
-    emb = lsh_signatures(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(
+    narrow (tbl, bucket) key, and — the part the first cut got wrong
+    and the 10× stress caught at 45× — the bucket BIT COUNT adapts to
+    the corpus via an integer ladder (occupancy ≤
+    ``_TJ_TARGET_BUCKET``), so per-bucket pair fan-out per vector
+    stays ~constant as n grows instead of n/2^b-squared. Deterministic
+    end to end (md5 hyperplanes, integer ladder, 6-dp cosine), so the
+    DuckDB oracle replays the exact adaptive bucket structure and the
+    driver hash-checks every surviving pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrow = emb.agg(
+        F.expr(f"{_tj_bits_ladder_sql('count(*)')}").cast("int").alias("nbits")
+    )
+    sigs = _tj_signatures(emb, nrow)
+    a = sigs.select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "tbl", "bucket"
     )
-    b = emb.select(
+    b = sigs.select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "tbl", "bucket"
     )
     pairs = (
@@ -1236,10 +1294,34 @@ def ann_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_tj_buckets() -> str:
+    """(vec_id, tbl, bucket) in DuckDB mirroring ``_tj_signatures``:
+    same md5 planes, same left-to-right double accumulation, same sign
+    rule, same integer bits ladder (nbits from a scalar subquery)."""
+    planes = _hyperplanes(_TJ_TABLES * _TJ_MAX_BITS, _DIM)
+    ladder = _tj_bits_ladder_sql("(SELECT count(*) FROM embeddings)")
+    selects = []
+    for t in range(_TJ_TABLES):
+        bits = []
+        for i in range(_TJ_MAX_BITS):
+            p = planes[t * _TJ_MAX_BITS + i]
+            dot_sql = " + ".join(
+                f"embedding[{k + 1}]::DOUBLE * {w}" for k, w in enumerate(p)
+            )
+            bits.append(
+                f"(CASE WHEN {i} < nb.nbits AND ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({' + '.join(bits)} AS BIGINT) AS bucket\n"
+            f"FROM embeddings CROSS JOIN (SELECT ({ladder}) AS nbits) nb"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def _threshold_join_sql() -> str:
     return f"""
 WITH b AS (
-{_duck_lsh_buckets()}
+{_duck_tj_buckets()}
 ), cand AS (
   SELECT DISTINCT pa.vec_id AS a_id, pb.vec_id AS b_id
   FROM b pa JOIN b pb ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket

@@ -1268,3 +1268,26 @@ def test_containment_catches_short_in_long_that_jaccard_misses(spark):
     assert r.containment == 1.0
     assert r.jaccard < 0.5  # the Jaccard op would have dropped it
     assert not any(3 in pair for pair in got)
+
+
+def test_threshold_join_bits_ladder(spark):
+    """The adaptive-resolution ladder (the fix for the measured 45x
+    cliff at fixed bits, PERF.md r9): smallest b with n/2^b <= 512,
+    floored at the top-k config's 4 bits, capped at 12 — pure integer
+    CASE, so both engines compute the identical bucket width."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _tj_bits_ladder_sql,
+    )
+
+    for n, want in (
+        (100, 4),
+        (8192, 4),
+        (8193, 5),
+        (16384, 5),
+        (20000, 6),
+        (32768, 6),
+        (2_000_000, 12),
+        (10**9, 12),
+    ):
+        got = spark.sql(f"SELECT {_tj_bits_ladder_sql(str(n))} AS b").first()["b"]
+        assert got == want, (n, got, want)
