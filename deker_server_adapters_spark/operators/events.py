@@ -1298,6 +1298,128 @@ FROM est CROSS JOIN ex
 """
 
 
+# --- rolling WAU from merged daily HLL sketches (r9) ------------------
+
+
+def events_wau_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGED DAILY HLL REGISTER
+    tables, with per-day error vs the exact rolling WAU — the sketch
+    COMPOSITION the 100 TB pipeline actually runs: persist one ≤512-row
+    register table per day (never re-scan raw events), answer any
+    rolling window by max-merging 7 of them. The merge is the
+    coverage-explode of the daily register tables (bounded 7× fan-out
+    of ≤512-row tables — trivia next to the wau_rolling op's fan-out of
+    all daily user pairs), so window length scales in sketch rows, not
+    users. Deterministic HLL (md5 hash, integer rank arithmetic) means
+    the DuckDB oracle replays daily sketching, the 7-day max-merge AND
+    the corrected estimates bit-for-bit — per-day err_pct is itself
+    hash-checked."""
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            h64(F.col("user_id")).alias("h"),
+        )
+        .select(
+            "day",
+            F.expr(f"pmod(h, {_HLL_M})").cast("long").alias("reg"),
+            F.expr(f"h DIV {_HLL_M}").alias("w"),
+        )
+        .select(
+            "day",
+            "reg",
+            F.when(
+                F.col("w") > 0,
+                F.lit(_HLL_WBITS + 1) - F.length(F.bin(F.col("w"))),
+            )
+            .otherwise(F.lit(_HLL_WBITS + 1))
+            .cast("int")
+            .alias("rank"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    cov = daily.select(
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("day"),
+        "reg",
+        "max_rank",
+    )
+    days = daily.select("day").distinct()
+    merged = (
+        cov.join(days, "day", "left_semi")
+        .groupBy("day", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    sketch = merged.groupBy("day").agg(
+        F.count("*").alias("occupied"),
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rank"))).alias("ssum"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("occupied")
+    est_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / (F.col("ssum") + zeros)
+    e = F.when(
+        (est_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(est_raw)
+    ests = sketch.select("day", e.alias("e"))
+    exact = events_wau_rolling(spark, sf_dir)
+    return ests.join(exact, "day").select(
+        "day",
+        F.col("wau").alias("exact_wau"),
+        F.round(F.col("e"), 4).alias("est_wau"),
+        F.round((F.col("e") - F.col("wau")) / F.col("wau") * 100, 4).alias(
+            "err_pct"
+        ),
+    )
+
+
+def _wau_hll_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    return f"""
+WITH hd AS (
+  SELECT date_trunc('day', ts) AS day, {h64_sql("user_id")} AS h FROM {EVENTS_DUCK}
+),
+hr AS (SELECT day, CAST(h % {_HLL_M} AS BIGINT) AS reg, h // {_HLL_M} AS w FROM hd),
+dailyregs AS (
+  SELECT day, reg,
+         CAST(max(CASE WHEN w > 0 THEN {_HLL_WBITS + 1} - length(bin(w))
+                       ELSE {_HLL_WBITS + 1} END) AS INT) AS max_rank
+  FROM hr GROUP BY day, reg
+),
+cov AS (
+  SELECT unnest(list_transform(range(7), i -> day + to_days(CAST(i AS INT)))) AS day,
+         reg, max_rank
+  FROM dailyregs
+),
+days AS (SELECT DISTINCT day FROM dailyregs),
+merged AS (
+  SELECT c.day AS day, c.reg, max(c.max_rank) AS max_rank
+  FROM cov c SEMI JOIN days d ON c.day = d.day
+  GROUP BY c.day, c.reg
+),
+sk AS (
+  SELECT day, count(*) AS occupied, sum(power(2.0, -max_rank)) AS ssum
+  FROM merged GROUP BY day
+),
+est AS (
+  SELECT day,
+         CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M} / (ssum + ({_HLL_M} - occupied)) <= {2.5 * _HLL_M}
+                   AND ({_HLL_M} - occupied) > 0
+              THEN {float(_HLL_M)} * ln({float(_HLL_M)} / ({_HLL_M} - occupied))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M} / (ssum + ({_HLL_M} - occupied)) END AS e
+  FROM sk
+),
+exact AS ({WAU_SQL})
+SELECT x.day AS day, x.wau AS exact_wau, round(e.e, 4) AS est_wau,
+       round((e.e - x.wau) / x.wau * 100, 4) AS err_pct
+FROM est e JOIN exact x ON e.day = x.day
+"""
+
+
 # --- session duration distribution (r9) -------------------------------
 
 _SDQ_QS = (0.5, 0.9, 0.99)
@@ -1410,6 +1532,17 @@ FROM (
 
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_wau_hll_rolling": Op(
+        "events_wau_hll_rolling",
+        events_wau_hll_rolling,
+        _wau_hll_sql(),
+        description=(
+            "rolling 7-day WAU from max-merged DAILY HLL register "
+            "tables + per-day err vs exact — the persist-sketches-"
+            "not-rescan composition; merge fan-out is sketch rows, "
+            "not users"
+        ),
+    ),
     "events_session_duration_quantiles": Op(
         "events_session_duration_quantiles",
         events_session_duration_quantiles,

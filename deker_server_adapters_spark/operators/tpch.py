@@ -1940,6 +1940,188 @@ FROM (
 """
 
 
+def customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-tier MIGRATION matrix: quintile tier (by total
+    spend) in the first half of the order history vs the second half —
+    the upgrade/downgrade/churn/new cohort table every retention
+    analysis starts from. Tier 0 means "no orders in that half"
+    (churned when on the h2 side, newly-acquired on the h1 side).
+
+    Scale shape: tiers come from the same bounded 256-bin histogram
+    device as RFM, computed per half (state ≤ 2 × 256 count rows at
+    any customer count, never a per-half ntile sort); the matrix is a
+    ≤ 36-cell aggregate of a customer-keyed full-outer join between
+    two already-aggregated per-customer tables. The half boundary is
+    pure integer date arithmetic off one broadcast (min, max) row —
+    both engines split identically."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rng = orders.agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    halves = orders.crossJoin(broadcast(rng)).select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(
+            F.datediff("o_orderdate", "d0")
+            <= F.floor(F.datediff("d1", "d0") / 2),
+            F.lit("h1"),
+        )
+        .otherwise(F.lit("h2"))
+        .alias("half"),
+    )
+    percust = (
+        halves.groupBy("half", "o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("m"))
+        .select("half", "o_custkey", F.col("m").cast("double").alias("v"))
+    )
+    mm = percust.groupBy("half").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count("*").cast("double").alias("n"),
+    )
+    binned = percust.join(broadcast(mm), "half").select(
+        "half",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_NQ_BINS - 1),
+                F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * _NQ_BINS),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("half", "bin").agg(F.count("*").alias("cnt"))
+    cum = hist.select(
+        "half",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("half").orderBy("bin")).alias("cum"),
+    )
+    qs = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "q double")
+    hit = (
+        cum.crossJoin(broadcast(qs))
+        .join(broadcast(mm), "half")
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("half", "q").orderBy("bin")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "half",
+            "q",
+            F.round(
+                F.col("mn")
+                + (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
+                    / F.col("cnt")
+                )
+                * ((F.col("mx") - F.col("mn")) / F.lit(float(_NQ_BINS))),
+                9,
+            ).alias("b"),
+        )
+    )
+    bounds = hit.groupBy("half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("q", "b"))), lambda s: s["b"]
+        ).alias("bs")
+    )
+    tiers = percust.join(broadcast(bounds), "half").select(
+        "half",
+        "o_custkey",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("bs"),
+                F.lit(0),
+                lambda acc, bd: acc + F.when(F.col("v") > bd, 1).otherwise(0),
+            )
+        )
+        .cast("int")
+        .alias("tier"),
+    )
+    t1 = tiers.filter(F.col("half") == "h1").select(
+        "o_custkey", F.col("tier").alias("tier_h1")
+    )
+    t2 = tiers.filter(F.col("half") == "h2").select(
+        "o_custkey", F.col("tier").alias("tier_h2")
+    )
+    return (
+        t1.join(t2, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("tier_h1", F.lit(0)).alias("tier_h1"),
+            F.coalesce("tier_h2", F.lit(0)).alias("tier_h2"),
+        )
+        .groupBy("tier_h1", "tier_h2")
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+
+
+SPEND_MIGRATION_SQL = f"""
+WITH rng AS (
+  SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
+),
+halves AS (
+  SELECT o_custkey, o_totalprice,
+         CASE WHEN date_diff('day', d0, o_orderdate)
+                   <= floor(date_diff('day', d0, d1) / 2)
+              THEN 'h1' ELSE 'h2' END AS half
+  FROM orders CROSS JOIN rng
+),
+percust AS (
+  SELECT half, o_custkey,
+         CAST({dsum_sql("o_totalprice")} AS DOUBLE) AS v
+  FROM halves GROUP BY half, o_custkey
+),
+mm AS (
+  SELECT half, min(v) AS mn, max(v) AS mx, CAST(count(*) AS DOUBLE) AS n
+  FROM percust GROUP BY half
+),
+binned AS (
+  SELECT p.half,
+         CASE WHEN m.mx = m.mn THEN 0
+              ELSE CAST(least({_NQ_BINS - 1}, floor((p.v - m.mn) / (m.mx - m.mn) * {_NQ_BINS})) AS INT) END AS bin
+  FROM percust p JOIN mm m ON p.half = m.half
+),
+hist AS (SELECT half, bin, count(*) AS cnt FROM binned GROUP BY half, bin),
+cum AS (
+  SELECT half, bin, cnt,
+         sum(cnt) OVER (PARTITION BY half ORDER BY bin) AS cum
+  FROM hist
+),
+qs AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
+hit AS (
+  SELECT half, q,
+         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_NQ_BINS)}), 9) AS b
+  FROM (
+    SELECT c.half, s.q, c.bin, c.cnt, c.cum, m.n, m.mn, m.mx,
+           row_number() OVER (PARTITION BY c.half, s.q ORDER BY c.bin) AS rn
+    FROM cum c CROSS JOIN qs s JOIN mm m ON c.half = m.half
+    WHERE c.cum >= s.q * m.n
+  ) t WHERE rn = 1
+),
+bounds AS (
+  SELECT half, list(b ORDER BY q) AS bs FROM hit GROUP BY half
+),
+tiers AS (
+  SELECT p.half, p.o_custkey,
+         CAST(1 + len(list_filter(bs, bd -> p.v > bd)) AS INT) AS tier
+  FROM percust p JOIN bounds bo ON p.half = bo.half
+),
+t1 AS (SELECT o_custkey, tier AS tier_h1 FROM tiers WHERE half = 'h1'),
+t2 AS (SELECT o_custkey, tier AS tier_h2 FROM tiers WHERE half = 'h2')
+SELECT coalesce(t1.tier_h1, 0) AS tier_h1,
+       coalesce(t2.tier_h2, 0) AS tier_h2,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM t1 FULL OUTER JOIN t2 ON t1.o_custkey = t2.o_custkey
+GROUP BY 1, 2
+"""
+
+
 def nation_shipping_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier-nation order→ship latency TREND: the OLS slope of
     (ship − order) days against ship month — "is this nation's supply
@@ -2141,6 +2323,16 @@ OPS = {
             "per-nation median/p90 order value via the grouped 256-bin "
             "histogram device — bounded state per group, never a "
             "grouped exact percentile buffer"
+        ),
+    ),
+    "customer_spend_migration": Op(
+        "customer_spend_migration",
+        customer_spend_migration,
+        SPEND_MIGRATION_SQL,
+        description=(
+            "spend-quintile migration matrix between order-history "
+            "halves (tier 0 = absent: churn/new); per-half histogram-"
+            "device boundaries, never a per-half ntile sort"
         ),
     ),
     "nation_shipping_trend": Op(

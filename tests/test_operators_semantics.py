@@ -1291,3 +1291,19 @@ def test_threshold_join_bits_ladder(spark):
     ):
         got = spark.sql(f"SELECT {_tj_bits_ladder_sql(str(n))} AS b").first()["b"]
         assert got == want, (n, got, want)
+
+
+def test_wau_hll_rolling_error_bounded(spark, sf_dir):
+    """The merged-daily-sketch estimate must stay within HLL's p=9
+    error envelope on every window day (1.04/sqrt(512) ~ 4.6% std;
+    5 sigma leaves regeneration headroom while still catching a broken
+    merge, which typically lands 50-100% off). Max |err| observed
+    2.74% at sf0.1."""
+    from deker_server_adapters_spark.operators.events import (
+        events_wau_hll_rolling,
+    )
+
+    rows = events_wau_hll_rolling(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.err_pct) <= 23.0, (r.day, r.err_pct)

@@ -415,6 +415,8 @@ _INTENTIONAL_BNLJ = {
     "events_value_histogram_quantiles",
     "events_session_duration_quantiles",
     "nation_order_value_quantiles",
+    "customer_spend_migration",
+    "ann_cosine_threshold_join",  # 1-row adaptive-nbits broadcast
     "customer_rfm_segments",
     "q11_important_parts",
     "q15_top_supplier",
