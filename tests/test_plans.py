@@ -472,3 +472,22 @@ def test_pagerank_reuses_edge_exchange_and_broadcasts_rank(spark, sf_dir):
     # top-K must be TakeOrderedAndProject (per-partition top-K + driver
     # merge), never a SinglePartition sort of the whole rank vector
     assert "TakeOrderedAndProject" in plan
+
+
+def test_graph_family_reuses_exchanges_and_takeordered(spark, sf_dir):
+    """Triangles and Jaccard recompute nothing: the edge/degree
+    subtrees appear once and dedupe via ReusedExchange, no cartesian
+    anywhere, and the top-K is TakeOrderedAndProject — never a global
+    SinglePartition sort of the per-node/per-edge table."""
+    from deker_server_adapters_spark.operators.tpch import (
+        parts_copurchase_jaccard,
+        parts_copurchase_triangles,
+    )
+
+    for fn in (parts_copurchase_triangles, parts_copurchase_jaccard):
+        df = fn(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
