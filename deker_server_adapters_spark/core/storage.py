@@ -788,12 +788,25 @@ class ChunkStore:
         # -1: the rewrite moves rows into NEW files, so the read path's
         # file-name tiebreak would otherwise re-order overlapping
         # legacy runs after a COW of a disjoint region of the chunk.
-        w = Window.partitionBy("chunk_idx").orderBy(F.col("_metadata.file_path"))
-        source = self.scan(array_id, idxs).withColumn(
-            "seq",
-            F.coalesce(
-                F.col("seq"), (F.dense_rank().over(w) - 1).cast("long")
-            ),
+        # The rank computes on the DISTINCT (chunk, file) list — a
+        # files-count-sized frame — and broadcast-joins back, so the
+        # chunk payload rows never shuffle for it (a window directly
+        # over the scan would Exchange+Sort every data array).
+        w = Window.partitionBy("chunk_idx").orderBy("fp")
+        file_ranks = (
+            self.scan(array_id, idxs)
+            .select("chunk_idx", F.col("_metadata.file_path").alias("fp"))
+            .distinct()
+            .withColumn(
+                "legacy_rank", (F.dense_rank().over(w) - 1).cast("long")
+            )
+        )
+        source = (
+            self.scan(array_id, idxs)
+            .withColumn("fp", F.col("_metadata.file_path"))
+            .join(F.broadcast(file_ranks), ["chunk_idx", "fp"])
+            .withColumn("seq", F.coalesce(F.col("seq"), F.col("legacy_rank")))
+            .drop("fp", "legacy_rank")
         )
         updated = source.mapInPandas(patch_chunks, CHUNK_SCHEMA)
         # materialize BEFORE overwriting: the plan reads the very

@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from deker_server_adapters_spark.operators import Op
+from deker_server_adapters_spark.functions.histogram import (
+    grouped_hist_quantile_estimates,
+    hist_quantile_sql_ctes,
+)
 from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
 
 
@@ -1444,61 +1448,21 @@ def events_session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataF
         .cast("double")
         .alias("v")
     )
-    mm = dur.agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+    n0 = dur.agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_single_event")
     )
-    binned = dur.crossJoin(F.broadcast(mm)).select(
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(_HIST_BINS - 1),
-                F.floor(
-                    (F.col("v") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
-                    * _HIST_BINS
-                ),
-            )
-        )
-        .cast("int")
-        .alias("bin")
-    )
-    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
-    cum = hist.select(
-        "bin", "cnt", F.sum("cnt").over(Window.orderBy("bin")).alias("cum")
-    )
-    qs = spark.createDataFrame([(q,) for q in _SDQ_QS], "q double")
-    target = F.col("q") * F.col("n")
-    width = (F.col("mx") - F.col("mn")) / F.lit(float(_HIST_BINS))
-    return (
-        cum.crossJoin(F.broadcast(qs))
-        .crossJoin(F.broadcast(mm))
-        .filter(F.col("cum") >= target)
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "q",
-            F.col("n").cast("long").alias("n_sessions"),
-            F.col("n0").alias("n_single_event"),
-            F.round(
-                (
-                    F.col("mn")
-                    + (
-                        F.col("bin")
-                        + (target - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
-                    )
-                    * width
-                )
-                / 1e6,
-                6,
-            ).alias("est_duration_sec"),
-        )
+    est = grouped_hist_quantile_estimates(spark, dur, [], _SDQ_QS, _HIST_BINS)
+    return est.crossJoin(F.broadcast(n0)).select(
+        "q",
+        F.col("n").cast("long").alias("n_sessions"),
+        "n_single_event",
+        F.round(F.col("est") / 1e6, 6).alias("est_duration_sec"),
     )
 
+
+hq_sdq = hist_quantile_sql_ctes("dur", [], _SDQ_QS, _HIST_BINS)
 
 SESSION_DURATION_SQL = f"""
 WITH sessions AS ({SESSION_SQL}),
@@ -1506,27 +1470,14 @@ dur AS (
   SELECT CAST(epoch_us(session_end) - epoch_us(session_start) AS DOUBLE) AS v
   FROM sessions
 ),
-mm AS (
-  SELECT min(v) AS mn, max(v) AS mx, count(*) AS n,
-         CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+{hq_sdq},
+n0 AS (
+  SELECT CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_event
   FROM dur
-),
-binned AS (
-  SELECT CASE WHEN m.mx = m.mn THEN 0
-              ELSE CAST(least({_HIST_BINS - 1}, floor((d.v - m.mn) / (m.mx - m.mn) * {_HIST_BINS})) AS INT) END AS bin
-  FROM dur d CROSS JOIN mm m
-),
-hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
-cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
-qs AS (SELECT unnest([{", ".join(str(q) for q in _SDQ_QS)}]) AS q)
-SELECT q, CAST(n AS BIGINT) AS n_sessions, n0 AS n_single_event,
-       round((mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_HIST_BINS)})) / 1e6, 6) AS est_duration_sec
-FROM (
-  SELECT s.q, c.bin, c.cnt, c.cum, m.n, m.n0, m.mn, m.mx,
-         row_number() OVER (PARTITION BY s.q ORDER BY c.bin) AS rn
-  FROM cum c CROSS JOIN qs s CROSS JOIN mm m
-  WHERE c.cum >= s.q * m.n
-) t WHERE rn = 1
+)
+SELECT q, CAST(n AS BIGINT) AS n_sessions, n0.n_single_event,
+       round(est / 1e6, 6) AS est_duration_sec
+FROM hqest CROSS JOIN n0
 """
 
 

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from deker_server_adapters_spark.functions.histogram import (
+    grouped_hist_quantile_estimates,
+    hist_quantile_sql_ctes,
+)
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
 
@@ -1324,7 +1328,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global ``ntile`` window (SinglePartition sort of 10⁹
     customers) and never the exact ``percentile`` aggregate, which
     buffers every value in the single final-agg task. Boundary error
-    is ≤ 1 bin width of the metric's range (pinned by pytest); each
+    is ≤ 2 bin widths of the metric's range plus the bracketing
+    order-stat gap (pinned by pytest); each
     customer then buckets by comparing against the 4 boundaries.
     Bucket = 1 + count(boundaries strictly below the metric), so
     boundary ties resolve identically in both engines (single IEEE
@@ -1396,86 +1401,18 @@ def _rfm_hist_bounds(spark: SparkSession, rfm: DataFrame) -> DataFrame:
     from a ``_RFM_BINS``-bin equi-width histogram: one 1-row min/max/n
     agg, a ≤3·256-row (metric, bin) count table, rank interpolation
     inside the hit bin, 1e-9 rounding. Returns one row with sorted
-    boundary arrays ``rb``/``fb``/``mb``. Estimate error ≤ 1 bin width
-    of the metric's range (pinned by
-    ``test_rfm_hist_bounds_within_one_bin_width``)."""
-    # one bounded agg: per-metric min/max + the customer count
-    mm = rfm.agg(
-        F.min("recency").alias("rmn"),
-        F.max("recency").alias("rmx"),
-        F.min("frequency").alias("fmn"),
-        F.max("frequency").alias("fmx"),
-        F.min("monetary_d").alias("mmn"),
-        F.max("monetary_d").alias("mmx"),
-        F.count("*").cast("double").alias("n"),
-    )
-
-    def _bin(col: str, mn: str, mx: str):
-        return (
-            F.when(F.col(mx) == F.col(mn), F.lit(0))
-            .otherwise(
-                F.least(
-                    F.lit(_RFM_BINS - 1),
-                    F.floor(
-                        (F.col(col) - F.col(mn))
-                        / (F.col(mx) - F.col(mn))
-                        * _RFM_BINS
-                    ),
-                )
-            )
-            .cast("int")
-        )
-
-    binned = rfm.crossJoin(F.broadcast(mm)).select(
-        _bin("recency", "rmn", "rmx").alias("rbin"),
-        _bin("frequency", "fmn", "fmx").alias("fbin"),
-        _bin("monetary_d", "mmn", "mmx").alias("mbin"),
-    )
-    pairs = binned.select(
-        F.expr("stack(3, 'r', rbin, 'f', fbin, 'm', mbin) AS (metric, bin)")
-    )
-    hist = pairs.groupBy("metric", "bin").agg(F.count("*").alias("cnt"))
-    cum = hist.select(
-        "metric",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(Window.partitionBy("metric").orderBy("bin")).alias("cum"),
-    )
-    qs = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "q double")
-    mn_of = (
-        F.when(F.col("metric") == "r", F.col("rmn"))
-        .when(F.col("metric") == "f", F.col("fmn"))
-        .otherwise(F.col("mmn"))
-    )
-    mx_of = (
-        F.when(F.col("metric") == "r", F.col("rmx"))
-        .when(F.col("metric") == "f", F.col("fmx"))
-        .otherwise(F.col("mmx"))
-    )
-    hit = (
-        cum.crossJoin(F.broadcast(qs))
-        .crossJoin(F.broadcast(mm))
-        .filter(F.col("cum") >= F.col("q") * F.col("n"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("metric", "q").orderBy("bin")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "metric",
-            "q",
-            F.round(
-                mn_of
-                + (
-                    F.col("bin")
-                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                )
-                * ((mx_of - mn_of) / F.lit(float(_RFM_BINS))),
-                9,
-            ).alias("b"),
+    boundary arrays ``rb``/``fb``/``mb``. Estimate error ≤ 2 bin
+    widths of the metric's range plus the bracketing order-stat gap
+    (pinned by ``test_rfm_hist_bounds_within_one_bin_width``)."""
+    pairs = rfm.select(
+        F.expr(
+            "stack(3, 'r', recency, 'f', frequency, 'm', monetary_d)"
+            " AS (metric, v)"
         )
     )
+    hit = grouped_hist_quantile_estimates(
+        spark, pairs, ["metric"], (0.2, 0.4, 0.6, 0.8), _RFM_BINS
+    ).select("metric", "q", F.round("est", 9).alias("b"))
     # 12 boundary rows fold into one broadcastable row of 3 sorted arrays
     return hit.groupBy().agg(
         *[
@@ -1492,6 +1429,8 @@ def _rfm_hist_bounds(spark: SparkSession, rfm: DataFrame) -> DataFrame:
     )
 
 
+hq_rfm = hist_quantile_sql_ctes("rfmv", ["metric"], (0.2, 0.4, 0.6, 0.8), _RFM_BINS)
+
 RFM_SQL = f"""
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
@@ -1507,53 +1446,17 @@ rfm AS (
          CAST(monetary AS DOUBLE) AS monetary_d
   FROM per_cust CROSS JOIN maxd
 ),
-mm AS (
-  SELECT min(recency) AS rmn, max(recency) AS rmx,
-         min(frequency) AS fmn, max(frequency) AS fmx,
-         min(monetary_d) AS mmn, max(monetary_d) AS mmx,
-         CAST(count(*) AS DOUBLE) AS n
-  FROM rfm
+rfmv AS (
+  SELECT 'r' AS metric, recency AS v FROM rfm
+  UNION ALL SELECT 'f', frequency FROM rfm
+  UNION ALL SELECT 'm', monetary_d FROM rfm
 ),
-pairs AS (
-  SELECT 'r' AS metric,
-         CASE WHEN rmx = rmn THEN 0
-              ELSE CAST(least({_RFM_BINS - 1}, floor((recency - rmn) / (rmx - rmn) * {_RFM_BINS})) AS INT) END AS bin
-  FROM rfm CROSS JOIN mm
-  UNION ALL
-  SELECT 'f',
-         CASE WHEN fmx = fmn THEN 0
-              ELSE CAST(least({_RFM_BINS - 1}, floor((frequency - fmn) / (fmx - fmn) * {_RFM_BINS})) AS INT) END
-  FROM rfm CROSS JOIN mm
-  UNION ALL
-  SELECT 'm',
-         CASE WHEN mmx = mmn THEN 0
-              ELSE CAST(least({_RFM_BINS - 1}, floor((monetary_d - mmn) / (mmx - mmn) * {_RFM_BINS})) AS INT) END
-  FROM rfm CROSS JOIN mm
-),
-hist AS (SELECT metric, bin, count(*) AS cnt FROM pairs GROUP BY metric, bin),
-cum AS (
-  SELECT metric, bin, cnt,
-         sum(cnt) OVER (PARTITION BY metric ORDER BY bin) AS cum
-  FROM hist
-),
-qs AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
-hit AS (
-  SELECT metric, q,
-         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_RFM_BINS)}), 9) AS b
-  FROM (
-    SELECT c.metric, s.q, c.bin, c.cnt, c.cum, m.n,
-           CASE c.metric WHEN 'r' THEN m.rmn WHEN 'f' THEN m.fmn ELSE m.mmn END AS mn,
-           CASE c.metric WHEN 'r' THEN m.rmx WHEN 'f' THEN m.fmx ELSE m.mmx END AS mx,
-           row_number() OVER (PARTITION BY c.metric, s.q ORDER BY c.bin) AS rn
-    FROM cum c CROSS JOIN qs s CROSS JOIN mm m
-    WHERE c.cum >= s.q * m.n
-  ) t WHERE rn = 1
-),
+{hq_rfm},
 bounds AS (
   SELECT list(b ORDER BY q) FILTER (WHERE metric = 'r') AS rb,
          list(b ORDER BY q) FILTER (WHERE metric = 'f') AS fb,
          list(b ORDER BY q) FILTER (WHERE metric = 'm') AS mb
-  FROM hit
+  FROM (SELECT metric, q, round(est, 9) AS b FROM hqest) t
 ),
 seg AS (
   SELECT o_custkey, recency, frequency, monetary,
@@ -1708,8 +1611,9 @@ def nation_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_NQ_BINS`` count rows: one bounded (nation, min/max/n) agg
     broadcasts back, values bin map-side, the cumulative window runs
     over ≤ 256 rows per nation partition, estimates interpolate inside
-    the hit bin (error ≤ 1 bin width of the nation's value range —
-    same contract the estimator test pins). All arithmetic is single
+    the hit bin (error ≤ 2 bin widths of the nation's value range plus
+    the bracketing order-stat gap — the contract the estimator test
+    pins). All arithmetic is single
     IEEE ops over exact counts, replayed bit-for-bit by the oracle."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1719,62 +1623,21 @@ def nation_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", F.col("o_totalprice").cast("double").alias("v"))
     )
-    mm = vals.groupBy("n_name").agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count("*").cast("double").alias("n"),
-    )
-    binned = vals.join(broadcast(mm), "n_name").select(
-        "n_name",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(_NQ_BINS - 1),
-                F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * _NQ_BINS),
-            )
-        )
-        .cast("int")
-        .alias("bin"),
-    )
-    hist = binned.groupBy("n_name", "bin").agg(F.count("*").alias("cnt"))
-    cum = hist.select(
-        "n_name",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(Window.partitionBy("n_name").orderBy("bin")).alias("cum"),
-    )
-    qs = spark.createDataFrame([(0.5,), (0.9,)], "q double")
-    est = (
-        cum.crossJoin(broadcast(qs))
-        .join(broadcast(mm), "n_name")
-        .filter(F.col("cum") >= F.col("q") * F.col("n"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("n_name", "q").orderBy("bin")),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "n_name",
-            "q",
-            F.col("n").cast("long").alias("n_orders"),
-            F.round(
-                F.col("mn")
-                + (
-                    F.col("bin")
-                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                )
-                * ((F.col("mx") - F.col("mn")) / F.lit(float(_NQ_BINS))),
-                6,
-            ).alias("est"),
-        )
+    est = grouped_hist_quantile_estimates(
+        spark, vals, ["n_name"], (0.5, 0.9), _NQ_BINS
     )
     return est.groupBy("n_name").agg(
-        F.max("n_orders").alias("n_orders"),
-        F.max(F.when(F.col("q") == 0.5, F.col("est"))).alias("median_est"),
-        F.max(F.when(F.col("q") == 0.9, F.col("est"))).alias("p90_est"),
+        F.max(F.col("n").cast("long")).alias("n_orders"),
+        F.max(F.when(F.col("q") == 0.5, F.round(F.col("est"), 6))).alias(
+            "median_est"
+        ),
+        F.max(F.when(F.col("q") == 0.9, F.round(F.col("est"), 6))).alias(
+            "p90_est"
+        ),
     )
 
+
+hq_nation = hist_quantile_sql_ctes("vals", ["n_name"], (0.5, 0.9), _NQ_BINS)
 
 NATION_QUANTILES_SQL = f"""
 WITH vals AS (
@@ -1783,37 +1646,11 @@ WITH vals AS (
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
 ),
-mm AS (
-  SELECT n_name, min(v) AS mn, max(v) AS mx, CAST(count(*) AS DOUBLE) AS n
-  FROM vals GROUP BY n_name
-),
-binned AS (
-  SELECT v.n_name,
-         CASE WHEN m.mx = m.mn THEN 0
-              ELSE CAST(least({_NQ_BINS - 1}, floor((v.v - m.mn) / (m.mx - m.mn) * {_NQ_BINS})) AS INT) END AS bin
-  FROM vals v JOIN mm m ON v.n_name = m.n_name
-),
-hist AS (SELECT n_name, bin, count(*) AS cnt FROM binned GROUP BY n_name, bin),
-cum AS (
-  SELECT n_name, bin, cnt,
-         sum(cnt) OVER (PARTITION BY n_name ORDER BY bin) AS cum
-  FROM hist
-),
-qs AS (SELECT unnest([0.5, 0.9]) AS q),
-est AS (
-  SELECT n_name, q, CAST(n AS BIGINT) AS n_orders,
-         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_NQ_BINS)}), 6) AS est
-  FROM (
-    SELECT c.n_name, s.q, c.bin, c.cnt, c.cum, m.n, m.mn, m.mx,
-           row_number() OVER (PARTITION BY c.n_name, s.q ORDER BY c.bin) AS rn
-    FROM cum c CROSS JOIN qs s JOIN mm m ON c.n_name = m.n_name
-    WHERE c.cum >= s.q * m.n
-  ) t WHERE rn = 1
-)
-SELECT n_name, max(n_orders) AS n_orders,
-       max(CASE WHEN q = 0.5 THEN est END) AS median_est,
-       max(CASE WHEN q = 0.9 THEN est END) AS p90_est
-FROM est GROUP BY n_name
+{hq_nation}
+SELECT n_name, max(CAST(n AS BIGINT)) AS n_orders,
+       max(CASE WHEN q = 0.5 THEN round(est, 6) END) AS median_est,
+       max(CASE WHEN q = 0.9 THEN round(est, 6) END) AS p90_est
+FROM hqest GROUP BY n_name
 """
 
 
@@ -1856,7 +1693,6 @@ def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
         .select(
             F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.least("ku", "kv").alias("ks"),
             F.greatest("ku", "kv").alias("kd"),
         )
     )
@@ -1920,7 +1756,7 @@ WITH edges AS (
 ek AS (
   SELECT CASE WHEN du.k < dv.k THEN e.u ELSE e.v END AS src,
          CASE WHEN du.k < dv.k THEN e.v ELSE e.u END AS dst,
-         least(du.k, dv.k) AS ks, greatest(du.k, dv.k) AS kd
+         greatest(du.k, dv.k) AS kd
   FROM edges e JOIN dk du ON du.n = e.u JOIN dk dv ON dv.n = e.v
 ), tri AS (
   SELECT x.src AS na, x.dst AS nb, y.dst AS nc
@@ -1976,59 +1812,22 @@ def customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(F.col("o_totalprice")).alias("m"))
         .select("half", "o_custkey", F.col("m").cast("double").alias("v"))
     )
-    mm = percust.groupBy("half").agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
-        F.count("*").cast("double").alias("n"),
-    )
-    binned = percust.join(broadcast(mm), "half").select(
-        "half",
-        F.when(F.col("mx") == F.col("mn"), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(_NQ_BINS - 1),
-                F.floor((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * _NQ_BINS),
-            )
+    bounds = (
+        grouped_hist_quantile_estimates(
+            spark,
+            percust.select("half", "v"),
+            ["half"],
+            (0.2, 0.4, 0.6, 0.8),
+            _NQ_BINS,
         )
-        .cast("int")
-        .alias("bin"),
-    )
-    hist = binned.groupBy("half", "bin").agg(F.count("*").alias("cnt"))
-    cum = hist.select(
-        "half",
-        "bin",
-        "cnt",
-        F.sum("cnt").over(Window.partitionBy("half").orderBy("bin")).alias("cum"),
-    )
-    qs = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "q double")
-    hit = (
-        cum.crossJoin(broadcast(qs))
-        .join(broadcast(mm), "half")
-        .filter(F.col("cum") >= F.col("q") * F.col("n"))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("half", "q").orderBy("bin")),
+        .select("half", "q", F.round("est", 9).alias("b"))
+        .groupBy("half")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "b"))),
+                lambda st: st["b"],
+            ).alias("bs")
         )
-        .filter(F.col("rn") == 1)
-        .select(
-            "half",
-            "q",
-            F.round(
-                F.col("mn")
-                + (
-                    F.col("bin")
-                    + (F.col("q") * F.col("n") - (F.col("cum") - F.col("cnt")))
-                    / F.col("cnt")
-                )
-                * ((F.col("mx") - F.col("mn")) / F.lit(float(_NQ_BINS))),
-                9,
-            ).alias("b"),
-        )
-    )
-    bounds = hit.groupBy("half").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("q", "b"))), lambda s: s["b"]
-        ).alias("bs")
     )
     tiers = percust.join(broadcast(bounds), "half").select(
         "half",
@@ -2061,6 +1860,10 @@ def customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+hq_migration = hist_quantile_sql_ctes(
+    "percust", ["half"], (0.2, 0.4, 0.6, 0.8), _NQ_BINS
+)
+
 SPEND_MIGRATION_SQL = f"""
 WITH rng AS (
   SELECT min(o_orderdate) AS d0, max(o_orderdate) AS d1 FROM orders
@@ -2077,35 +1880,11 @@ percust AS (
          CAST({dsum_sql("o_totalprice")} AS DOUBLE) AS v
   FROM halves GROUP BY half, o_custkey
 ),
-mm AS (
-  SELECT half, min(v) AS mn, max(v) AS mx, CAST(count(*) AS DOUBLE) AS n
-  FROM percust GROUP BY half
-),
-binned AS (
-  SELECT p.half,
-         CASE WHEN m.mx = m.mn THEN 0
-              ELSE CAST(least({_NQ_BINS - 1}, floor((p.v - m.mn) / (m.mx - m.mn) * {_NQ_BINS})) AS INT) END AS bin
-  FROM percust p JOIN mm m ON p.half = m.half
-),
-hist AS (SELECT half, bin, count(*) AS cnt FROM binned GROUP BY half, bin),
-cum AS (
-  SELECT half, bin, cnt,
-         sum(cnt) OVER (PARTITION BY half ORDER BY bin) AS cum
-  FROM hist
-),
-qs AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS q),
-hit AS (
-  SELECT half, q,
-         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(_NQ_BINS)}), 9) AS b
-  FROM (
-    SELECT c.half, s.q, c.bin, c.cnt, c.cum, m.n, m.mn, m.mx,
-           row_number() OVER (PARTITION BY c.half, s.q ORDER BY c.bin) AS rn
-    FROM cum c CROSS JOIN qs s JOIN mm m ON c.half = m.half
-    WHERE c.cum >= s.q * m.n
-  ) t WHERE rn = 1
-),
+{hq_migration},
 bounds AS (
-  SELECT half, list(b ORDER BY q) AS bs FROM hit GROUP BY half
+  SELECT half, list(b ORDER BY q) AS bs
+  FROM (SELECT half, q, round(est, 9) AS b FROM hqest) t
+  GROUP BY half
 ),
 tiers AS (
   SELECT p.half, p.o_custkey,
@@ -2278,7 +2057,7 @@ WITH edges AS (
 ek AS (
   SELECT CASE WHEN du.k < dv.k THEN e.u ELSE e.v END AS src,
          CASE WHEN du.k < dv.k THEN e.v ELSE e.u END AS dst,
-         least(du.k, dv.k) AS ks, greatest(du.k, dv.k) AS kd
+         greatest(du.k, dv.k) AS kd
   FROM edges e JOIN dk du ON du.n = e.u JOIN dk dv ON dv.n = e.v
 ), tri AS (
   SELECT x.src AS na, x.dst AS nb, y.dst AS nc

@@ -241,7 +241,8 @@ def _chunk_cell_batches(
             import time as _time
 
             files = list(partition.files)
-            for attempt in range(8):
+            attempts = 8
+            for attempt in range(attempts):
                 tables, ok = [], True
                 for rank, path in enumerate(files):
                     try:
@@ -255,6 +256,8 @@ def _chunk_cell_batches(
                 d = os.path.dirname(files[0])
                 if not os.path.isdir(d):
                     return  # delete_array: the chunk is legitimately gone
+                if attempt == attempts - 1:
+                    break  # no further read — don't sleep/relist for nothing
                 _time.sleep(min(0.05 * (2**attempt), 1.0))
                 files = sorted(
                     os.path.join(d, f)

@@ -1065,9 +1065,7 @@ def test_maintenance_stats_pre_and_post_compact(spark, tmp_path):
     rng = np.random.default_rng(11)
     a = coll.arrays.create(data=rng.normal(size=(20, 12)))
     # second write pass into the same chunks -> every dir gets >=2 files
-    a.update(
-        (slice(0, 20), slice(0, 12)), rng.normal(size=(20, 12))
-    ) if hasattr(a, "update") else None
+    a.update((slice(0, 20), slice(0, 12)), rng.normal(size=(20, 12)))
     register(spark)
     patch_rows = [(a.id, x, 0, float(x)) for x in range(20)]
     (
