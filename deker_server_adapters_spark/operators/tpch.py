@@ -1982,6 +1982,93 @@ FROM agg
 """
 
 
+_KCORE_K = 96
+_KCORE_ROUNDS = 6
+
+
+def parts_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling on the part co-purchase graph: ``_KCORE_ROUNDS``
+    rounds of removing nodes with degree < ``_KCORE_K`` (and their
+    edges), emitting the (round, n_nodes, n_edges) decay trace — the
+    dense-core extraction that separates the always-bought-together
+    backbone from one-off co-occurrences. Fixed-round like PageRank so
+    it stays engine-replayable: equal node counts in the last two
+    trace rows means the peeling converged to the exact k-core (it
+    does on this corpus); more rounds is a constants change.
+
+    Scale shape — the iterative-PRUNING graph pattern (vs PageRank's
+    fixed-topology iteration): each round is one map-side-combined
+    degree count plus two semi-join-shaped hash joins against the
+    shrinking strong-node set; the edge table only ever SHRINKS, so
+    per-round cost is monotonically decreasing, and nothing is ever
+    collected to the driver. Like ``dedup_components``, each round
+    eagerly ``localCheckpoint``s the surviving edge set — without the
+    lineage cut, round r's plan nests every earlier round and the
+    analyzer's relation-dedup pass goes combinatorial (the same
+    expansion the oracle prevents with AS MATERIALIZED CTEs). All
+    round snapshots stay referenced by the trace rows until collection
+    — the footprint is ``_KCORE_ROUNDS`` strictly-shrinking edge
+    tables."""
+    edges, _ = _copurchase_graph(spark, sf_dir)
+    e = edges.localCheckpoint(eager=True)
+    trace = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .union(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("deg"))
+        )
+        strong = deg.filter(F.col("deg") >= _KCORE_K).select("n")
+        e_next = (
+            e.join(strong.withColumnRenamed("n", "u"), "u")
+            .join(strong.withColumnRenamed("n", "v"), "v")
+            .localCheckpoint(eager=True)
+        )
+        row = (
+            strong.agg(F.count("*").cast("long").alias("n_nodes"))
+            .crossJoin(e_next.agg(F.count("*").cast("long").alias("n_edges")))
+            .select(F.lit(r).cast("int").alias("round"), "n_nodes", "n_edges")
+        )
+        trace = row if trace is None else trace.union(row)
+        e = e_next
+    return trace
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    # references the previous round ~3 times — unmaterialized, the
+    # expansion is 3^rounds scans of lineitem ("too many open files")
+    parts = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    prev = "edges"
+    selects = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT n, count(*) AS deg
+  FROM (SELECT u AS n FROM {prev} UNION ALL SELECT v FROM {prev}) t
+  GROUP BY n
+), s{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE deg >= {_KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN s{r} a ON a.n = e.u JOIN s{r} b ON b.n = e.v
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({r} AS INT) AS round,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS n_nodes,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        )
+        prev = f"e{r}"
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 _JAC_TOPK = 20
 
 
@@ -2122,6 +2209,16 @@ OPS = {
             "per-nation delivery-delay OLS slope vs ship month — "
             "integer-sum regression, exact accumulation, one final "
             "IEEE division"
+        ),
+    ),
+    "parts_copurchase_kcore": Op(
+        "parts_copurchase_kcore",
+        parts_copurchase_kcore,
+        _kcore_sql(),
+        description=(
+            f"bounded k-core peeling (K={_KCORE_K}, {_KCORE_ROUNDS} "
+            "rounds): per-round (nodes, edges) decay trace; the edge "
+            "table only shrinks, unrolled-CTE oracle"
         ),
     ),
     "parts_copurchase_jaccard": Op(

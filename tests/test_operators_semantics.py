@@ -1307,3 +1307,44 @@ def test_wau_hll_rolling_error_bounded(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.err_pct) <= 23.0, (r.day, r.err_pct)
+
+
+def test_kcore_trace_matches_python_reference(spark, sf_dir):
+    """The bounded peeling trace must equal an exact in-memory replay
+    (numpy-free reference: dict degrees + set pruning) — rounds are
+    monotone non-increasing and, when the last two node counts agree,
+    the survivors form the true K-core (every survivor keeps degree
+    >= K inside the surviving edge set)."""
+    from deker_server_adapters_spark.operators.tpch import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _copurchase_graph,
+        parts_copurchase_kcore,
+    )
+
+    edges = {
+        (r.u, r.v) for r in _copurchase_graph(spark, sf_dir)[0].collect()
+    }
+    want = []
+    cur = set(edges)
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        strong = {n for n, d in deg.items() if d >= _KCORE_K}
+        cur = {(u, v) for u, v in cur if u in strong and v in strong}
+        want.append((r, len(strong), len(cur)))
+    got = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in parts_copurchase_kcore(spark, sf_dir).collect()
+    )
+    assert got == want
+    nodes = [w[1] for w in want]
+    assert all(a >= b for a, b in zip(nodes, nodes[1:]))  # monotone
+    if want[-1][1] == want[-2][1]:  # converged: survivors are the k-core
+        deg = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        assert all(d >= _KCORE_K for d in deg.values())

@@ -378,6 +378,7 @@ def test_ivf_builders_leave_nothing_persisted(spark, sf_dir, op_name):
 # loop, so the sweep below would re-run minutes of compute that their
 # dedicated parity/semantics tests already cover.
 _ITERATIVE_BUILDERS = {
+    "parts_copurchase_kcore",
     "text_bpe_merges",
     "docs_bpe_encode_lengths",
     "embeddings_kmeans",
