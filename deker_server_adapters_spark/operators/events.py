@@ -1305,23 +1305,14 @@ FROM est CROSS JOIN ex
 # --- rolling WAU from merged daily HLL sketches (r9) ------------------
 
 
-def events_wau_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 7-day distinct users from MERGED DAILY HLL REGISTER
-    tables, with per-day error vs the exact rolling WAU — the sketch
-    COMPOSITION the 100 TB pipeline actually runs: persist one ≤512-row
-    register table per day (never re-scan raw events), answer any
-    rolling window by max-merging 7 of them. The merge is the
-    coverage-explode of the daily register tables (bounded 7× fan-out
-    of ≤512-row tables — trivia next to the wau_rolling op's fan-out of
-    all daily user pairs), so window length scales in sketch rows, not
-    users. Deterministic HLL (md5 hash, integer rank arithmetic) means
-    the DuckDB oracle replays daily sketching, the 7-day max-merge AND
-    the corrected estimates bit-for-bit — per-day err_pct is itself
-    hash-checked."""
+def daily_hll_registers_df(ev: DataFrame) -> DataFrame:
+    """(day, reg, max_rank) — one ≤512-row HLL register table per day,
+    the persistable daily sketch artifact ``events_wau_hll_rolling``
+    max-merges into rolling windows (its streaming producer twin is
+    ``streaming/events_stream.streaming_daily_hll_registers``)."""
     from deker_server_adapters_spark.functions.hashing import h64
 
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
+    return (
         ev.select(
             F.date_trunc("day", "ts").alias("day"),
             h64(F.col("user_id")).alias("h"),
@@ -1345,6 +1336,23 @@ def events_wau_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "reg")
         .agg(F.max("rank").alias("max_rank"))
     )
+
+
+def events_wau_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGED DAILY HLL REGISTER
+    tables, with per-day error vs the exact rolling WAU — the sketch
+    COMPOSITION the 100 TB pipeline actually runs: persist one ≤512-row
+    register table per day (never re-scan raw events), answer any
+    rolling window by max-merging 7 of them. The merge is the
+    coverage-explode of the daily register tables (bounded 7× fan-out
+    of ≤512-row tables — trivia next to the wau_rolling op's fan-out of
+    all daily user pairs), so window length scales in sketch rows, not
+    users. Deterministic HLL (md5 hash, integer rank arithmetic) means
+    the DuckDB oracle replays daily sketching, the 7-day max-merge AND
+    the corrected estimates bit-for-bit — per-day err_pct is itself
+    hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = daily_hll_registers_df(ev)
     cov = daily.select(
         F.explode(
             F.expr("sequence(day, day + interval 6 days, interval 1 day)")

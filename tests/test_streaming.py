@@ -567,3 +567,41 @@ def test_stateful_twin_runs_on_rocksdb_state_store(spark, sf_dir):
         .set_index("user_id")["n_gaps"]
     )
     assert got.sort_index().equals(want.sort_index())
+
+
+def test_streaming_daily_hll_registers_equal_batch(spark, sf_dir):
+    """The day-keyed streaming register tables after ALL micro-batches
+    must equal the batch daily sketches exactly (per-day maxima merge
+    idempotently; the 1-day event-time window starts on the same UTC
+    day boundaries as the batch date_trunc). Update-mode memory sink
+    keeps one row per (day, reg, batch); maxima only grow, so max()
+    per (day, reg) is the final value."""
+    from deker_server_adapters_spark.operators.events import (
+        _HLL_M,
+        daily_hll_registers_df,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.events_stream import (
+        stream_events_source,
+        streaming_daily_hll_registers,
+    )
+
+    src = stream_events_source(spark, sf_dir, n_files=4)
+    _run_stream(streaming_daily_hll_registers(src), "t_dhll", "update")
+    got = (
+        spark.table("t_dhll")
+        .groupBy("day", "reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .toPandas()
+        .sort_values(["day", "reg"])
+        .reset_index(drop=True)
+    )
+    want = (
+        daily_hll_registers_df(load_table(spark, sf_dir, "events"))
+        .toPandas()
+        .sort_values(["day", "reg"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # per-day sketch bound: no day exceeds the register count
+    assert got.groupby("day").size().max() <= _HLL_M
