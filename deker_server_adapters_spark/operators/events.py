@@ -1302,6 +1302,131 @@ FROM est CROSS JOIN ex
 """
 
 
+# --- purchase attribution (r9) -----------------------------------------
+
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+
+
+def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: for every purchase,
+    the LAST-touch and FIRST-touch click inside a 7-day lookback (same
+    user, click at-or-before the purchase), rolled up per day —
+    attribution rate, attributed revenue (decimal-exact), single-touch
+    share (first == last), and the mean click→purchase lag.
+
+    Scale shape: both touches come from ONE user-partitioned RANGE
+    window over integer event-micros (min/max of a conditional — set
+    aggregates, order-independent, so no tie hazards), computed in the
+    same pass for every event and filtered to purchases after — no
+    purchase×click self-join, whose hot-user fan-out is the naive
+    form's cliff. One Exchange on user_id, then a day rollup. Lag sums
+    are exact integer micros; the only IEEE ops are the final divides,
+    rounded 4."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value"
+    )
+    base = ev.withColumn("us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_WINDOW_US, 0)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.col("us"))
+    p = (
+        base.select(
+            "event_type",
+            "us",
+            "value",
+            F.max(click_us).over(w).alias("last_click_us"),
+            F.min(click_us).over(w).alias("first_click_us"),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    agg = p.groupBy(
+        F.date_trunc("day", F.timestamp_micros(F.col("us"))).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum(F.when(F.col("last_click_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_attributed"),
+        F.sum(
+            F.when(
+                F.col("last_click_us") == F.col("first_click_us"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_single_touch"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("last_click_us").isNotNull(),
+                    F.col("value").cast("decimal(30,6)"),
+                ).otherwise(F.lit(0).cast("decimal(30,6)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("attributed_value"),
+        F.sum(
+            F.when(
+                F.col("last_click_us").isNotNull(),
+                F.col("us") - F.col("last_click_us"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("lag_us_total"),
+    )
+    return agg.select(
+        "day",
+        "n_purchases",
+        "n_attributed",
+        "n_single_touch",
+        F.round(F.col("n_attributed") / F.col("n_purchases"), 4).alias(
+            "attribution_rate"
+        ),
+        "attributed_value",
+        F.when(
+            F.col("n_attributed") > 0,
+            F.round(
+                F.col("lag_us_total") / F.col("n_attributed") / 6e7, 4
+            ),
+        ).alias("avg_lag_minutes"),
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, value FROM {EVENTS_DUCK}
+),
+touched AS (
+  SELECT event_type, us, value,
+         max(CASE WHEN event_type = 'click' THEN us END) OVER w AS last_click_us,
+         min(CASE WHEN event_type = 'click' THEN us END) OVER w AS first_click_us
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING AND CURRENT ROW)
+),
+p AS (SELECT * FROM touched WHERE event_type = 'purchase'),
+agg AS (
+  SELECT date_trunc('day', make_timestamp(us)) AS day,
+         CAST(count(*) AS BIGINT) AS n_purchases,
+         CAST(sum(CASE WHEN last_click_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+         CAST(sum(CASE WHEN last_click_us = first_click_us THEN 1 ELSE 0 END) AS BIGINT) AS n_single_touch,
+         CAST(round(sum(CASE WHEN last_click_us IS NOT NULL
+                             THEN CAST(value AS DECIMAL(30,6))
+                             ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS attributed_value,
+         CAST(sum(CASE WHEN last_click_us IS NOT NULL THEN us - last_click_us ELSE 0 END) AS BIGINT) AS lag_us_total
+  FROM p GROUP BY day
+)
+SELECT day, n_purchases, n_attributed, n_single_touch,
+       round(n_attributed / CAST(n_purchases AS DOUBLE), 4) AS attribution_rate,
+       attributed_value,
+       CASE WHEN n_attributed > 0
+            THEN round(lag_us_total / CAST(n_attributed AS DOUBLE) / 6e7, 4) END AS avg_lag_minutes
+FROM agg
+"""
+
+
 # --- rolling WAU from merged daily HLL sketches (r9) ------------------
 
 
@@ -1491,6 +1616,16 @@ FROM hqest CROSS JOIN n0
 
 OPS = {
     "events_tumbling_window": Op("events_tumbling_window", events_tumbling_window, TUMBLING_SQL),
+    "events_purchase_attribution": Op(
+        "events_purchase_attribution",
+        events_purchase_attribution,
+        ATTRIBUTION_SQL,
+        description=(
+            "first/last-touch purchase attribution from one user-"
+            "partitioned RANGE window (no purchase x click self-join); "
+            "daily rate/revenue/lag rollup"
+        ),
+    ),
     "events_wau_hll_rolling": Op(
         "events_wau_hll_rolling",
         events_wau_hll_rolling,

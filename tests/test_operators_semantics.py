@@ -1348,3 +1348,53 @@ def test_kcore_trace_matches_python_reference(spark, sf_dir):
             deg[u] = deg.get(u, 0) + 1
             deg[v] = deg.get(v, 0) + 1
         assert all(d >= _KCORE_K for d in deg.values())
+
+
+def test_purchase_attribution_planted(spark):
+    """Planted truth for the attribution window: a click 60 minutes
+    before the purchase attributes (lag 60.0); a click 8 days before is
+    outside the 7-day lookback; a purchase with no click at all stays
+    unattributed; two clicks before one purchase make it multi-touch
+    (first != last, last-touch lag wins)."""
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from deker_server_adapters_spark.operators.events import (
+        events_purchase_attribution,
+    )
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    def row(eid, uid, dt, etype, value=10.0):
+        return (eid, dt, uid, etype, value, "{}")
+
+    rows = [
+        # user 1: click 60 min before purchase -> attributed, lag 60
+        row(1, 1, t0 - timedelta(minutes=60), "click"),
+        row(2, 1, t0, "purchase", 100.0),
+        # user 2: click 8 days before -> NOT attributed
+        row(3, 2, t0 - timedelta(days=8), "click"),
+        row(4, 2, t0, "purchase", 50.0),
+        # user 3: no click at all -> NOT attributed
+        row(5, 3, t0, "purchase", 25.0),
+        # user 4: clicks 120 and 30 min before -> multi-touch, lag 30
+        row(6, 4, t0 - timedelta(minutes=120), "click"),
+        row(7, 4, t0 - timedelta(minutes=30), "click"),
+        row(8, 4, t0, "purchase", 200.0),
+    ]
+    d = tempfile.mkdtemp(prefix="attr_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = events_purchase_attribution(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_purchases == 4
+    assert r.n_attributed == 2  # users 1 and 4
+    assert r.n_single_touch == 1  # user 1 only
+    assert r.attribution_rate == 0.5
+    assert r.attributed_value == 300.0
+    assert r.avg_lag_minutes == 45.0  # mean of 60 and 30
