@@ -1982,6 +1982,93 @@ FROM agg
 """
 
 
+_WILSON_Z = 1.96
+_WILSON_TOPK = 20
+
+
+def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand lineitem RETURN RATE ranked by the Wilson score lower
+    bound — the confidence-aware ranking every "worst offenders" report
+    needs: a brand with 3/4 returns must not outrank one with 300/1000,
+    which raw rate ordering gets wrong. The registry's first
+    interval-estimate shape.
+
+    Determinism: n and k are exact integer counts; the Wilson bound
+    (z = 1.96) is one fixed expression tree of IEEE ops over them —
+    identical in both engines — rounded to 6 dp before ranking, and
+    ties break on (bound, rate, brand). Scale shape: one
+    lineitem→part equi-join (brand rides the part side), one
+    map-side-combined groupBy over ~25 brands, TakeOrderedAndProject
+    for the top-K — no window over the fact table."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+    )
+    p = F.col("n_returned") / F.col("n")
+    z2n = F.lit(_WILSON_Z * _WILSON_Z) / F.col("n")
+    wilson = (
+        p
+        + z2n / 2
+        - F.lit(_WILSON_Z)
+        * F.sqrt((p * (1 - p) + z2n / 4) / F.col("n"))
+    ) / (1 + z2n)
+    scored = per_brand.select(
+        "p_brand",
+        "n",
+        "n_returned",
+        F.round(p, 6).alias("return_rate"),
+        F.round(wilson, 6).alias("wilson_lb"),
+    )
+    topk = scored.orderBy(
+        F.desc("wilson_lb"), F.desc("return_rate"), "p_brand"
+    ).limit(_WILSON_TOPK)
+    w = Window.orderBy(F.desc("wilson_lb"), F.desc("return_rate"), "p_brand")
+    return topk.select(
+        "p_brand",
+        "n",
+        "n_returned",
+        "return_rate",
+        "wilson_lb",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+WILSON_SQL = f"""
+WITH per_brand AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+),
+scored AS (
+  SELECT p_brand, n, n_returned,
+         round(n_returned / CAST(n AS DOUBLE), 6) AS return_rate,
+         round(
+           (n_returned / CAST(n AS DOUBLE)
+            + ({_WILSON_Z * _WILSON_Z} / n) / 2
+            - {_WILSON_Z} * sqrt((n_returned / CAST(n AS DOUBLE)
+                                  * (1 - n_returned / CAST(n AS DOUBLE))
+                                  + ({_WILSON_Z * _WILSON_Z} / n) / 4) / n))
+           / (1 + {_WILSON_Z * _WILSON_Z} / n), 6) AS wilson_lb
+  FROM per_brand
+)
+SELECT p_brand, n, n_returned, return_rate, wilson_lb, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY wilson_lb DESC, return_rate DESC, p_brand) AS rnk
+  FROM scored
+) t WHERE rnk <= {_WILSON_TOPK}
+"""
+
+
 _KCORE_K = 96
 _KCORE_ROUNDS = 6
 
@@ -2209,6 +2296,16 @@ OPS = {
             "per-nation delivery-delay OLS slope vs ship month — "
             "integer-sum regression, exact accumulation, one final "
             "IEEE division"
+        ),
+    ),
+    "brand_return_rate_wilson": Op(
+        "brand_return_rate_wilson",
+        brand_return_rate_wilson,
+        WILSON_SQL,
+        description=(
+            "per-brand return rate ranked by the Wilson score lower "
+            "bound (confidence-aware worst-offender ranking); "
+            f"top-{_WILSON_TOPK} via TakeOrdered"
         ),
     ),
     "parts_copurchase_kcore": Op(

@@ -1398,3 +1398,52 @@ def test_purchase_attribution_planted(spark):
     assert r.attribution_rate == 0.5
     assert r.attributed_value == 300.0
     assert r.avg_lag_minutes == 45.0  # mean of 60 and 30
+
+
+def test_wilson_bound_orders_confidence_not_raw_rate(spark):
+    """The whole point of the Wilson ranking: 1/1 returned (raw rate
+    1.0) must rank BELOW 300/1000 (raw 0.30) because a single sample
+    can't support its rate (lb 0.2066 < 0.2724) — and the bound values
+    match the closed form."""
+    import math
+    import os
+    import tempfile
+
+    from deker_server_adapters_spark.operators.tpch import (
+        _WILSON_Z,
+        brand_return_rate_wilson,
+    )
+
+    rows = []
+    pk = 0
+    parts = []
+    # brand A: 1 item, 1 returned; brand B: 1000 items, 300 returned
+    for brand, n, k in (("A", 1, 1), ("B", 1000, 300)):
+        for i in range(n):
+            pk += 1
+            parts.append((pk, brand))
+            rows.append((pk, "R" if i < k else "N"))
+    d = tempfile.mkdtemp(prefix="wil_")
+    spark.createDataFrame(rows, "l_partkey long, l_returnflag string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(parts, "p_partkey long, p_brand string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "part.parquet"))
+    got = {r.p_brand: r for r in brand_return_rate_wilson(spark, d).collect()}
+
+    def wilson(k, n):
+        p = k / n
+        z2n = _WILSON_Z * _WILSON_Z / n
+        return round(
+            (p + z2n / 2 - _WILSON_Z * math.sqrt((p * (1 - p) + z2n / 4) / n))
+            / (1 + z2n),
+            6,
+        )
+
+    assert got["A"].return_rate == 1.0 and got["B"].return_rate == 0.3
+    assert got["A"].wilson_lb == wilson(1, 1)
+    assert got["B"].wilson_lb == wilson(300, 1000)
+    # confidence flips the raw-rate order
+    assert got["B"].wilson_lb > got["A"].wilson_lb
+    assert got["B"].rnk < got["A"].rnk
