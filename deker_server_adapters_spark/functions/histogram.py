@@ -25,10 +25,44 @@ state is ≤ groups × bins count rows; the cumulative window runs over
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def round_ties_safe(col: Union[Column, str], digits: int) -> Column:
+    """Cross-engine tie-safe fixed-point rounding: floor(x·10^d + 0.5)
+    / 10^d expressed as plain IEEE double ops, so Spark and DuckDB
+    produce the bit-identical result whenever the unrounded input is
+    bit-identical.
+
+    Why not ``F.round``: Spark's round(double, d) goes through
+    BigDecimal HALF_UP on the shortest decimal rendering while DuckDB
+    scales the binary double, so a value whose rendering terminates in
+    ``…5`` at digit d+1 (money-grid inputs through the histogram
+    device hit this) rounds differently — the exact r9
+    ``nation_order_value_quantiles`` failure (NATION_12 median
+    265367.6184375: Spark …438 vs DuckDB …437). This expression is the
+    same three IEEE ops in both engines, so ties cannot diverge.
+    Halves round toward +inf (not away from zero) for negatives —
+    irrelevant for parity, documented for consumers. Valid while
+    |x|·10^d < 2^53 (Spark's floor(double) yields BIGINT, exactly
+    representable back as double in that range).
+
+    Pair with :func:`round_ties_safe_sql` in the oracle SQL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scale = F.lit(float(10**digits))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def round_ties_safe_sql(expr: str, digits: int) -> str:
+    """DuckDB fragment mirroring :func:`round_ties_safe` bit-for-bit:
+    ``floor((expr) * 10^d + 0.5) / 10^d`` with the scale spelled as a
+    double literal so both engines run the identical IEEE ops."""
+    scale = repr(float(10**digits))
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
 def grouped_hist_quantile_estimates(

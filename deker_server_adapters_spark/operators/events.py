@@ -19,6 +19,7 @@ from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.functions.histogram import (
     grouped_hist_quantile_estimates,
     hist_quantile_sql_ctes,
+    round_ties_safe,
 )
 from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
 
@@ -1591,7 +1592,7 @@ def events_session_duration_quantiles(spark: SparkSession, sf_dir: str) -> DataF
         "q",
         F.col("n").cast("long").alias("n_sessions"),
         "n_single_event",
-        F.round(F.col("est") / 1e6, 6).alias("est_duration_sec"),
+        round_ties_safe(F.col("est") / 1e6, 6).alias("est_duration_sec"),
     )
 
 
@@ -1609,7 +1610,7 @@ n0 AS (
   FROM dur
 )
 SELECT q, CAST(n AS BIGINT) AS n_sessions, n0.n_single_event,
-       round(est / 1e6, 6) AS est_duration_sec
+       floor((est / 1e6) * 1000000.0 + 0.5) / 1000000.0 AS est_duration_sec
 FROM hqest CROSS JOIN n0
 """
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deker_server_adapters_spark.functions.histogram import round_ties_safe
 from deker_server_adapters_spark.functions.vectors import cosine_similarity, dot
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
@@ -1287,7 +1288,7 @@ def ann_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.withColumn(
-            "cosine", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+            "cosine", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
         )
         .filter(F.col("cosine") >= _TJ_TAU)
         .select("a_id", "b_id", "cosine")
@@ -1328,7 +1329,7 @@ WITH b AS (
   WHERE pa.vec_id < pb.vec_id
 ), scored AS (
   SELECT c.a_id, c.b_id,
-         round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+         floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS cosine
   FROM cand c
   JOIN embeddings ea ON ea.vec_id = c.a_id
   JOIN embeddings eb ON eb.vec_id = c.b_id
@@ -1350,7 +1351,7 @@ def ann_threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
         .withColumn(
-            "cosine", F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+            "cosine", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
         )
         .filter(F.col("cosine") >= _TJ_TAU)
         .select("a_id", "b_id")
@@ -1363,14 +1364,19 @@ def ann_threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.join(found, ["a_id", "b_id"], "left")
         .agg(
             F.count("*").cast("long").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+            F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
         )
         .crossJoin(F.broadcast(n_found))
         .select(
             "n_exact",
             "n_found",
             "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+            F.when(
+                F.col("n_exact") > 0,
+                round_ties_safe(F.col("n_hit") / F.col("n_exact"), 4),
+            ).alias("recall"),
         )
     )
 
@@ -1381,15 +1387,17 @@ WITH found AS ({_threshold_join_sql()}),
 exact AS (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {_TJ_TAU}
+  WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 >= {_TJ_TAU}
 )
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
        (SELECT CAST(count(*) AS BIGINT) FROM found) AS n_found,
        (SELECT CAST(count(*) AS BIGINT) FROM exact e JOIN found f
           ON e.a_id = f.a_id AND e.b_id = f.b_id) AS n_hit,
-       round((SELECT count(*) FROM exact e JOIN found f
-          ON e.a_id = f.a_id AND e.b_id = f.b_id)
-         / CAST((SELECT count(*) FROM exact) AS DOUBLE), 4) AS recall
+       CASE WHEN (SELECT count(*) FROM exact) > 0 THEN
+         floor(((SELECT count(*) FROM exact e JOIN found f
+            ON e.a_id = f.a_id AND e.b_id = f.b_id)
+           / CAST((SELECT count(*) FROM exact) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+       END AS recall
 """
 
 

@@ -22,6 +22,8 @@ from pyspark.sql.window import Window
 from deker_server_adapters_spark.functions.histogram import (
     grouped_hist_quantile_estimates,
     hist_quantile_sql_ctes,
+    round_ties_safe,
+    round_ties_safe_sql,
 )
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
@@ -1412,7 +1414,7 @@ def _rfm_hist_bounds(spark: SparkSession, rfm: DataFrame) -> DataFrame:
     )
     hit = grouped_hist_quantile_estimates(
         spark, pairs, ["metric"], (0.2, 0.4, 0.6, 0.8), _RFM_BINS
-    ).select("metric", "q", F.round("est", 9).alias("b"))
+    ).select("metric", "q", round_ties_safe("est", 9).alias("b"))
     # 12 boundary rows fold into one broadcastable row of 3 sorted arrays
     return hit.groupBy().agg(
         *[
@@ -1456,7 +1458,7 @@ bounds AS (
   SELECT list(b ORDER BY q) FILTER (WHERE metric = 'r') AS rb,
          list(b ORDER BY q) FILTER (WHERE metric = 'f') AS fb,
          list(b ORDER BY q) FILTER (WHERE metric = 'm') AS mb
-  FROM (SELECT metric, q, round(est, 9) AS b FROM hqest) t
+  FROM (SELECT metric, q, floor(est * 1000000000.0 + 0.5) / 1000000000.0 AS b FROM hqest) t
 ),
 seg AS (
   SELECT o_custkey, recency, frequency, monetary,
@@ -1614,7 +1616,13 @@ def nation_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hit bin (error ≤ 2 bin widths of the nation's value range plus
     the bracketing order-stat gap — the contract the estimator test
     pins). All arithmetic is single
-    IEEE ops over exact counts, replayed bit-for-bit by the oracle."""
+    IEEE ops over exact counts, replayed bit-for-bit by the oracle —
+    including the final 6-dp rounding, which goes through the shared
+    tie-safe ``round_ties_safe`` (NOT engine-native round: money-grid
+    inputs through equal-width bins land on …5-terminating decimal
+    renderings where Spark's HALF_UP and DuckDB's binary scaling
+    disagree; the r9 driver red row, pinned by
+    ``test_round_half_tie_cross_engine_regression``)."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1628,12 +1636,12 @@ def nation_order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.groupBy("n_name").agg(
         F.max(F.col("n").cast("long")).alias("n_orders"),
-        F.max(F.when(F.col("q") == 0.5, F.round(F.col("est"), 6))).alias(
-            "median_est"
-        ),
-        F.max(F.when(F.col("q") == 0.9, F.round(F.col("est"), 6))).alias(
-            "p90_est"
-        ),
+        F.max(
+            F.when(F.col("q") == 0.5, round_ties_safe(F.col("est"), 6))
+        ).alias("median_est"),
+        F.max(
+            F.when(F.col("q") == 0.9, round_ties_safe(F.col("est"), 6))
+        ).alias("p90_est"),
     )
 
 
@@ -1648,8 +1656,8 @@ WITH vals AS (
 ),
 {hq_nation}
 SELECT n_name, max(CAST(n AS BIGINT)) AS n_orders,
-       max(CASE WHEN q = 0.5 THEN round(est, 6) END) AS median_est,
-       max(CASE WHEN q = 0.9 THEN round(est, 6) END) AS p90_est
+       max(CASE WHEN q = 0.5 THEN {round_ties_safe_sql("est", 6)} END) AS median_est,
+       max(CASE WHEN q = 0.9 THEN {round_ties_safe_sql("est", 6)} END) AS p90_est
 FROM hqest GROUP BY n_name
 """
 
@@ -1820,7 +1828,7 @@ def customer_spend_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (0.2, 0.4, 0.6, 0.8),
             _NQ_BINS,
         )
-        .select("half", "q", F.round("est", 9).alias("b"))
+        .select("half", "q", round_ties_safe("est", 9).alias("b"))
         .groupBy("half")
         .agg(
             F.transform(
@@ -1883,7 +1891,7 @@ percust AS (
 {hq_migration},
 bounds AS (
   SELECT half, list(b ORDER BY q) AS bs
-  FROM (SELECT half, q, round(est, 9) AS b FROM hqest) t
+  FROM (SELECT half, q, floor(est * 1000000000.0 + 0.5) / 1000000000.0 AS b FROM hqest) t
   GROUP BY half
 ),
 tiers AS (
@@ -1952,8 +1960,10 @@ def nation_shipping_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_name",
         F.col("n").alias("n_items"),
-        F.round(F.col("sy") / F.col("n").cast("double"), 4).alias("avg_latency_days"),
-        F.round(num.cast("double") / den.cast("double"), 6).alias(
+        round_ties_safe(F.col("sy") / F.col("n").cast("double"), 4).alias(
+            "avg_latency_days"
+        ),
+        round_ties_safe(num.cast("double") / den.cast("double"), 6).alias(
             "slope_days_per_month"
         ),
     )
@@ -1975,9 +1985,10 @@ WITH base AS (
   FROM base GROUP BY n_name
 )
 SELECT n_name, n AS n_items,
-       round(sy / CAST(n AS DOUBLE), 4) AS avg_latency_days,
-       round(CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
-             / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 6) AS slope_days_per_month
+       floor((sy / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS avg_latency_days,
+       floor((CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE)
+              / CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS slope_days_per_month
 FROM agg
 """
 
@@ -2024,8 +2035,8 @@ def brand_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         "n",
         "n_returned",
-        F.round(p, 6).alias("return_rate"),
-        F.round(wilson, 6).alias("wilson_lb"),
+        round_ties_safe(p, 6).alias("return_rate"),
+        round_ties_safe(wilson, 6).alias("wilson_lb"),
     )
     topk = scored.orderBy(
         F.desc("wilson_lb"), F.desc("return_rate"), "p_brand"
@@ -2051,14 +2062,14 @@ WITH per_brand AS (
 ),
 scored AS (
   SELECT p_brand, n, n_returned,
-         round(n_returned / CAST(n AS DOUBLE), 6) AS return_rate,
-         round(
+         floor((n_returned / CAST(n AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS return_rate,
+         floor((
            (n_returned / CAST(n AS DOUBLE)
             + ({_WILSON_Z * _WILSON_Z} / n) / 2
             - {_WILSON_Z} * sqrt((n_returned / CAST(n AS DOUBLE)
                                   * (1 - n_returned / CAST(n AS DOUBLE))
                                   + ({_WILSON_Z * _WILSON_Z} / n) / 4) / n))
-           / (1 + {_WILSON_Z * _WILSON_Z} / n), 6) AS wilson_lb
+           / (1 + {_WILSON_Z * _WILSON_Z} / n)) * 1000000.0 + 0.5) / 1000000.0 AS wilson_lb
   FROM per_brand
 )
 SELECT p_brand, n, n_returned, return_rate, wilson_lb, CAST(rnk AS INT) AS rnk
@@ -2200,7 +2211,7 @@ def parts_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
             "v",
             "cn",
-            F.round(
+            round_ties_safe(
                 F.col("cn")
                 / (F.col("du") + F.col("dv") - F.col("cn") - F.lit(2)).cast("double"),
                 6,
@@ -2245,7 +2256,7 @@ ek AS (
   SELECT u, v, CAST(count(*) AS BIGINT) AS cn FROM tri_edges GROUP BY u, v
 ), scored AS (
   SELECT c.u, c.v, c.cn,
-         round(c.cn / CAST(du.deg + dv.deg - c.cn - 2 AS DOUBLE), 6) AS jaccard
+         floor((c.cn / CAST(du.deg + dv.deg - c.cn - 2 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
   FROM cn c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
 )
 SELECT u AS part_a, v AS part_b, cn AS common_neighbors, jaccard, CAST(rnk AS INT) AS rnk

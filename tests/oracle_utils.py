@@ -19,12 +19,18 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    # Driver-faithful (r10): NO float rounding here. The driver hashes
+    # values exactly, so the local gate must too — the r9 red row
+    # (nation_order_value_quantiles, a 6th-decimal divergence of an
+    # already-rounded column) sailed through the old round-to-9dp +
+    # rtol=1e-9 compare and failed the driver. Floats are only
+    # dtype-widened to float64 (the carrier both engines arrive in).
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
+            df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]) or df[c].dtype == object and all(
             isinstance(v, int) for v in df[c].dropna().head(5)
         ):
@@ -61,7 +67,20 @@ def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
             )
     a, b = _normalize(sp), _normalize(duck_df)
     try:
-        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9)
+        # Exact compare — the pass criterion, faithful to the driver's
+        # value hash. NaN==NaN is allowed (pandas treats them equal),
+        # matching a hash over a stable NULL/NaN encoding.
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     except AssertionError as e:
-        return False, str(e)[:800]
+        # Diagnostic second pass only: say whether the divergence is
+        # precision-scale (would have passed the old lenient gate) so
+        # the failure message points at rounding-convention bugs.
+        try:
+            pd.testing.assert_frame_equal(
+                a, b, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+            )
+            hint = " [within rtol=1e-9: precision/rounding-convention divergence]"
+        except AssertionError:
+            hint = ""
+        return False, str(e)[:800] + hint
     return True, "ok"

@@ -98,3 +98,63 @@ def test_rolling_1h_parity_at_sf001(spark):
     finally:
         con.close()
     assert ok, msg
+
+
+def test_round_half_tie_cross_engine_regression(spark):
+    """Pinned r9 driver-red regression: NATION_12's sf0.01 median
+    estimate is the bit-identical double 265367.6184375 in both
+    engines, and the engines' NATIVE round(x, 6) then DISAGREES —
+    Spark (BigDecimal HALF_UP on the decimal rendering) says
+    ...618438, DuckDB (binary-double scaling) says ...618437. The
+    shared tie-safe rounding (functions/histogram.round_ties_safe /
+    round_ties_safe_sql) must agree bit-for-bit on exactly this value,
+    and on a money-grid probe of other decimal-halfway renderings."""
+    import duckdb
+
+    from deker_server_adapters_spark.functions.histogram import (
+        round_ties_safe,
+        round_ties_safe_sql,
+    )
+
+    tie = 265367.6184375
+    con = duckdb.connect()
+    try:
+        # 1) the hazard is real: native rounds disagree on the tie
+        duck_native = con.execute(
+            f"SELECT round({tie!r}::DOUBLE, 6)"
+        ).fetchone()[0]
+        spark_native = spark.range(1).select(
+            F.round(F.lit(tie), 6).alias("v")
+        ).collect()[0]["v"]
+        assert spark_native != duck_native, (
+            "engines now agree on native round(tie, 6) — if Spark or "
+            "DuckDB changed rounding semantics, revisit whether "
+            "round_ties_safe is still needed"
+        )
+        # 2) the shared tie-safe rounding agrees exactly on the tie
+        duck_safe = con.execute(
+            f"SELECT {round_ties_safe_sql(repr(tie) + '::DOUBLE', 6)}"
+        ).fetchone()[0]
+        spark_safe = spark.range(1).select(
+            round_ties_safe(F.lit(tie), 6).alias("v")
+        ).collect()[0]["v"]
+        assert spark_safe == duck_safe
+        # 3) money-grid tie probe: values whose 7th decimal rendering
+        # terminates in 5 (the class the histogram device emits over
+        # cent-grid inputs), plus negatives and 9/4-dp conventions
+        probes = [
+            (i + j / 1e7, d)
+            for i in (0, 3, 265367, 999999)
+            for j in (5, 15, 25, 4375, 8125)
+            for d in (4, 6, 9)
+        ] + [(-265367.6184375, 6), (-0.00000315, 6)]
+        for v, d in probes:
+            ds = con.execute(
+                f"SELECT {round_ties_safe_sql(repr(v) + '::DOUBLE', d)}"
+            ).fetchone()[0]
+            ss = spark.range(1).select(
+                round_ties_safe(F.lit(v), d).alias("v")
+            ).collect()[0]["v"]
+            assert ss == ds, f"tie probe diverged at ({v!r}, {d})"
+    finally:
+        con.close()
