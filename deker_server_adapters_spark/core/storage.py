@@ -579,12 +579,18 @@ class ChunkStore:
                 for f in names
                 if f.endswith(".parquet") and not f.startswith(".")
             ]
-            # in-flight/orphaned temps only — Hadoop .crc checksum
-            # companions are bookkeeping, not uncommitted data
+            # in-flight/orphaned temps only — count just the engine's
+            # own temp name shapes (writer temps + compact temps), not
+            # any dotfile: Hadoop .crc companions or unrelated hidden
+            # files must not read as uncommitted writes
+            from deker_server_adapters_spark.sources.deker_datasource import (
+                TMP_PREFIX as _TMP,
+            )
+
             n_temp = sum(
                 1
                 for f in names
-                if f.startswith(".") and not f.endswith(".crc")
+                if f.startswith(_TMP) or f.startswith(".part-compact-")
             )
             total = 0
             for f in vis:
@@ -613,6 +619,60 @@ class ChunkStore:
             "array_id string, chunk_idx long, n_files long, "
             "bytes long, n_temp long",
         )
+
+    def gc_temps(self, max_age_sec: float = 86400.0) -> int:
+        """Reclaim dot-prefixed temp files orphaned by CRASHED writes.
+
+        Commit-time GC is scoped to each write's own write_id-stamped
+        temp names (sources/deker_datasource._finalize_files), so a
+        write that dies before commit leaves temps nobody else may
+        touch — invisible to every reader, but disk they hold is real.
+        This explicit maintenance pass removes writer temps
+        (``TMP_PREFIX``) and stale compact temps (``.part-compact-*
+        .tmp``) older than ``max_age_sec``. The age gate is the safety
+        contract: run it only with ``max_age_sec`` comfortably above
+        the longest write a live job could still be executing (default
+        one day). Distributed the same way as ``maintenance_stats`` —
+        driver lists dirs (metadata), executors stat and delete."""
+        import glob as _glob
+        import time as _time
+
+        from deker_server_adapters_spark.sources.deker_datasource import (
+            TMP_PREFIX as _TMP,
+        )
+
+        dirs = _glob.glob(os.path.join(self.path, "array_id=*", "chunk_idx=*"))
+        if not dirs:
+            return 0
+        cutoff = _time.time() - float(max_age_sec)
+
+        def _gc(d: str) -> int:
+            import os as _os
+
+            removed = 0
+            try:
+                names = _os.listdir(d)
+            except FileNotFoundError:
+                return 0
+            for f in names:
+                is_writer_tmp = f.startswith(_TMP)
+                is_compact_tmp = f.startswith(".part-compact-") and f.endswith(
+                    ".tmp"
+                )
+                if not (is_writer_tmp or is_compact_tmp):
+                    continue
+                p = _os.path.join(d, f)
+                try:
+                    if _os.path.getmtime(p) < cutoff:
+                        _os.remove(p)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+            return removed
+
+        sc = self.spark.sparkContext
+        n_slices = min(len(dirs), sc.defaultParallelism)
+        return sc.parallelize(dirs, n_slices).map(_gc).sum()
 
     def delete_array(self, array_id: str) -> None:
         """Drop all chunk partitions of one array (metadata-cheap: a
@@ -801,11 +861,22 @@ class ChunkStore:
                 "legacy_rank", (F.dense_rank().over(w) - 1).cast("long")
             )
         )
+        # LEFT join + 3-way coalesce, not INNER: the two scans list
+        # files independently, so a file appearing between them (a
+        # concurrent compact/append racing this COW, or listing skew
+        # between the broadcast job and the main job) has no rank row.
+        # Under an inner join its rows would silently vanish from
+        # `source` and overwrite_chunks would persist the loss; with
+        # the left join an unmatched file degrades to the old flat -1
+        # (a possible reorder among legacy seq-less runs, never loss).
         source = (
             self.scan(array_id, idxs)
             .withColumn("fp", F.col("_metadata.file_path"))
-            .join(F.broadcast(file_ranks), ["chunk_idx", "fp"])
-            .withColumn("seq", F.coalesce(F.col("seq"), F.col("legacy_rank")))
+            .join(F.broadcast(file_ranks), ["chunk_idx", "fp"], "left")
+            .withColumn(
+                "seq",
+                F.coalesce(F.col("seq"), F.col("legacy_rank"), F.lit(-1)),
+            )
             .drop("fp", "legacy_rank")
         )
         updated = source.mapInPandas(patch_chunks, CHUNK_SCHEMA)

@@ -1261,7 +1261,18 @@ def docs_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the Jaccard op's (the device is shared):
     DF-ceiling pruning kills ubiquitous shingles, the shingle
     equi-join bounds candidates, sizes broadcast back per side — no
-    all-pairs stage anywhere."""
+    all-pairs stage anywhere.
+    Score semantics (ADVICE r9): BOTH |S_A ∩ S_B| and the
+    min(|S_A|, |S_B|) denominator are computed AFTER the shared
+    DF-ceiling shingle pruning — ubiquitous shingles participate in
+    neither. So scores are containment over the DISCRIMINATIVE
+    shingle sets: a short doc made mostly of ubiquitous shingles gets
+    a denominator of only its rare shingles (scores can read higher
+    than unpruned C(A,B)), and a doc consisting ENTIRELY of pruned
+    shingles is undetectable by construction. That is the same
+    trade the Jaccard op makes, deterministic cross-engine, and the
+    planted-pair pytest covers the intended short-in-long shape.
+    """
     sh = _shingle_table(spark, sf_dir)
     rare = (
         sh.groupBy("shingle")

@@ -1190,7 +1190,15 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1e-6, and the rollup mean decimal-accumulates the rounded H
     (the ``user_value_decay`` convention). Scale shape: one explode
     (linear in corpus chars), two map-side-combined groupBys — no
-    windows, no driver materialization."""
+    windows, no driver materialization.
+
+    Corpus assumption (ADVICE r9): "character" here is what
+    ``split(text, '')`` yields — UTF-16 code units in Spark/Java vs
+    grapheme clusters in DuckDB. On BMP text without combining marks
+    or ZWJ emoji sequences (this corpus: ASCII-ish synthetic docs,
+    pinned by the parity gate) the two agree; a corpus with such
+    sequences would need a codepoint-explicit transform spelled
+    identically in both engines before this oracle pairing holds."""
     docs = load_table(spark, sf_dir, "documents")
     chars = docs.select(
         "doc_id",

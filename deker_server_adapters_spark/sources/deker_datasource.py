@@ -648,6 +648,14 @@ class DekerWriter(DataSourceArrowWriter):
         self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
         self.shape, self.chunk_shape = _grid_geometry(meta)
         self.create_arrays = create_arrays
+        # per-WRITE job id, minted driver-side and serialized into
+        # every task: temp files carry it, and commit-time GC removes
+        # ONLY this write's own temp names — two concurrent writers
+        # (or a writer racing a streaming sink) can no longer GC each
+        # other's in-flight attempts
+        import uuid as _uuid
+
+        self.write_id = _uuid.uuid4().hex[:16]
         cols = [f.name for f in schema.fields]
         expected = ["array_id", *self.dim_names, "value"]
         if sorted(cols) != sorted(expected):
@@ -733,7 +741,9 @@ class DekerWriter(DataSourceArrowWriter):
             # skips hidden files; our own listings glob non-dot) until
             # commit() renames it. A crashed attempt therefore orphans
             # nothing a read or compact can see.
-            path = os.path.join(d, f"{TMP_PREFIX}{task_id}.parquet")
+            path = os.path.join(
+                d, f"{TMP_PREFIX}{self.write_id}-{task_id}.parquet"
+            )
             seqs = []
             for _ in runs:
                 if run_counter == 1 << _SEQ_COUNTER_BITS:
@@ -764,11 +774,18 @@ class DekerWriter(DataSourceArrowWriter):
     def _finalize_files(self, messages, rename) -> None:
         """Driver-side publish: rename each committed task's temp files
         to their final (visible) names via ``rename(path, pid, i)``,
-        then garbage-collect any OTHER temp file left in the touched
-        chunk dirs — those are failed/superseded task attempts whose
-        data the committed files already carry. Requires the documented
-        single-concurrent-writer-per-collection discipline (two live
-        writers could GC each other's in-flight attempts)."""
+        then garbage-collect temp files of THIS WRITE ONLY (names
+        carrying ``self.write_id``) left in the touched chunk dirs —
+        failed/superseded task attempts of this job whose data the
+        committed files already carry. A concurrent writer's in-flight
+        temps carry a different write_id and survive untouched, so two
+        live writers on one collection can both commit (r10; was an
+        unguarded any-temp GC behind a docstring-level single-writer
+        discipline). Temps orphaned by a CRASHED write (never
+        committed, so never GC'd here) stay invisible to every reader
+        and are reclaimed by the explicit age-gated
+        ``ChunkStore.gc_temps`` maintenance path."""
+        own = TMP_PREFIX + self.write_id + "-"
         touched = set()
         for pid, m in enumerate(messages):
             renamed = []
@@ -781,7 +798,7 @@ class DekerWriter(DataSourceArrowWriter):
                 m.files = tuple(renamed)
         for d in touched:
             for f in os.listdir(d):
-                if f.startswith(TMP_PREFIX):
+                if f.startswith(own):
                     try:
                         os.remove(os.path.join(d, f))
                     except FileNotFoundError:
@@ -845,9 +862,10 @@ class DekerStreamWriter(DataSourceStreamWriter):
       file — never visible, removed at this batch's commit;
     - driver crash BEFORE commit: every written file is still
       temp-named, so readers, the changefeed, and ``compact`` see
-      nothing; the replayed batch's commit (or any later commit
-      touching the dir) removes the orphans — no double-counting in
-      cell scans or downstream aggregates;
+      nothing; later commits of the SAME query run GC them (shared
+      write_id), and orphans of an abandoned run are reclaimed by the
+      age-gated ``ChunkStore.gc_temps`` maintenance path — no
+      double-counting in cell scans or downstream aggregates;
     - driver crash AFTER commit but before the checkpoint records the
       offset: the replayed batch regenerates the same cells under the
       SAME final names and ``os.replace`` overwrites in place
@@ -855,10 +873,11 @@ class DekerStreamWriter(DataSourceStreamWriter):
       differ, and the replay's stamps are newer than every earlier
       write, so last-write-wins placement is unchanged).
 
-    ``abort`` removes the failed batch's temp files. One concurrent
-    writer per collection (the GC assumes temp files in a committed
-    dir are its own orphans). The chunks dir must be shared storage,
-    as for every other path in this engine.
+    ``abort`` removes the failed batch's temp files. Commit-time GC is
+    scoped to this query's own write_id-stamped temp names, so a
+    concurrent batch writer or second sink on the same collection is
+    safe (r10). The chunks dir must be shared storage, as for every
+    other path in this engine.
 
     Reference parity: the continuous-ingest counterpart of the
     create+write flow (base.py:111-160); subset PUT stays on the COW

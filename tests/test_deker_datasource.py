@@ -799,7 +799,9 @@ def test_orphaned_temp_files_are_invisible_and_gcd(spark, tmp_path):
     store = ChunkStore(spark, os.path.join(root, "collections", "w"))
     store.compact()
     assert os.path.exists(orphan)  # compact never touches in-flight temps
-    # a committed write touching the same chunk dir GCs the orphan
+    # r10: a committed FOREIGN write must NOT GC the orphan — for all
+    # this writer knows, it is another live writer's in-flight attempt
+    # (the r9 two-writer mutual-GC hazard). It stays invisible.
     (
         spark.createDataFrame([("a1", 0, 1, 7.0)], "array_id string, x long, y long, value double")
         .coalesce(1)
@@ -807,9 +809,15 @@ def test_orphaned_temp_files_are_invisible_and_gcd(spark, tmp_path):
         .option("path", root).option("collection", "w")
         .mode("append").save()
     )
-    assert not os.path.exists(orphan)
+    assert os.path.exists(orphan)
     got = arr.read_data((slice(None), slice(None)))
     assert got[0, 0] == 0.0 and got[0, 1] == 7.0
+    # reclamation belongs to the explicit age-gated maintenance path:
+    # young temps survive (could be in-flight), aged ones are removed
+    assert store.gc_temps(max_age_sec=3600) == 0
+    assert os.path.exists(orphan)
+    assert store.gc_temps(max_age_sec=0) == 1
+    assert not os.path.exists(orphan)
 
 
 def test_dedup_cells_option_resolves_last_write_wins(spark, tmp_path):
@@ -1255,3 +1263,62 @@ def test_seq_overflow_reserves_global_range(spark, tmp_path, monkeypatch):
         pq.read_table(f)["seq"].to_pylist()[-1] for f in commit.files
     )
     assert storage.next_write_seq() > max_seq
+
+
+def test_two_concurrent_writers_both_commit(spark, tmp_path):
+    """r10 (VERDICT r9 item 4): two writers interleaved on ONE
+    collection — each writes its task files, then both commit. With
+    the old any-temp GC, the first commit deleted the second writer's
+    still-temp files and its commit crashed (os.replace on a vanished
+    source) or silently lost data. Scoped write_id GC must let both
+    commits land: all cells visible, no temp left behind."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+
+    from deker_server_adapters_spark.sources.deker_datasource import (
+        DekerWriter,
+        TMP_PREFIX,
+    )
+
+    root = str(tmp_path / "wh2w")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    read_schema = (
+        spark.createDataFrame(
+            [("a1", 0, 0, 0.0)], "array_id string, x long, y long, value double"
+        ).schema
+    )
+
+    def batch(rows):
+        return pa.RecordBatch.from_pylist(
+            [dict(array_id=a, x=x, y=y, value=v) for a, x, y, v in rows]
+        )
+
+    w1 = DekerWriter(root, "w", read_schema, create_arrays=True)
+    w2 = DekerWriter(root, "w", read_schema, create_arrays=True)
+    assert w1.write_id != w2.write_id
+    # both writers target the SAME chunk dir (cells in chunk 0)
+    m1 = w1.write(iter([batch([("a1", 0, 0, 1.0), ("a1", 0, 1, 2.0)])]))
+    m2 = w2.write(iter([batch([("a1", 1, 0, 3.0), ("a1", 1, 1, 4.0)])]))
+    # writer 1 commits while writer 2's files are still temp-named
+    w1.commit([m1])
+    for path in m2.files:
+        assert os.path.exists(path), "w1's commit GC'd w2's in-flight temp"
+    w2.commit([m2])
+    pdf = (
+        spark.read.format("deker").option("path", root)
+        .option("collection", "w").load().toPandas()
+    )
+    got = {(r.x, r.y): r.value for r in pdf.itertuples()}
+    assert got == {(0, 0): 1.0, (0, 1): 2.0, (1, 0): 3.0, (1, 1): 4.0}
+    chunks_dir = os.path.join(root, "collections", "w", "chunks")
+    leftovers = [
+        f
+        for d in _glob.glob(os.path.join(chunks_dir, "array_id=*", "chunk_idx=*"))
+        for f in os.listdir(d)
+        if f.startswith(TMP_PREFIX)
+    ]
+    assert leftovers == []
