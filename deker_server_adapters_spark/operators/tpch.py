@@ -2167,6 +2167,119 @@ e{r} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+# --- graph analytics: label-propagation communities (r10) -------------
+
+_LPA_ROUNDS = 4
+_LPA_TOPK = 20
+
+
+def _lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation over an undirected edge list
+    (u, v): every node starts as its own label; each round a node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    MIN label — both choices make the fixed-round trace a pure
+    function of the graph, so the oracle replays it exactly (the
+    raghavan-style async variant is order-dependent and can't be
+    engine-replayed). Fixed ``rounds`` like PageRank/k-core: bounded
+    work, engine-comparable, and on this corpus the label table is
+    stable by the last round (pinned by the planted-communities test
+    on the convergence property, not wall-clock luck).
+
+    Scale shape — the iterative fixed-topology pattern: the
+    symmetrized adjacency builds ONCE (localCheckpoint) and never
+    reshuffles; each round is one hash join of labels into adj on the
+    narrow nb key, one map-side-combined (n, label) count, and one
+    per-node window over that node's distinct neighbor labels (≤ deg
+    rows — never a global sort). Labels localCheckpoint per round:
+    without the lineage cut round r's plan nests every earlier round
+    (the dedup_components/k-core lesson)."""
+    adj = (
+        edges.select(F.col("u").alias("n"), F.col("v").alias("nb"))
+        .union(edges.select(F.col("v").alias("n"), F.col("u").alias("nb")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("n").distinct().withColumn("label", F.col("n"))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        counts = (
+            adj.join(labels.select(F.col("n").alias("nb"), "label"), "nb")
+            .groupBy("n", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def parts_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the part co-purchase graph via
+    ``_LPA_ROUNDS`` rounds of synchronous min-tie-break label
+    propagation — the graph family's clustering member next to
+    PageRank (centrality), triangles/Jaccard (local structure), and
+    k-core (dense backbone). Emits the top-``_LPA_TOPK`` communities
+    by size: the category-like part groups a merchandiser would read.
+
+    Reference parity: no counterpart (the reference is an HTTP
+    adapter); this extends SURVEY §2.2's graph analytics line."""
+    edges, _ = _copurchase_graph(spark, sf_dir)
+    labels = _lpa_labels(edges, _LPA_ROUNDS)
+    comm = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    topk = comm.orderBy(F.desc("n_nodes"), "label").limit(_LPA_TOPK)
+    w = Window.orderBy(F.desc("n_nodes"), "label")
+    return topk.select(
+        F.col("label").alias("community"),
+        "n_nodes",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+def _lpa_sql() -> str:
+    # AS MATERIALIZED for the same reason as k-core: round r reads
+    # round r-1 once but DuckDB would inline the whole chain into
+    # every reference without it
+    parts = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)""",
+        """adj AS MATERIALIZED (
+  SELECT u AS n, v AS nb FROM edges UNION ALL SELECT v AS n, u AS nb FROM edges
+)""",
+        """l0 AS MATERIALIZED (
+  SELECT n, n AS label FROM (SELECT DISTINCT n FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges) q) t
+)""",
+    ]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT n, label FROM (
+    SELECT n, label, row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+    FROM (SELECT a.n AS n, l.label AS label, count(*) AS c
+          FROM adj a JOIN l{r - 1} l ON l.n = a.nb GROUP BY a.n, l.label) g
+  ) t WHERE rn = 1
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT community, n_nodes, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         row_number() OVER (ORDER BY count(*) DESC, label) AS rnk
+  FROM l{_LPA_ROUNDS} GROUP BY label
+) t WHERE rnk <= {_LPA_TOPK}
+"""
+    )
+
+
 _JAC_TOPK = 20
 
 
@@ -2327,6 +2440,16 @@ OPS = {
             f"bounded k-core peeling (K={_KCORE_K}, {_KCORE_ROUNDS} "
             "rounds): per-round (nodes, edges) decay trace; the edge "
             "table only shrinks, unrolled-CTE oracle"
+        ),
+    ),
+    "parts_copurchase_lpa": Op(
+        "parts_copurchase_lpa",
+        parts_copurchase_lpa,
+        _lpa_sql(),
+        description=(
+            "synchronous min-tie-break label propagation communities "
+            "on the co-purchase graph, fixed rounds, per-round "
+            "localCheckpoint; top-20 communities by size"
         ),
     ),
     "parts_copurchase_jaccard": Op(

@@ -1447,3 +1447,60 @@ def test_wilson_bound_orders_confidence_not_raw_rate(spark):
     # confidence flips the raw-rate order
     assert got["B"].wilson_lb > got["A"].wilson_lb
     assert got["B"].rnk < got["A"].rnk
+
+
+def test_lpa_planted_communities(spark):
+    """Synchronous min-tie-break LPA on a planted two-clique graph
+    bridged by one edge: the cliques must converge to two DISTINCT
+    stable labels (each clique's min node id) — the bridge must not
+    merge them — and re-running one extra round must be a fixed point
+    (the convergence property the registry op's fixed _LPA_ROUNDS
+    relies on)."""
+    from deker_server_adapters_spark.operators.tpch import _lpa_labels
+
+    cliques = ([0, 1, 2, 3, 4], [10, 11, 12, 13, 14])
+    edges = [
+        (u, v)
+        for clique in cliques
+        for i, u in enumerate(clique)
+        for v in clique[i + 1 :]
+    ] + [(4, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    labels4 = {r.n: r.label for r in _lpa_labels(df, 4).collect()}
+    assert all(labels4[n] == 0 for n in cliques[0])
+    assert all(labels4[n] == 10 for n in cliques[1])
+    labels5 = {r.n: r.label for r in _lpa_labels(df, 5).collect()}
+    assert labels5 == labels4  # fixed point reached
+
+
+def test_lpa_labels_match_python_reference(spark, sf_dir):
+    """The registry graph's round-_LPA_ROUNDS label table must equal an
+    exact in-memory replay of synchronous min-tie-break propagation —
+    the same style of oracle-independent ground truth as the k-core
+    trace test."""
+    from collections import Counter
+
+    from deker_server_adapters_spark.operators.tpch import (
+        _LPA_ROUNDS,
+        _copurchase_graph,
+        _lpa_labels,
+    )
+
+    edges_df = _copurchase_graph(spark, sf_dir)[0]
+    edges = [(r.u, r.v) for r in edges_df.collect()]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    labels = {n: n for n in adj}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for n, nbs in adj.items():
+            cnt = Counter(labels[b] for b in nbs)
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            # most frequent; ties -> min label
+            top = best[1]
+            nxt[n] = min(l for l, c in cnt.items() if c == top)
+        labels = nxt
+    got = {r.n: r.label for r in _lpa_labels(edges_df, _LPA_ROUNDS).collect()}
+    assert got == labels
