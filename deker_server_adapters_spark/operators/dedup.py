@@ -26,6 +26,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from deker_server_adapters_spark.functions.histogram import (
+    round_ties_safe,
+    round_ties_safe_sql,
+)
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
 
@@ -122,7 +126,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
+            round_ties_safe(
                 F.col("n_common")
                 / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
                 4,
@@ -148,11 +152,11 @@ WITH sh AS (
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, n_common,
-       round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) AS jaccard
+       {round_ties_safe_sql("n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)", 4)} AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) >= 0.5
+WHERE {round_ties_safe_sql("n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)", 4)} >= 0.5
 """
 
 
@@ -246,7 +250,7 @@ def minhash_pairs_df(docs: DataFrame) -> DataFrame:
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    est = F.round(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
+    est = round_ties_safe(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
     band_match = " AND ".join(
         f"a.sig[bb*{_BAND_SIZE} + {i}] = b.sig[bb*{_BAND_SIZE} + {i}]"
         for i in range(_BAND_SIZE)
@@ -302,12 +306,12 @@ WITH sh AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) AS est_jaccard
+       {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} AS est_jaccard
 FROM cand
 JOIN sigs sa ON sa.doc_id = doc_a
 JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
 GROUP BY doc_a, doc_b
-HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+HAVING {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} >= 0.5
 """
 
 
@@ -337,7 +341,7 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(
+            round_ties_safe(
                 F.sum(F.col("est_jaccard").cast("decimal(20,4)")).cast("double")
                 / F.count("*"),
                 4,
@@ -351,7 +355,7 @@ WITH pairs AS ({MINHASH_SQL})
 SELECT least(da.source, db.source) AS source_lo,
        greatest(da.source, db.source) AS source_hi,
        count(*) AS n_pairs,
-       round(CAST(sum(CAST(est_jaccard AS DECIMAL(20,4))) AS DOUBLE) / count(*), 4)
+       {round_ties_safe_sql("CAST(sum(CAST(est_jaccard AS DECIMAL(20,4))) AS DOUBLE) / count(*)", 4)}
            AS avg_est_jaccard
 FROM pairs p
 JOIN documents da ON da.doc_id = p.doc_a
@@ -556,7 +560,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cosine", F.round(cos, 4))
+        .withColumn("cosine", round_ties_safe(cos, 4))
         .filter(F.col("cosine") >= _EMB_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -593,7 +597,7 @@ def dedup_embedding_exact(
         pairs = enforce_budget(pairs, max_rows=max_rows, max_bytes=max_bytes)
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.withColumn("cosine", F.round(cos, 4))
+        pairs.withColumn("cosine", round_ties_safe(cos, 4))
         .filter(F.col("cosine") >= _EMB_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -630,11 +634,11 @@ WITH b AS (
   FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
 )
 SELECT vec_a, vec_b,
-       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+       {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 4)} AS cosine
 FROM cand
 JOIN embeddings ea ON ea.vec_id = vec_a
 JOIN embeddings eb ON eb.vec_id = vec_b
-WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= {_EMB_THRESHOLD}
+WHERE {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 4)} >= {_EMB_THRESHOLD}
 """
 
 
@@ -814,7 +818,7 @@ WITH RECURSIVE sh AS (
   JOIN sigs sa ON sa.doc_id = doc_a
   JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
   GROUP BY doc_a, doc_b
-  HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+  HAVING {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} >= 0.5
 ), edges AS (
   SELECT doc_a, doc_b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
@@ -871,7 +875,7 @@ def docs_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            round_ties_safe(
                 F.col("n_common")
                 / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
                 4,
@@ -885,7 +889,7 @@ def docs_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             "est_jaccard",
             F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
-            F.round(
+            round_ties_safe(
                 F.abs(F.col("est_jaccard") - F.coalesce("exact_jaccard", F.lit(0.0))), 4
             ).alias("abs_err"),
         )
@@ -914,12 +918,12 @@ WITH sh AS (
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ), pairs AS (
   SELECT doc_a, doc_b,
-         round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) AS est_jaccard
+         {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} AS est_jaccard
   FROM cand
   JOIN sigs sa ON sa.doc_id = doc_a
   JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
   GROUP BY doc_a, doc_b
-  HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+  HAVING {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} >= 0.5
 ), pair_docs AS (
   SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
 ), shp AS (
@@ -932,14 +936,14 @@ WITH sh AS (
   GROUP BY doc_a, doc_b
 ), exact AS (
   SELECT c.doc_a, c.doc_b,
-         round(c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE), 4) AS exact_jaccard
+         {round_ties_safe_sql("c.n_common / CAST(sa.n_shingles + sb.n_shingles - c.n_common AS DOUBLE)", 4)} AS exact_jaccard
   FROM common c
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b
 )
 SELECT p.doc_a, p.doc_b, p.est_jaccard,
        COALESCE(e.exact_jaccard, 0.0) AS exact_jaccard,
-       round(abs(p.est_jaccard - COALESCE(e.exact_jaccard, 0.0)), 4) AS abs_err
+       {round_ties_safe_sql("abs(p.est_jaccard - COALESCE(e.exact_jaccard, 0.0))", 4)} AS abs_err
 FROM pairs p
 LEFT JOIN exact e ON p.doc_a = e.doc_a AND p.doc_b = e.doc_b
 """
@@ -1048,7 +1052,7 @@ WITH RECURSIVE base AS (
   JOIN sigs sa ON sa.doc_id = doc_a
   JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
   GROUP BY doc_a, doc_b
-  HAVING round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}, 4) >= 0.5
+  HAVING {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} >= 0.5
 ), edges AS (
   SELECT doc_a, doc_b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
@@ -1127,7 +1131,7 @@ def docs_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_windows",
             "n_dup_windows",
-            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
+            round_ties_safe(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
         )
     )
 
@@ -1177,7 +1181,7 @@ def docs_dup_width_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_doc.agg(
                 F.sum("nw").alias("n_windows"),
                 F.sum("nd").alias("n_dup_windows"),
-                F.round(F.sum("nd") / F.sum("nw"), 4).alias("dup_frac"),
+                round_ties_safe(F.sum("nd") / F.sum("nw"), 4).alias("dup_frac"),
                 F.sum((F.col("nd") > 0).cast("int")).alias("n_docs_with_dup"),
             ).select(
                 F.lit(n).cast("int").alias("width"),
@@ -1203,7 +1207,7 @@ def _dup_width_sql() -> str:
 SELECT CAST({n} AS INT) AS width,
        CAST(sum(nw) AS BIGINT) AS n_windows,
        CAST(sum(nd) AS BIGINT) AS n_dup_windows,
-       round(sum(nd) / CAST(sum(nw) AS DOUBLE), 4) AS dup_frac,
+       {round_ties_safe_sql("sum(nd) / CAST(sum(nw) AS DOUBLE)", 4)} AS dup_frac,
        CAST(sum(CASE WHEN nd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_dup
 FROM (
   SELECT doc_id, count(*) AS nw, sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS nd
@@ -1238,7 +1242,7 @@ counts AS (SELECT gh, count(*) AS n_occ FROM grams GROUP BY gh)
 SELECT g.doc_id,
        count(*) AS n_windows,
        CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-       round(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+       {round_ties_safe_sql("sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS dup_frac
 FROM grams g JOIN counts c ON g.gh = c.gh
 GROUP BY g.doc_id
 """
@@ -1299,14 +1303,14 @@ def docs_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .withColumn(
             "containment",
-            F.round(
+            round_ties_safe(
                 F.col("n_common") / F.least("size_a", "size_b").cast("double"), 4
             ),
         )
         .filter(F.col("containment") >= _CONTAIN_TAU)
         .withColumn(
             "jaccard",
-            F.round(
+            round_ties_safe(
                 F.col("n_common")
                 / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
                     "double"
@@ -1333,12 +1337,12 @@ WITH sh AS (
   GROUP BY doc_a, doc_b
 )
 SELECT doc_a, doc_b, n_common,
-       round(n_common / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 4) AS containment,
-       round(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 4) AS jaccard
+       {round_ties_safe_sql("n_common / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE)", 4)} AS containment,
+       {round_ties_safe_sql("n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE)", 4)} AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_common / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE), 4) >= {_CONTAIN_TAU}
+WHERE {round_ties_safe_sql("n_common / CAST(least(sa.n_shingles, sb.n_shingles) AS DOUBLE)", 4)} >= {_CONTAIN_TAU}
 """
 
 

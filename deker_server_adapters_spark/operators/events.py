@@ -20,6 +20,7 @@ from deker_server_adapters_spark.functions.histogram import (
     grouped_hist_quantile_estimates,
     hist_quantile_sql_ctes,
     round_ties_safe,
+    round_ties_safe_sql,
 )
 from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
 
@@ -262,16 +263,18 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``percentile`` and DuckDB ``quantile_cont`` share the continuous
     quantile definition)."""
     ev = load_table(spark, sf_dir, "events")
+    # Interpolated quantile = (1-f)*a + f*b: a non-dyadic double, the r9
+    # red-row hazard class — tie-safe rounding, never engine-native.
     return ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        round_ties_safe(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        round_ties_safe(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
     )
 
 
 PERCENTILES_SQL = f"""
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.9), 4) AS p90
+       {round_ties_safe_sql("quantile_cont(value, 0.5)", 4)} AS p50,
+       {round_ties_safe_sql("quantile_cont(value, 0.9)", 4)} AS p90
 FROM {EVENTS_DUCK}
 GROUP BY event_type
 """
@@ -348,6 +351,8 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
+        # native-round-ok: rv is DECIMAL(30,6) (difference of decimal
+        # running sums) — base-10-exact, both engines HALF_UP identically
         F.round("rv", 2).cast("double").alias("rolling_1h_value"),
         F.col("rc").alias("rolling_1h_events"),
     )
@@ -677,7 +682,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .withColumn("z", F.round(z, 2))
+        .withColumn("z", round_ties_safe(z, 2))
         .filter(F.abs(F.col("z")) > 3)
         .select("event_id", "event_type", "value", "z")
     )
@@ -698,9 +703,9 @@ stats AS (
   FROM stats
 )
 SELECT ev.event_id, ev.event_type, ev.value,
-       round((ev.value - m.mean) / nullif(m.std, 0.0), 2) AS z
+       {round_ties_safe_sql("(ev.value - m.mean) / nullif(m.std, 0.0)", 2)} AS z
 FROM ev JOIN m ON ev.event_type = m.event_type
-WHERE abs(round((ev.value - m.mean) / nullif(m.std, 0.0), 2)) > 3
+WHERE abs({round_ties_safe_sql("(ev.value - m.mean) / nullif(m.std, 0.0)", 2)}) > 3
 """
 
 
@@ -755,7 +760,7 @@ def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_gaps"),
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
-        F.round(
+        round_ties_safe(
             F.sum(F.col("gap_us").cast("decimal(30,0)")).cast("double") / F.count("*"), 4
         ).alias("avg_gap_us"),
     )
@@ -770,7 +775,7 @@ WITH seq AS (
 SELECT user_id, count(*) AS n_gaps,
        min(us - prev_us) AS min_gap_us,
        max(us - prev_us) AS max_gap_us,
-       round(CAST(sum(CAST(us - prev_us AS DECIMAL(30,0))) AS DOUBLE) / count(*), 4)
+       {round_ties_safe_sql("CAST(sum(CAST(us - prev_us AS DECIMAL(30,0))) AS DOUBLE) / count(*)", 4)}
          AS avg_gap_us
 FROM seq
 WHERE prev_us IS NOT NULL
@@ -841,7 +846,7 @@ def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "hour",
         "n_events",
-        F.round(F.col("n_events") / F.col("n_days"), 4).alias("avg_per_day"),
+        round_ties_safe(F.col("n_events") / F.col("n_days"), 4).alias("avg_per_day"),
     )
 
 
@@ -857,7 +862,7 @@ WITH base AS (
   SELECT dow, count(DISTINCT d) AS n_days FROM base GROUP BY dow
 )
 SELECT c.dow, c.hour, c.n_events,
-       round(c.n_events / CAST(dy.n_days AS DOUBLE), 4) AS avg_per_day
+       {round_ties_safe_sql("c.n_events / CAST(dy.n_days AS DOUBLE)", 4)} AS avg_per_day
 FROM counts c JOIN days dy ON c.dow = dy.dow
 """
 
@@ -881,12 +886,17 @@ def events_user_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     tm = ev.agg(F.max(F.unix_micros("ts")).alias("t_max"))
     w = F.exp(-(F.col("t_max") - F.unix_micros("ts")) / F.lit(float(_DECAY_TAU_US)))
-    contrib = F.round(F.col("value") * w, 9).cast("decimal(30,9)")
+    # Tie-safe 9-dp fix of the non-dyadic value*exp(...) double before
+    # the decimal cast (cast of the grid-adjacent result is then
+    # deterministic and engine-identical).
+    contrib = round_ties_safe(F.col("value") * w, 9).cast("decimal(30,9)")
     return (
         ev.crossJoin(F.broadcast(tm))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
+            # native-round-ok: contrib is DECIMAL(30,9); the sum is exact
+            # decimal, rounded identically (HALF_UP) by both engines
             F.round(F.sum(contrib), 4).cast("double").alias("decayed_value"),
         )
     )
@@ -895,7 +905,7 @@ def events_user_value_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECAY_SQL = f"""
 WITH tm AS (SELECT max(epoch_us(ts)) AS t_max FROM {EVENTS_DUCK})
 SELECT user_id, count(*) AS n_events,
-       CAST(round(sum(CAST(round(value * exp(-(tm.t_max - epoch_us(ts)) / {float(_DECAY_TAU_US)}), 9)
+       CAST(round(sum(CAST({round_ties_safe_sql(f"value * exp(-(tm.t_max - epoch_us(ts)) / {float(_DECAY_TAU_US)})", 9)}
                            AS DECIMAL(30,9))), 4) AS DOUBLE) AS decayed_value
 FROM {EVENTS_DUCK} CROSS JOIN tm
 GROUP BY user_id
@@ -988,7 +998,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     mau = base.groupBy("month").agg(F.countDistinct("user_id").alias("mau"))
     a = dau.groupBy("month").agg(
         F.count("*").alias("n_days"),
-        F.round(
+        round_ties_safe(
             F.sum(F.col("dau").cast("decimal(30,0)")).cast("double") / F.count("*"), 4
         ).alias("avg_dau"),
     )
@@ -997,7 +1007,7 @@ def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         "avg_dau",
         "mau",
-        F.round(F.col("avg_dau") / F.col("mau").cast("double"), 6).alias("stickiness"),
+        round_ties_safe(F.col("avg_dau") / F.col("mau").cast("double"), 6).alias("stickiness"),
     )
 
 
@@ -1011,11 +1021,11 @@ WITH base AS (
   SELECT month, count(DISTINCT user_id) AS mau FROM base GROUP BY month
 ), a AS (
   SELECT month, count(*) AS n_days,
-         round(CAST(sum(CAST(dau AS DECIMAL(30,0))) AS DOUBLE) / count(*), 4) AS avg_dau
+         {round_ties_safe_sql("CAST(sum(CAST(dau AS DECIMAL(30,0))) AS DOUBLE) / count(*)", 4)} AS avg_dau
   FROM dau GROUP BY month
 )
 SELECT a.month AS month, a.n_days, a.avg_dau, m.mau,
-       round(a.avg_dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+       {round_ties_safe_sql("a.avg_dau / CAST(m.mau AS DOUBLE)", 6)} AS stickiness
 FROM a JOIN mau m ON a.month = m.month
 """
 
@@ -1103,7 +1113,7 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rn") == 1)
         .select(
             "q",
-            F.round(
+            round_ties_safe(
                 F.col("mn")
                 + (
                     F.col("bin")
@@ -1123,21 +1133,21 @@ def events_value_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
             F.element_at(
                 F.array(*[F.lit(q) for q in _HIST_QS]), F.col("i") + 1
             ).alias("q"),
-            F.round(F.col("exact_raw"), 6).alias("exact_value"),
+            round_ties_safe(F.col("exact_raw"), 6).alias("exact_value"),
         )
     )
     return hit.join(exact, "q").select(
         "q",
         "est_value",
         "exact_value",
-        F.round(F.col("est_value") - F.col("exact_value"), 6).alias("err"),
+        round_ties_safe(F.col("est_value") - F.col("exact_value"), 6).alias("err"),
     )
 
 
 def _hist_quantiles_sql() -> str:
     b = _HIST_BINS
     exacts = "\nUNION ALL\n".join(
-        f"SELECT {q} AS q, round(quantile_cont(value, {q}), 6) AS exact_value FROM {EVENTS_DUCK}"
+        f"SELECT {q} AS q, {round_ties_safe_sql(f'quantile_cont(value, {q})', 6)} AS exact_value FROM {EVENTS_DUCK}"
         for q in _HIST_QS
     )
     qvals = ", ".join(f"({q})" for q in _HIST_QS)
@@ -1157,7 +1167,7 @@ cum AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM hist),
 qs(q) AS (VALUES {qvals}),
 hit AS (
   SELECT q,
-         round(mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(b)}), 6) AS est_value
+         {round_ties_safe_sql(f"mn + (bin + (q * n - (cum - cnt)) / cnt) * ((mx - mn) / {float(b)})", 6)} AS est_value
   FROM (
     SELECT qs.q, c.bin, c.cnt, c.cum, mm.mn, mm.mx, mm.n,
            row_number() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn
@@ -1167,7 +1177,7 @@ hit AS (
 ),
 ex AS ({exacts})
 SELECT hit.q, hit.est_value, ex.exact_value,
-       round(hit.est_value - ex.exact_value, 6) AS err
+       {round_ties_safe_sql("hit.est_value - ex.exact_value", 6)} AS err
 FROM hit JOIN ex ON hit.q = ex.q
 """
 
@@ -1250,11 +1260,11 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.crossJoin(F.broadcast(exact)).select(
         F.lit(_HLL_M).cast("long").alias("m_registers"),
         F.col("occupied").cast("long").alias("occupied"),
-        F.round(est, 4).alias("est_users"),
+        round_ties_safe(est, 4).alias("est_users"),
         F.col("n_exact"),
         F.when(
             F.col("n_exact") > 0,
-            F.round((est - F.col("n_exact")) / F.col("n_exact") * 100, 4),
+            round_ties_safe((est - F.col("n_exact")) / F.col("n_exact") * 100, 4),
         ).alias("err_pct"),
     )
 
@@ -1296,9 +1306,9 @@ est AS (
 )
 SELECT CAST({_HLL_M} AS BIGINT) AS m_registers,
        CAST(occupied AS BIGINT) AS occupied,
-       round(e, 4) AS est_users,
+       {round_ties_safe_sql("e", 4)} AS est_users,
        ex.n_exact,
-       CASE WHEN ex.n_exact > 0 THEN round((e - ex.n_exact) / ex.n_exact * 100, 4) END AS err_pct
+       CASE WHEN ex.n_exact > 0 THEN {round_ties_safe_sql("(e - ex.n_exact) / ex.n_exact * 100", 4)} END AS err_pct
 FROM est CROSS JOIN ex
 """
 
@@ -1382,13 +1392,13 @@ def events_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         "n_attributed",
         "n_single_touch",
-        F.round(F.col("n_attributed") / F.col("n_purchases"), 4).alias(
+        round_ties_safe(F.col("n_attributed") / F.col("n_purchases"), 4).alias(
             "attribution_rate"
         ),
         "attributed_value",
         F.when(
             F.col("n_attributed") > 0,
-            F.round(
+            round_ties_safe(
                 F.col("lag_us_total") / F.col("n_attributed") / 6e7, 4
             ),
         ).alias("avg_lag_minutes"),
@@ -1420,10 +1430,10 @@ agg AS (
   FROM p GROUP BY day
 )
 SELECT day, n_purchases, n_attributed, n_single_touch,
-       round(n_attributed / CAST(n_purchases AS DOUBLE), 4) AS attribution_rate,
+       {round_ties_safe_sql("n_attributed / CAST(n_purchases AS DOUBLE)", 4)} AS attribution_rate,
        attributed_value,
        CASE WHEN n_attributed > 0
-            THEN round(lag_us_total / CAST(n_attributed AS DOUBLE) / 6e7, 4) END AS avg_lag_minutes
+            THEN {round_ties_safe_sql("lag_us_total / CAST(n_attributed AS DOUBLE) / 6e7", 4)} END AS avg_lag_minutes
 FROM agg
 """
 
@@ -1507,8 +1517,8 @@ def events_wau_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ests.join(exact, "day").select(
         "day",
         F.col("wau").alias("exact_wau"),
-        F.round(F.col("e"), 4).alias("est_wau"),
-        F.round((F.col("e") - F.col("wau")) / F.col("wau") * 100, 4).alias(
+        round_ties_safe(F.col("e"), 4).alias("est_wau"),
+        round_ties_safe((F.col("e") - F.col("wau")) / F.col("wau") * 100, 4).alias(
             "err_pct"
         ),
     )
@@ -1552,8 +1562,8 @@ est AS (
   FROM sk
 ),
 exact AS ({WAU_SQL})
-SELECT x.day AS day, x.wau AS exact_wau, round(e.e, 4) AS est_wau,
-       round((e.e - x.wau) / x.wau * 100, 4) AS err_pct
+SELECT x.day AS day, x.wau AS exact_wau, {round_ties_safe_sql("e.e", 4)} AS est_wau,
+       {round_ties_safe_sql("(e.e - x.wau) / x.wau * 100", 4)} AS err_pct
 FROM est e JOIN exact x ON e.day = x.day
 """
 
