@@ -492,7 +492,7 @@ class ChunkStore:
             df = df.filter(F.col("chunk_idx").isin([int(i) for i in chunk_idxs]))
         return df
 
-    def compact(self, min_files: int = 2) -> int:
+    def compact(self, min_files: int = 2, gc_temp_age_sec: float = 86400.0) -> int:
         """Maintenance: merge multi-file chunk partitions back to ONE
         parquet file per (array_id, chunk_idx) dir. Bulk appends via the
         ``deker`` writer leave one file per chunk per TASK per write (a
@@ -525,9 +525,19 @@ class ChunkStore:
         consumers: the merged file is a NEW file, so a running
         ``readStream`` re-emits compacted chunks (CDC re-emission, same
         as any COW rewrite).
+
+        Maintenance cadence: each compact() pass also runs the
+        age-gated :meth:`gc_temps` (``gc_temp_age_sec``; 0 disables) —
+        commit-time temp GC is scoped to each write's own job id, so
+        temps from CRASHED writers are reclaimed by nothing else; a
+        deployment that compacts periodically therefore never
+        accumulates invisible orphan disk. Standalone ``gc_temps()``
+        remains for stores that never need compaction.
         """
         import glob as _glob
 
+        if gc_temp_age_sec > 0:
+            self.gc_temps(max_age_sec=gc_temp_age_sec)
         dirs = [
             d
             for d in _glob.glob(os.path.join(self.path, "array_id=*", "chunk_idx=*"))
@@ -666,7 +676,11 @@ class ChunkStore:
                     if _os.path.getmtime(p) < cutoff:
                         _os.remove(p)
                         removed += 1
-                except FileNotFoundError:
+                except OSError:
+                    # skip-and-continue: a vanished/unreadable/undeletable
+                    # file (racing writer, permissions, stale NFS handle,
+                    # EIO) must not abort the whole maintenance sweep and
+                    # lose the count of temps already reclaimed
                     pass
             return removed
 

@@ -58,10 +58,15 @@ def round_ties_safe(col: Union[Column, str], digits: int) -> Column:
 
 
 def round_ties_safe_sql(expr: str, digits: int) -> str:
-    """DuckDB fragment mirroring :func:`round_ties_safe` bit-for-bit:
-    ``floor((expr) * 10^d + 0.5) / 10^d`` with the scale spelled as a
-    double literal so both engines run the identical IEEE ops."""
-    scale = repr(float(10**digits))
+    """SQL fragment mirroring :func:`round_ties_safe` bit-for-bit:
+    ``floor((expr) * 10^d + 0.5) / 10^d``. The scale is spelled in
+    exponent notation (``1e4``) because that parses as DOUBLE in BOTH
+    DuckDB and Spark SQL, while ``10000.0`` parses as DECIMAL in Spark
+    SQL — and ``floor(double)`` is BIGINT there, so a decimal scale
+    would turn the division into decimal arithmetic and change the
+    output type (the fragment is valid in both dialects, so oracles
+    and ``F.expr`` call sites share it)."""
+    scale = f"1e{digits}"
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 

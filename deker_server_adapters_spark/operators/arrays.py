@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deker_server_adapters_spark.functions.histogram import (
+    round_ties_safe,
+    round_ties_safe_sql,
+)
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.scratch import scratch_dir
 from deker_server_adapters_spark.sources.tables import EVENTS_DUCK, load_table
@@ -114,7 +118,7 @@ def varray_cell_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("hour") >= 6) & (F.col("hour") < 18))
         .groupBy("hour")
         .agg(
-            F.round(
+            round_ties_safe(
                 F.sum(F.col("value").cast("decimal(30,6)")).cast("double") / F.count("value"), 4
             ).alias("mean_value"),
             F.count("*").alias("n_cells"),
@@ -136,7 +140,7 @@ WITH cells AS (
   LEFT JOIN cells ON cells.day = d.range AND cells.hour = h.range
 )
 SELECT hour,
-       round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 4) AS mean_value,
+       {round_ties_safe_sql("CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value)", 4)} AS mean_value,
        count(*) AS n_cells
 FROM grid
 WHERE hour >= 6 AND hour < 18
@@ -518,6 +522,111 @@ def deker_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structural.union(data_checks)
 
 
+def deker_gc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-reclamation as a queryable op (VERDICT r10 item 9, the
+    ``deker_compact_stats`` pattern): bulk-ingest the dense event grid
+    once, then simulate CRASHED writers by planting a write-id-stamped
+    dot-temp in every chunk dir with an mtime far past the age gate —
+    plus one FRESH temp that an in-flight writer could still own — and
+    run ``ChunkStore.gc_temps``. Oracled rows are deterministic:
+    structural facts (dirs, planted, counted-before, removed,
+    remaining — the fresh temp MUST survive, proving the age gate) and
+    the post-GC cell count + value checksum, which DuckDB recomputes
+    straight from events, proving GC touched no committed data."""
+    import os as _os
+    import time as _time
+
+    from deker_server_adapters_spark.core import (
+        DimensionSchema,
+        VArraySchema,
+        Warehouse,
+    )
+    from deker_server_adapters_spark.core.storage import ChunkStore
+    from deker_server_adapters_spark.sources.deker_datasource import (
+        TMP_PREFIX,
+        register,
+    )
+
+    root = scratch_dir("deker_gc_")
+    wh = Warehouse(spark, root)
+    schema = VArraySchema(
+        dtype="float64",
+        dimensions=(
+            DimensionSchema("day", _N_DAYS),
+            DimensionSchema("hour", _N_HOURS),
+        ),
+        vgrid=_MX_VGRID,
+    )
+    coll = wh.collections.create("events_grid", schema)
+    register(spark)
+    grid = spark.range(_N_DAYS).select(F.col("id").alias("day")).crossJoin(
+        spark.range(_N_HOURS).select(F.col("id").alias("hour"))
+    )
+    dense = grid.join(_event_cells(spark, sf_dir), ["day", "hour"], "left").select(
+        F.lit("ev").alias("array_id"),
+        "day",
+        "hour",
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+    )
+    (
+        dense.write.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .mode("append")
+        .save()
+    )
+    store = ChunkStore(spark, coll.path)
+    import glob as _glob
+
+    dirs = sorted(
+        _glob.glob(_os.path.join(store.path, "array_id=*", "chunk_idx=*"))
+    )
+    stale = _time.time() - 7200.0
+    for d in dirs:  # one crashed-writer temp per chunk dir
+        p = _os.path.join(d, f"{TMP_PREFIX}deadc0de-0.parquet")
+        with open(p, "wb") as fh:
+            fh.write(b"crashed")
+        _os.utime(p, (stale, stale))
+    fresh = _os.path.join(dirs[0], f"{TMP_PREFIX}1iveca1f-0.parquet")
+    with open(fresh, "wb") as fh:  # an in-flight writer's temp
+        fh.write(b"inflight")
+    before = int(
+        store.maintenance_stats().agg(F.sum("n_temp").alias("t")).first()["t"]
+    )
+    removed = store.gc_temps(max_age_sec=3600.0)
+    after = int(
+        store.maintenance_stats().agg(F.sum("n_temp").alias("t")).first()["t"]
+    )
+    cells = (
+        spark.read.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .load()
+    )
+    structural = spark.createDataFrame(
+        [
+            ("n_chunk_dirs", float(len(dirs))),
+            ("temps_planted", float(len(dirs) + 1)),
+            ("temps_before", float(before)),
+            ("temps_removed", float(removed)),
+            ("temps_after", float(after)),
+        ],
+        "metric string, value double",
+    )
+    data_checks = cells.agg(
+        F.count("*").cast("double").alias("cells_total"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("value_checksum"),
+    ).select(
+        F.expr(
+            "stack(2, 'cells_total', cells_total, "
+            "'value_checksum', value_checksum) AS (metric, value)"
+        )
+    )
+    return structural.union(data_checks)
+
+
 _MX_N_CHUNKS = _MX_VGRID[0] * _MX_VGRID[1]
 COMPACT_STATS_SQL = f"""
 WITH cells AS (
@@ -530,6 +639,24 @@ WITH cells AS (
 SELECT 'n_chunk_dirs' AS metric, {float(_MX_N_CHUNKS)} AS value
 UNION ALL SELECT 'dirs_compacted', {float(_MX_N_CHUNKS)}
 UNION ALL SELECT 'files_after', {float(_MX_N_CHUNKS)}
+UNION ALL SELECT 'cells_total', {float(_N_DAYS * _N_HOURS)}
+UNION ALL SELECT 'value_checksum',
+  (SELECT CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) FROM cells)
+"""
+
+GC_STATS_SQL = f"""
+WITH cells AS (
+  SELECT date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) AS day, hour(ts) AS hour,
+         CAST(round(sum(CAST(value AS DECIMAL(30,6))), 6) AS DOUBLE) AS value
+  FROM {EVENTS_DUCK}
+  WHERE date_diff('day', DATE '{_DAY0}', CAST(ts AS DATE)) BETWEEN 0 AND {_N_DAYS - 1}
+  GROUP BY day, hour
+)
+SELECT 'n_chunk_dirs' AS metric, {float(_MX_N_CHUNKS)} AS value
+UNION ALL SELECT 'temps_planted', {float(_MX_N_CHUNKS + 1)}
+UNION ALL SELECT 'temps_before', {float(_MX_N_CHUNKS + 1)}
+UNION ALL SELECT 'temps_removed', {float(_MX_N_CHUNKS)}
+UNION ALL SELECT 'temps_after', 1.0
 UNION ALL SELECT 'cells_total', {float(_N_DAYS * _N_HOURS)}
 UNION ALL SELECT 'value_checksum',
   (SELECT CAST(round(sum(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) FROM cells)
@@ -560,6 +687,16 @@ OPS = {
             "two-pass bulk ingest -> compact() -> maintenance summary; "
             "oracle pins the post-compact invariants + recomputes the "
             "cell count/value checksum from events"
+        ),
+    ),
+    "deker_gc_stats": Op(
+        "deker_gc_stats",
+        deker_gc_stats,
+        GC_STATS_SQL,
+        description=(
+            "crashed-writer fixture -> age-gated gc_temps -> "
+            "maintenance summary; oracle pins planted/removed/spared "
+            "counts + recomputes the cell checksum from events"
         ),
     ),
     "array_update_roundtrip": Op("array_update_roundtrip", array_update_roundtrip, ARRAY_UPDATE_SQL),

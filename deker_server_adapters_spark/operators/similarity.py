@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from deker_server_adapters_spark.functions.histogram import round_ties_safe
+from deker_server_adapters_spark.functions.histogram import (
+    round_ties_safe,
+    round_ties_safe_sql,
+)
 from deker_server_adapters_spark.functions.vectors import cosine_similarity, dot
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
@@ -55,7 +58,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.round(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6),
+            round_ties_safe(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
@@ -70,10 +73,10 @@ ANN_TOPK_SQL = f"""
 SELECT query_id, neighbor_id, cosine, rnk
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine,
+         {round_ties_safe_sql("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} AS cosine,
          CAST(row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+             ORDER BY {round_ties_safe_sql("list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6)} DESC,
                       c.vec_id) AS INT) AS rnk
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {_N_QUERIES}
@@ -135,7 +138,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = pairs.withColumn(
-        "cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6)
+        "cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -154,7 +157,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exploded.groupBy("label", "dim")
-        .agg(F.round(F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v"), 6).alias("centroid_v"))
+        .agg(round_ties_safe(F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v"), 6).alias("centroid_v"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_dims"),
@@ -163,12 +166,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CENTROID_SQL = """
+CENTROID_SQL = f"""
 WITH exploded AS (
   SELECT label, CAST(u.i - 1 AS INT) AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
 ), cents AS (
-  SELECT label, dim, round(CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(v), 6) AS centroid_v
+  SELECT label, dim, {round_ties_safe_sql("CAST(sum(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / count(v)", 6)} AS centroid_v
   FROM exploded GROUP BY label, dim
 )
 SELECT label, count(*) AS n_dims, CAST(round(sum(CAST(abs(centroid_v) AS DECIMAL(30,12))), 4) AS DOUBLE) AS centroid_l1
@@ -203,7 +206,7 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
 
     def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
+            "sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
         return (
@@ -218,7 +221,7 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
         assigned.select("cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
         .groupBy("cell", "d")
         .agg(
-            F.round(
+            round_ties_safe(
                 F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v"), 9
             ).alias("cv")
         )
@@ -256,7 +259,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1e-9 before ranking — same determinism discipline as the
     # quantizer, so the recall oracle can replay the assignment)
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
+        "sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
     )
     w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
     inv = (
@@ -268,7 +271,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     qcells = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
+        .withColumn("sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
         .withColumn("rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")))
         .filter(F.col("rn") <= _IVF_PROBES)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
@@ -277,7 +280,7 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         inv.join(F.broadcast(qcells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .withColumn("cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -297,6 +300,9 @@ def quantize_int8(emb_col):
         F.lit(1e-30),  # zero vector -> all-zero quantized, not NaN
     )
     scale = F.lit(127.0) / mx
+    # native-round-ok: single-arg round-to-integer is tie-safe — a
+    # shortest rendering of "X.5" implies the double IS exactly X.5
+    # (dyadic), where both engines round half away from zero alike
     return F.transform(emb_col, lambda x: F.round(x.cast("double") * scale).cast("int"))
 
 
@@ -326,7 +332,7 @@ def ann_int8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
     ).withColumn(
         "cosine",
-        F.round(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6),
+        round_ties_safe(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -348,7 +354,7 @@ def _recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
         .groupBy("query_id")
         .agg(
             F.count("hit").alias("n_hits"),
-            F.round(F.count("hit") / F.lit(float(_TOP_K)), 4).alias("recall"),
+            round_ties_safe(F.count("hit") / F.lit(float(_TOP_K)), 4).alias("recall"),
         )
     )
 
@@ -424,7 +430,7 @@ def _duck_lsh_buckets() -> str:
 
 _RECALL_TAIL_SQL = f"""
 SELECT e.query_id, count(a.neighbor_id) AS n_hits,
-       round(count(a.neighbor_id) / {float(_TOP_K)}, 4) AS recall
+       {round_ties_safe_sql(f"count(a.neighbor_id) / {float(_TOP_K)}", 4)} AS recall
 FROM exact e
 LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
@@ -442,7 +448,7 @@ b AS (
   WHERE qb.vec_id < {_N_QUERIES} AND qb.vec_id <> nb.vec_id
 ), scored AS (
   SELECT c.query_id, c.neighbor_id,
-         round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
+         {round_ties_safe_sql("list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6)} AS cosine
   FROM cand c
   JOIN embeddings eq ON eq.vec_id = c.query_id
   JOIN embeddings en ON en.vec_id = c.neighbor_id
@@ -469,7 +475,7 @@ qt AS (
   )
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.qv::DOUBLE[], c.qv::DOUBLE[]), 6) AS cosine
+         {round_ties_safe_sql("list_cosine_similarity(q.qv::DOUBLE[], c.qv::DOUBLE[])", 6)} AS cosine
   FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < {_N_QUERIES}
 ), approx AS (
@@ -497,7 +503,7 @@ seeds AS (
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h32_sql("vec_id")} LIMIT {_IVF_CELLS})
 ), a0 AS (
   SELECT e.vec_id, e.embedding, s.cell,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], s.embedding::DOUBLE[]), 9) AS sim
+         {round_ties_safe_sql("list_cosine_similarity(e.embedding::DOUBLE[], s.embedding::DOUBLE[])", 9)} AS sim
   FROM embeddings e CROSS JOIN seeds s
 ), asg0 AS (
   SELECT vec_id, embedding, cell FROM (
@@ -505,14 +511,14 @@ seeds AS (
   ) t WHERE rn = 1
 ), cent AS (
   SELECT cell, CAST(u.i - 1 AS INT) AS d,
-         round(CAST(sum(CAST(embedding[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*), 9) AS cv
+         {round_ties_safe_sql("CAST(sum(CAST(embedding[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 9)} AS cv
   FROM asg0, UNNEST(range(1, len(embedding) + 1)) u(i)
   GROUP BY cell, d
 ), cents AS (
   SELECT cell, list(cv ORDER BY d) AS ce FROM cent GROUP BY cell
 ), a1 AS (
   SELECT e.vec_id, c.cell,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 9) AS sim
+         {round_ties_safe_sql("list_cosine_similarity(e.embedding::DOUBLE[], c.ce)", 9)} AS sim
   FROM embeddings e CROSS JOIN cents c
 ), inv AS (
   SELECT vec_id AS neighbor_id, cell FROM (
@@ -535,7 +541,7 @@ def _ivf_recall_sql() -> str:
 WITH exact AS ({ANN_TOPK_SQL}),
 {_ivf_cand_cte()}, scored AS (
   SELECT c.query_id, c.neighbor_id,
-         round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
+         {round_ties_safe_sql("list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6)} AS cosine
   FROM cand c
   JOIN embeddings eq ON eq.vec_id = c.query_id
   JOIN embeddings en ON en.vec_id = c.neighbor_id
@@ -705,7 +711,7 @@ def pq_codebooks(
         # rounded to 1e-9 before ranking (ties then break to the lowest
         # c) so the DuckDB oracle's replay assigns identically — the
         # IVF/kmeans determinism discipline
-        dist = F.round(
+        dist = round_ties_safe(
             F.aggregate(
                 F.zip_with(F.col("sv"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
                 F.lit(0.0),
@@ -728,7 +734,7 @@ def pq_codebooks(
             assigned.select("m", "code", F.posexplode(F.col("sv")).alias("d", "v"))
             .groupBy("m", "code", "d")
             .agg(
-                F.round(
+                round_ties_safe(
                     F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
                     / F.count("v"),
                     9,
@@ -768,9 +774,9 @@ def _pq_train_cte() -> str:
 
     m, k, iters = _PQ_M, _PQ_K, _PQ_ITERS
     sub = _DIM // m
-    sqdist = (
-        "round(list_sum(list_transform(list_zip(s.sv, b.ce), "
-        "z -> (z[1] - z[2]) * (z[1] - z[2]))), 9)"
+    sqdist = round_ties_safe_sql(
+        "list_sum(list_transform(list_zip(s.sv, b.ce), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))", 9
     )
     parts = [
         f"""pqseeds AS (
@@ -796,7 +802,7 @@ def _pq_train_cte() -> str:
   ) t WHERE rn = 1
 ), pqcb{i + 1}m AS (
   SELECT m, c, CAST(u.i - 1 AS INT) AS d,
-         round(CAST(sum(CAST(sv[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*), 9) AS cv
+         {round_ties_safe_sql("CAST(sum(CAST(sv[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 9)} AS cv
   FROM pqasg{i}, UNNEST(range(1, {sub} + 1)) u(i)
   GROUP BY m, c, d
 ), pqcb{i + 1} AS (
@@ -835,7 +841,7 @@ _PQ_RERANK_TAIL = f"""pqshort AS (
   ) t WHERE rnk <= {_PQ_RERANK}
 ), pqscored AS (
   SELECT p.query_id, p.neighbor_id,
-         round(list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS cosine
+         {round_ties_safe_sql("list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6)} AS cosine
   FROM pqshort p
   JOIN embeddings eq ON eq.vec_id = p.query_id
   JOIN embeddings en ON en.vec_id = p.neighbor_id
@@ -856,7 +862,7 @@ def _pq_recall_sql() -> str:
 WITH exact AS ({ANN_TOPK_SQL}),
 {_pq_train_cte()}, pqadc AS (
   SELECT l.query_id, cd.vec_id AS neighbor_id,
-         round(sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2))), 6) AS adc_cosine
+         {round_ties_safe_sql("sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2)))", 6)} AS adc_cosine
   FROM pq_codes cd
   JOIN pqlut l ON l.m = cd.m AND l.c = cd.code
   JOIN pqqn n ON n.query_id = l.query_id
@@ -876,7 +882,7 @@ WITH exact AS ({ANN_TOPK_SQL}),
 {_ivf_cand_cte()},
 {_pq_train_cte()}, pqadc AS (
   SELECT c.query_id, c.neighbor_id,
-         round(sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2))), 6) AS adc_cosine
+         {round_ties_safe_sql("sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2)))", 6)} AS adc_cosine
   FROM cand c
   JOIN pq_codes cd ON cd.vec_id = c.neighbor_id
   JOIN pqlut l ON l.query_id = c.query_id AND l.m = cd.m AND l.c = cd.code
@@ -950,7 +956,7 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "adc_cosine",
-            F.round(F.col("qdot") / (F.col("qn") * F.sqrt(F.col("n2"))), 6),
+            round_ties_safe(F.col("qdot") / (F.col("qn") * F.sqrt(F.col("n2"))), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), "neighbor_id")
@@ -965,7 +971,7 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reranked = (
         ne.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qe.filter(F.col("query_id") < _N_QUERIES)), "query_id")
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .withColumn("cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -993,7 +999,7 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _local_centroids(emb)
     # inverted file: cell per vector (same discipline as ann_ivf_cosine)
     scored_cells = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
+        "sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
     )
     w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
     inv = (
@@ -1004,7 +1010,7 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     qcells = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("sim", F.round(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
+        .withColumn("sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
         .withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")),
@@ -1054,7 +1060,7 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qdot").alias("qdot"), F.sum("cnorm2").alias("n2"))
         .join(F.broadcast(qn), "query_id")
-        .withColumn("adc_cosine", F.round(F.col("qdot") / (F.col("qn") * F.sqrt(F.col("n2"))), 6))
+        .withColumn("adc_cosine", round_ties_safe(F.col("qdot") / (F.col("qn") * F.sqrt(F.col("n2"))), 6))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("adc_cosine"), "neighbor_id")
     shortlist = (
@@ -1067,7 +1073,7 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reranked = (
         ne.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qe.filter(F.col("query_id") < _N_QUERIES)), "query_id")
-        .withColumn("cosine", F.round(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .withColumn("cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6))
     )
     w3 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -1086,6 +1092,8 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, _books = pq_codebooks(emb)
     return codes.groupBy("m", "code").agg(
         F.count("*").alias("n_points"),
+        # native-round-ok: rows-only op (no cross-engine oracle);
+        # NumPy-parity pytest pins its values
         F.round(F.avg("dist"), 6).alias("avg_sq_err"),
     )
 
@@ -1188,6 +1196,8 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = kmeans_assignments(emb)
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_points"),
+        # native-round-ok: rows-only op (no cross-engine oracle);
+        # NumPy-parity pytest pins its values
         F.round(F.avg(F.expr("array_min(dists)")), 6).alias("avg_sqdist"),
     )
 

@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deker_server_adapters_spark.functions.histogram import (
+    round_ties_safe,
+    round_ties_safe_sql,
+)
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
 
@@ -67,11 +71,13 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.expr(f"CAST({n_tokens} AS BIGINT)").alias("n_tokens"),
-        F.expr(f"round({stop_ratio}, 4)").alias("stopword_ratio"),
-        F.expr(f"round({mean_tok_len}, 4)").alias("mean_token_len"),
-        F.expr(f"round({punct_ratio}, 4)").alias("punct_ratio"),
+        F.expr(round_ties_safe_sql(stop_ratio, 4)).alias("stopword_ratio"),
+        F.expr(round_ties_safe_sql(mean_tok_len, 4)).alias("mean_token_len"),
+        F.expr(round_ties_safe_sql(punct_ratio, 4)).alias("punct_ratio"),
         F.expr(
-            f"round(0.5 * ({stop_ratio}) + 0.1 * ({mean_tok_len}) - 0.4 * ({punct_ratio}), 4)"
+            round_ties_safe_sql(
+                f"0.5 * ({stop_ratio}) + 0.1 * ({mean_tok_len}) - 0.4 * ({punct_ratio})", 4
+            )
         ).alias("quality_score"),
     )
 
@@ -87,10 +93,10 @@ def _quality_sql() -> str:
     return f"""
 SELECT doc_id,
        CAST({n_tokens} AS BIGINT) AS n_tokens,
-       round({stop_ratio}, 4) AS stopword_ratio,
-       round({mean_tok_len}, 4) AS mean_token_len,
-       round({punct_ratio}, 4) AS punct_ratio,
-       round(0.5 * ({stop_ratio}) + 0.1 * ({mean_tok_len}) - 0.4 * ({punct_ratio}), 4) AS quality_score
+       {round_ties_safe_sql(stop_ratio, 4)} AS stopword_ratio,
+       {round_ties_safe_sql(mean_tok_len, 4)} AS mean_token_len,
+       {round_ties_safe_sql(punct_ratio, 4)} AS punct_ratio,
+       {round_ties_safe_sql(f"0.5 * ({stop_ratio}) + 0.1 * ({mean_tok_len}) - 0.4 * ({punct_ratio})", 4)} AS quality_score
 FROM documents
 """
 
@@ -316,7 +322,7 @@ def repetition_score_df(docs: DataFrame) -> DataFrame:
         F.expr("CAST(size(tg) AS BIGINT)").alias("n_trigrams"),
         F.expr("CAST(size(array_distinct(tg)) AS BIGINT)").alias("n_distinct_trigrams"),
         F.expr(
-            "round(1.0 - size(array_distinct(tg)) / CAST(size(tg) AS DOUBLE), 4)"
+            round_ties_safe_sql("1.0 - size(array_distinct(tg)) / CAST(size(tg) AS DOUBLE)", 4)
         ).alias("dup_trigram_frac"),
     )
 
@@ -335,7 +341,7 @@ tg AS (
 SELECT doc_id,
        CAST(len(tg) AS BIGINT) AS n_trigrams,
        CAST(len(list_distinct(tg)) AS BIGINT) AS n_distinct_trigrams,
-       round(1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE), 4) AS dup_trigram_frac
+       {round_ties_safe_sql("1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)", 4)} AS dup_trigram_frac
 FROM tg
 """
 
@@ -559,7 +565,7 @@ def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "tok",
-            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
+            round_ties_safe(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4).alias(
                 "tfidf"
             ),
         )
@@ -578,7 +584,7 @@ tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
 dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
 n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
 s AS (
-  SELECT tf.doc_id, tf.tok, round(tf.tf * ln(n.n / dfreq.df), 4) AS tfidf
+  SELECT tf.doc_id, tf.tok, {round_ties_safe_sql("tf.tf * ln(n.n / dfreq.df)", 4)} AS tfidf
   FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n
 )
 SELECT doc_id, tok, tfidf, CAST(rn AS BIGINT) AS rank
@@ -715,7 +721,7 @@ def docs_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("n").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("n") * F.log("p")) / F.sum("n"), 4).alias(
+            round_ties_safe(F.sum(F.col("n") * F.log("p")) / F.sum("n"), 4).alias(
                 "avg_logprob"
             ),
         )
@@ -744,7 +750,7 @@ bg AS (
 )
 SELECT d.doc_id,
        CAST(sum(d.n) AS BIGINT) AS n_bigrams,
-       round(sum(d.n * ln(p.p)) / sum(d.n), 4) AS avg_logprob
+       {round_ties_safe_sql("sum(d.n * ln(p.p)) / sum(d.n)", 4)} AS avg_logprob
 FROM doc_bg d JOIN probs p ON d.w1 = p.w1 AND d.w2 = p.w2
 GROUP BY d.doc_id
 """
@@ -1101,7 +1107,7 @@ def text_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             "n_ab",
-            F.round(
+            round_ties_safe(
                 F.log(
                     (F.col("n_ab") * F.col("n_docs"))
                     / (F.col("df_a") * F.col("df_b")).cast("double")
@@ -1128,7 +1134,7 @@ pairs AS (
   HAVING count(*) >= {_PMI_MIN_DOCS}
 )
 SELECT p.tok_a, p.tok_b, p.n_ab,
-       round(ln((p.n_ab * n.n_docs) / CAST(da.df * db.df AS DOUBLE)), 4) AS pmi
+       {round_ties_safe_sql("ln((p.n_ab * n.n_docs) / CAST(da.df * db.df AS DOUBLE))", 4)} AS pmi
 FROM pairs p
 JOIN dfreq da ON p.tok_a = da.tok
 JOIN dfreq db ON p.tok_b = db.tok
@@ -1154,7 +1160,7 @@ def docs_source_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens") / F.col("tot").cast("double"), 6).alias("token_share"),
+        round_ties_safe(F.col("n_tokens") / F.col("tot").cast("double"), 6).alias("token_share"),
     )
 
 
@@ -1165,7 +1171,7 @@ WITH per AS (
   FROM documents GROUP BY source
 ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / CAST(tot AS DOUBLE), 6) AS token_share
+       {round_ties_safe_sql("n_tokens / CAST(tot AS DOUBLE)", 6)} AS token_share
 FROM per CROSS JOIN tot
 """
 
@@ -1214,13 +1220,13 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").cast("long").alias("L"),
             F.sum(
-                F.round(F.col("c") * F.log(F.col("c")), 9).cast("decimal(38,9)")
+                round_ties_safe(F.col("c") * F.log(F.col("c")), 9).cast("decimal(38,9)")
             ).alias("S"),
         )
         .select(
             "source",
             "lang",
-            F.round(
+            round_ties_safe(
                 (F.log(F.col("L")) - F.col("S").cast("double") / F.col("L"))
                 / F.lit(_LN2),
                 6,
@@ -1229,7 +1235,7 @@ def docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("source", "lang").agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(
+        round_ties_safe(
             F.sum(F.col("h").cast("decimal(38,6)")).cast("double") / F.count("*"),
             4,
         ).alias("avg_entropy_bits"),
@@ -1248,15 +1254,15 @@ WITH chars AS (
 ), per_doc AS (
   SELECT doc_id, source, lang,
          CAST(sum(c) AS BIGINT) AS L,
-         sum(CAST(round(c * ln(c), 9) AS DECIMAL(38,9))) AS S
+         sum(CAST({round_ties_safe_sql("c * ln(c)", 9)} AS DECIMAL(38,9))) AS S
   FROM cc GROUP BY doc_id, source, lang
 ), h AS (
   SELECT source, lang,
-         round((ln(L) - CAST(S AS DOUBLE) / L) / {_LN2}, 6) AS h
+         {round_ties_safe_sql(f"(ln(L) - CAST(S AS DOUBLE) / L) / {_LN2}", 6)} AS h
   FROM per_doc
 )
 SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-       round(CAST(sum(CAST(h AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_entropy_bits,
+       {round_ties_safe_sql("CAST(sum(CAST(h AS DECIMAL(38,6))) AS DOUBLE) / count(*)", 4)} AS avg_entropy_bits,
        min(h) AS min_entropy_bits, max(h) AS max_entropy_bits
 FROM h GROUP BY source, lang
 """
@@ -1383,7 +1389,7 @@ OPS = {
         docs_tfidf_topk,
         TFIDF_SQL,
         description=(
-            "ranks by round(tfidf,4) with token tiebreak; cross-engine ln() "
+            "ranks by tie-safe round(tfidf,4) with token tiebreak; cross-engine ln() "
             "1-ulp boundary risk ~1e-12/row (per-row transcendental, not an "
             "accumulation)"
         ),

@@ -39,8 +39,9 @@ def dsum(col: Column, scale: int = 2) -> Column:
 
 
 def davg(col: Column, scale: int = 4) -> Column:
-    """Order-independent rounded average (decimal sum / count)."""
-    return F.round(F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(col), scale)
+    """Order-independent rounded average (decimal sum / count); the
+    final ratio is a non-dyadic double, so tie-safe rounded."""
+    return round_ties_safe(F.sum(col.cast("decimal(30,6)")).cast("double") / F.count(col), scale)
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:
@@ -48,7 +49,9 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 
 
 def davg_sql(expr: str, scale: int = 4) -> str:
-    return f"round(CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / count({expr}), {scale})"
+    return round_ties_safe_sql(
+        f"CAST(sum(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE) / count({expr})", scale
+    )
 
 
 # --- q1: pricing summary report (TPC-H Q1) -------------------------------
@@ -73,15 +76,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE)                                    AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE)                               AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE)            AS sum_disc_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
-       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 4)                                    AS avg_qty,
-       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice), 4)                               AS avg_price,
-       round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 4)                                    AS avg_disc,
+       {davg_sql("l_quantity")}      AS avg_qty,
+       {davg_sql("l_extendedprice")} AS avg_price,
+       {davg_sql("l_discount")}      AS avg_disc,
        count(*)                                                     AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -397,7 +400,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
+            round_ties_safe(
                 F.lit(100.0)
                 * F.sum(promo.cast("decimal(30,6)")).cast("double")
                 / F.sum(rev.cast("decimal(30,6)")).cast("double"),
@@ -407,10 +410,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q14_SQL = """
-SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS promo_revenue
+_Q14_SHARE = (
+    "100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) "
+    "/ CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
+)
+
+Q14_SQL = f"""
+SELECT {round_ties_safe_sql(_Q14_SHARE, 4)} AS promo_revenue
 FROM lineitem, part
 WHERE l_partkey = p_partkey
   AND l_shipdate >= TIMESTAMP '1996-09-01'
@@ -741,7 +748,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(
+            round_ties_safe(
                 F.sum(target.cast("decimal(30,6)")).cast("double")
                 / F.sum(vol.cast("decimal(30,6)")).cast("double"),
                 6,
@@ -750,11 +757,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q8_SQL = """
+_Q8_SHARE = (
+    "CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3' "
+    "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) "
+    "/ CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)"
+)
+
+Q8_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-       round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
-                                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
-             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+       {round_ties_safe_sql(_Q8_SHARE, 6)} AS mkt_share
 FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
 WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
@@ -780,6 +791,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_partkey",
+            # native-round-ok: value_dec is a DECIMAL(30,6) sum —
+            # base-10-exact, both engines round HALF_UP identically
             F.round(F.col("value_dec"), 2).cast("double").alias("part_value"),
         )
     )
@@ -790,7 +803,7 @@ WITH per_part AS (
   SELECT l_partkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS value_dec
   FROM lineitem GROUP BY l_partkey
 )
-SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+SELECT l_partkey, CAST(/* native-round-ok: DECIMAL */ round(value_dec, 2) AS DOUBLE) AS part_value
 FROM per_part
 WHERE CAST(value_dec AS DOUBLE) > 0.001 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM per_part)
 """
@@ -851,15 +864,15 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(
+            round_ties_safe(
                 F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double") / 7.0, 2
             ).alias("avg_yearly")
         )
     )
 
 
-Q17_SQL = """
-SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+Q17_SQL = f"""
+SELECT {round_ties_safe_sql("CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0", 2)} AS avg_yearly
 FROM lineitem, part
 WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
   AND l_quantity < 0.5 * (
@@ -985,16 +998,16 @@ def customer_balance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         "c_mktsegment",
         "c_acctbal",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        round_ties_safe(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_ties_safe(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 
-BALANCE_DIST_SQL = """
+BALANCE_DIST_SQL = f"""
 SELECT c_custkey, c_mktsegment, c_acctbal,
        CAST(ntile(4) OVER w AS INT) AS quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume
+       {round_ties_safe_sql("percent_rank() OVER w", 6)} AS pct_rank,
+       {round_ties_safe_sql("cume_dist() OVER w", 6)} AS cume
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
 """
@@ -1048,8 +1061,8 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_both",
-            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
-            F.round(
+            round_ties_safe(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            round_ties_safe(
                 (F.col("n_both") * F.col("n_orders"))
                 / (F.col("n_a") * F.col("n_b")).cast("double"),
                 4,
@@ -1058,7 +1071,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MARKET_BASKET_SQL = """
+MARKET_BASKET_SQL = f"""
 WITH ob AS (
   SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1072,8 +1085,8 @@ WITH ob AS (
   SELECT count(DISTINCT okey) AS n_orders FROM ob
 )
 SELECT p.brand_a, p.brand_b, p.n_both,
-       round(p.n_both / CAST(t.n_orders AS DOUBLE), 6) AS support,
-       round((p.n_both * t.n_orders) / CAST(sa.n_single * sb.n_single AS DOUBLE), 4) AS lift
+       {round_ties_safe_sql("p.n_both / CAST(t.n_orders AS DOUBLE)", 6)} AS support,
+       {round_ties_safe_sql("(p.n_both * t.n_orders) / CAST(sa.n_single * sb.n_single AS DOUBLE)", 4)} AS lift
 FROM pairs p
 JOIN single sa ON p.brand_a = sa.brand
 JOIN single sb ON p.brand_b = sb.brand
@@ -1108,11 +1121,11 @@ def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "yr",
         "revenue",
-        F.round((F.col("revenue") - prev) / prev, 4).alias("yoy_growth"),
+        round_ties_safe((F.col("revenue") - prev) / prev, 4).alias("yoy_growth"),
     )
 
 
-YOY_SQL = """
+YOY_SQL = f"""
 WITH yearly AS (
   SELECT n_name, CAST(date_part('year', o_orderdate) AS INT) AS yr,
          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
@@ -1123,8 +1136,7 @@ WITH yearly AS (
   GROUP BY n_name, yr
 )
 SELECT n_name, yr, revenue,
-       round((revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY yr))
-             / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr), 4) AS yoy_growth
+       {round_ties_safe_sql("(revenue - lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)) / lag(revenue) OVER (PARTITION BY n_name ORDER BY yr)", 4)} AS yoy_growth
 FROM yearly
 """
 
@@ -1229,13 +1241,14 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "cum_share",
-            F.round(
+            round_ties_safe(
                 F.col("cum_rev").cast("double") / F.lit(float(grand)), 6
             ),
         )
     )
     return cum.select(
         "p_partkey",
+        # native-round-ok: rev is a DECIMAL(30,6) sum — exact
         F.round(F.col("rev"), 2).cast("double").alias("revenue"),
         "cum_share",
         F.when(F.col("cum_share") <= 0.2, "A")
@@ -1245,7 +1258,7 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ABC_SQL = """
+ABC_SQL = f"""
 WITH rev AS (
   SELECT l_partkey AS p_partkey,
          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev
@@ -1258,10 +1271,10 @@ WITH rev AS (
   FROM rev
 )
 SELECT p_partkey,
-       CAST(round(rev, 2) AS DOUBLE) AS revenue,
-       round(CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE), 6) AS cum_share,
-       CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE), 6) <= 0.2 THEN 'A'
-            WHEN round(CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE), 6) <= 0.5 THEN 'B'
+       CAST(/* native-round-ok: DECIMAL */ round(rev, 2) AS DOUBLE) AS revenue,
+       {round_ties_safe_sql("CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE)", 6)} AS cum_share,
+       CASE WHEN {round_ties_safe_sql("CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE)", 6)} <= 0.2 THEN 'A'
+            WHEN {round_ties_safe_sql("CAST(cum_rev AS DOUBLE) / CAST(grand AS DOUBLE)", 6)} <= 0.5 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM cum
 """
@@ -1293,7 +1306,7 @@ def order_ship_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LATENCY_HIST_SQL = """
+LATENCY_HIST_SQL = f"""
 WITH d AS (
   SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS BIGINT) AS latency_days
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1302,7 +1315,7 @@ SELECT latency_days // 7 AS week_bucket,
        count(*) AS n_lineitems,
        min(latency_days) AS min_days,
        max(latency_days) AS max_days,
-       round(CAST(sum(CAST(latency_days AS DECIMAL(30,6))) AS DOUBLE) / count(latency_days), 4) AS avg_days
+       {davg_sql("latency_days")} AS avg_days
 FROM d
 GROUP BY week_bucket
 """
@@ -1522,24 +1535,24 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
     en = edges.join(wsum, "src").select(
-        "src", "dst", F.round(F.col("w") / F.col("wtot"), 12).alias("nw")
+        "src", "dst", round_ties_safe(F.col("w") / F.col("wtot"), 12).alias("nw")
     )
     n = wsum.agg(F.count("*").cast("double").alias("n_nodes"))
     pr = wsum.crossJoin(F.broadcast(n)).select(
-        F.col("src").alias("node"), F.round(F.lit(1.0) / F.col("n_nodes"), 12).alias("pr")
+        F.col("src").alias("node"), round_ties_safe(F.lit(1.0) / F.col("n_nodes"), 12).alias("pr")
     )
     base = F.lit(1.0 - _PR_DAMPING) / F.col("n_nodes")
     for _ in range(_PR_ITERS):
         contrib = en.join(
             F.broadcast(pr.withColumnRenamed("node", "src")), "src"
-        ).select("dst", F.round(F.col("pr") * F.col("nw"), 12).alias("c"))
+        ).select("dst", round_ties_safe(F.col("pr") * F.col("nw"), 12).alias("c"))
         pr = (
             contrib.groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("c").cast("decimal(38,12)")).alias("csum"))
             .crossJoin(F.broadcast(n))
             .select(
                 "node",
-                F.round(
+                round_ties_safe(
                     base + F.lit(_PR_DAMPING) * F.col("csum").cast("double"), 12
                 ).alias("pr"),
             )
@@ -1552,7 +1565,7 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("pr"), "node")
     return topk.select(
         F.col("node").alias("part_id"),
-        F.round(F.col("pr"), 8).alias("pagerank"),
+        round_ties_safe(F.col("pr"), 8).alias("pagerank"),
         F.row_number().over(w).cast("int").alias("rnk"),
     )
 
@@ -1567,20 +1580,20 @@ def _pagerank_sql() -> str:
   GROUP BY src, dst
 ), wsum AS (SELECT src, sum(w) AS wtot FROM edges GROUP BY src),
 en AS (
-  SELECT e.src, e.dst, round(e.w / CAST(s.wtot AS DOUBLE), 12) AS nw
+  SELECT e.src, e.dst, {round_ties_safe_sql("e.w / CAST(s.wtot AS DOUBLE)", 12)} AS nw
   FROM edges e JOIN wsum s ON e.src = s.src
 ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM wsum),
 pr0 AS (
-  SELECT src AS node, round(1.0 / nn.n_nodes, 12) AS pr FROM wsum CROSS JOIN nn
+  SELECT src AS node, {round_ties_safe_sql("1.0 / nn.n_nodes", 12)} AS pr FROM wsum CROSS JOIN nn
 )"""
     ]
     for i in range(iters):
         parts.append(
             f"""pr{i + 1} AS (
   SELECT c.dst AS node,
-         round({1.0 - d} / nn.n_nodes + {d} * CAST(sum(CAST(c.c AS DECIMAL(38,12))) AS DOUBLE), 12) AS pr
+         {round_ties_safe_sql(f"{1.0 - d} / nn.n_nodes + {d} * CAST(sum(CAST(c.c AS DECIMAL(38,12))) AS DOUBLE)", 12)} AS pr
   FROM (
-    SELECT e.dst, round(p.pr * e.nw, 12) AS c
+    SELECT e.dst, {round_ties_safe_sql("p.pr * e.nw", 12)} AS c
     FROM en e JOIN pr{i} p ON p.node = e.src
   ) c CROSS JOIN nn
   GROUP BY c.dst, nn.n_nodes
@@ -1588,7 +1601,7 @@ pr0 AS (
         )
     return f"""
 WITH {", ".join(parts)}
-SELECT node AS part_id, round(pr, 8) AS pagerank, CAST(rnk AS INT) AS rnk
+SELECT node AS part_id, {round_ties_safe_sql("pr", 8)} AS pagerank, CAST(rnk AS INT) AS rnk
 FROM (
   SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rnk
   FROM pr{iters}

@@ -820,6 +820,56 @@ def test_orphaned_temp_files_are_invisible_and_gcd(spark, tmp_path):
     assert not os.path.exists(orphan)
 
 
+def test_gc_temps_skips_undeletable_entries_and_runs_from_compact(spark, tmp_path):
+    """r11 (ADVICE r10): one undeletable/unstatable entry must not
+    abort the whole gc_temps sweep and lose the reclaim count — the
+    per-file delete catches OSError broadly, skip-and-continue. Also
+    pins the maintenance cadence: compact() runs the age-gated
+    gc_temps itself, so a deployment that compacts periodically never
+    accumulates crashed-writer orphans."""
+    import glob as _glob
+    import os
+
+    from deker_server_adapters_spark.core.storage import ChunkStore
+    from deker_server_adapters_spark.sources.deker_datasource import TMP_PREFIX
+
+    root = str(tmp_path / "whgc")
+    wh = Warehouse(spark, root)
+    wh.collections.create("w", SCHEMA)
+    register(spark)
+    rows = [("a1", i, j, 1.0) for i in range(20) for j in range(12)]
+    (
+        spark.createDataFrame(rows, "array_id string, x long, y long, value double")
+        .coalesce(1)
+        .write.format("deker")
+        .option("path", root).option("collection", "w")
+        .mode("append").save()
+    )
+    store = ChunkStore(spark, os.path.join(root, "collections", "w"))
+    dirs = sorted(_glob.glob(os.path.join(store.path, "array_id=*", "chunk_idx=*")))
+    # an aged orphan that must be reclaimed...
+    orphan = os.path.join(dirs[0], f"{TMP_PREFIX}dead-0.parquet")
+    open(orphan, "wb").write(b"x")
+    os.utime(orphan, (1.0, 1.0))
+    # ...next to an entry os.remove will refuse (a DIRECTORY wearing a
+    # temp name raises IsADirectoryError, an OSError the sweep must eat)
+    trap = os.path.join(dirs[0], f"{TMP_PREFIX}trap-0.parquet")
+    os.makedirs(trap)
+    os.utime(trap, (1.0, 1.0))
+    assert store.gc_temps(max_age_sec=0) == 1
+    assert not os.path.exists(orphan) and os.path.isdir(trap)
+    os.rmdir(trap)
+    # cadence: compact()'s own age-gated pass reclaims a crashed
+    # writer's aged temp (and spares a young one)
+    aged = os.path.join(dirs[0], f"{TMP_PREFIX}aged-0.parquet")
+    open(aged, "wb").write(b"x")
+    os.utime(aged, (1.0, 1.0))
+    young = os.path.join(dirs[0], f"{TMP_PREFIX}young-0.parquet")
+    open(young, "wb").write(b"x")
+    store.compact(gc_temp_age_sec=3600.0)
+    assert not os.path.exists(aged) and os.path.exists(young)
+
+
 def test_dedup_cells_option_resolves_last_write_wins(spark, tmp_path):
     """The batch reader's default is append-log semantics (one row per
     materialized run — a re-written cell appears once per write); with
