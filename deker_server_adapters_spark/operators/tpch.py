@@ -2394,7 +2394,343 @@ FROM (
 """
 
 
+# --- TPC-DS-style breadth (r11, VERDICT r9 item 8 / r10 item 6) ---------
+#
+# TPC-DS's analytical shapes adapted to this schema: heterogeneous
+# channel sub-queries unioned then ROLLUP-ed (Q5), a returns-ratio
+# ranking window (Q49), a derived date-dimension aggregate with
+# share-of-year (the date_dim join family), quarter-over-quarter growth
+# (Q  -style trend window), and the customers-in-every-channel
+# intersection (Q38). "Channels" derive from o_orderpriority:
+# 1-URGENT/2-HIGH -> express, 3-MEDIUM -> standard, else economy.
+
+_CHANNEL_CASE_SQL = (
+    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'express' "
+    "WHEN o_orderpriority = '3-MEDIUM' THEN 'standard' "
+    "ELSE 'economy' END"
+)
+
+
+def _channel_col() -> Column:
+    return (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+        .otherwise("economy")
+    )
+
+
+def channel_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5 shape: three HETEROGENEOUS per-channel year
+    aggregates (orders gross, lineitem net, returns as negative sales)
+    unioned, then ROLLUP(channel, yr) with 'ALL'/-1 subtotal labels.
+    Sales stay DECIMAL through both aggregation levels — rounding to
+    double only at the final projection, so the rollup totals are
+    order-independent and bit-identical across engines. The rollup
+    itself runs over |channels| x |years| pre-aggregated rows: free."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(30,6)"
+    gross = orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.col("o_totalprice").cast(dec)).alias("sales_dec"),
+        F.count("*").alias("n_rows"),
+    ).select(F.lit("orders_gross").alias("channel"), "yr", "sales_dec", "n_rows")
+    net = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)).alias(
+            "sales_dec"
+        ),
+        F.count("*").alias("n_rows"),
+    ).select(F.lit("lineitem_net").alias("channel"), "yr", "sales_dec", "n_rows")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.year("l_shipdate").alias("yr"))
+        .agg(
+            (-F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))).alias(
+                "sales_dec"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .select(F.lit("returns").alias("channel"), "yr", "sales_dec", "n_rows")
+    )
+    u = gross.unionByName(net).unionByName(ret)
+    return (
+        u.rollup("channel", "yr")
+        .agg(F.sum("sales_dec").alias("s"), F.sum("n_rows").alias("n"))
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
+            # native-round-ok: s is the DECIMAL(30,6) rollup sum — exact
+            F.round(F.col("s"), 2).cast("double").alias("sales"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+CHANNEL_ROLLUP_SQL = """
+WITH u AS (
+  SELECT 'orders_gross' AS channel, CAST(year(o_orderdate) AS INT) AS yr,
+         sum(CAST(o_totalprice AS DECIMAL(30,6))) AS sales_dec, count(*) AS n_rows
+  FROM orders GROUP BY yr
+  UNION ALL
+  SELECT 'lineitem_net', CAST(year(l_shipdate) AS INT),
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), count(*)
+  FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'returns', CAST(year(l_shipdate) AS INT),
+         -sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), count(*)
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 2
+)
+SELECT coalesce(channel, 'ALL') AS channel,
+       CAST(coalesce(yr, -1) AS INT) AS yr,
+       CAST(/* native-round-ok: DECIMAL */ round(sum(sales_dec), 2) AS DOUBLE) AS sales,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows
+FROM u GROUP BY ROLLUP (channel, yr)
+"""
+
+
+def returns_ratio_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 shape: per ship-year, the 10 brands with the worst
+    currency return ratio (returned net revenue / total net revenue),
+    ranked by a window over the tiny (brand, year) aggregate. Ratios
+    are non-dyadic doubles -> tie-safe rounded BEFORE the rank order,
+    so both engines rank the identical values; (ratio, brand) ordering
+    makes ranks unique and deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = "decimal(30,6)"
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    per = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", net).otherwise(F.lit(0).cast(dec))).alias("ret_dec"),
+            F.sum(net).alias("tot_dec"),
+        )
+    )
+    scored = per.select(
+        "yr",
+        "p_brand",
+        # native-round-ok: ret_dec is DECIMAL(30,6) — exact
+        F.round(F.col("ret_dec"), 2).cast("double").alias("returned_revenue"),
+        round_ties_safe(
+            F.col("ret_dec").cast("double") / F.col("tot_dec").cast("double"), 6
+        ).alias("return_ratio"),
+    )
+    w = Window.partitionBy("yr").orderBy(F.desc("return_ratio"), "p_brand")
+    return (
+        scored.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("yr", "p_brand", "returned_revenue", "return_ratio", "rnk")
+    )
+
+
+RETURNS_RATIO_SQL = f"""
+WITH per AS (
+  SELECT p_brand, CAST(year(l_shipdate) AS INT) AS yr,
+         sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                  ELSE CAST(0 AS DECIMAL(30,6)) END) AS ret_dec,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS tot_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, yr
+), scored AS (
+  SELECT yr, p_brand,
+         CAST(/* native-round-ok: DECIMAL */ round(ret_dec, 2) AS DOUBLE) AS returned_revenue,
+         {round_ties_safe_sql("CAST(ret_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)", 6)} AS return_ratio
+  FROM per
+)
+SELECT yr, p_brand, returned_revenue, return_ratio,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, rank() OVER (PARTITION BY yr ORDER BY return_ratio DESC, p_brand) AS rnk
+  FROM scored
+) t WHERE rnk <= 10
+"""
+
+
+def date_dim_quarter_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS date-dimension aggregate: calendar attributes (year,
+    quarter) derived in-query from o_orderdate (a real deployment
+    broadcast-joins a date_dim table — the derived form has the same
+    plan shape with the dim computed instead of scanned), revenue per
+    quarter plus its share of the year via a window over the tiny
+    (year, quarter) aggregate. Revenue stays decimal through the
+    window sum; the share ratio is tie-safe rounded."""
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec"),
+        F.count("*").alias("n_orders"),
+        F.countDistinct(F.to_date("o_orderdate")).alias("n_active_days"),
+    )
+    w = Window.partitionBy("yr")
+    return q.select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("qtr").cast("int").alias("qtr"),
+        # native-round-ok: rev_dec is DECIMAL(30,6) — exact
+        F.round(F.col("rev_dec"), 2).cast("double").alias("revenue"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        round_ties_safe(
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
+            6,
+        ).alias("share_of_year"),
+    )
+
+
+DATE_DIM_QUARTER_SQL = f"""
+WITH q AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec,
+         count(*) AS n_orders,
+         count(DISTINCT CAST(o_orderdate AS DATE)) AS n_active_days
+  FROM orders GROUP BY yr, qtr
+)
+SELECT yr, qtr,
+       CAST(/* native-round-ok: DECIMAL */ round(rev_dec, 2) AS DOUBLE) AS revenue,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_active_days AS BIGINT) AS n_active_days,
+       {round_ties_safe_sql("CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY yr) AS DOUBLE)", 6)} AS share_of_year
+FROM q
+"""
+
+
+def quarterly_segment_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS trend shape: quarter-over-quarter revenue growth per
+    market segment — decimal-exact quarterly revenue, then a lag
+    window over the |segments| x |quarters| aggregate (nil cost; the
+    heavy part is the one orders->customer join). First quarter per
+    segment has NULL growth. Growth is computed on the already-rounded
+    revenue doubles (both engines see identical inputs), tie-safe
+    rounded."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    q = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+        )
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("yr", "qtr")
+    prev = F.lag("revenue").over(w)
+    return q.select(
+        "c_mktsegment",
+        F.col("yr").cast("int").alias("yr"),
+        F.col("qtr").cast("int").alias("qtr"),
+        "revenue",
+        round_ties_safe((F.col("revenue") - prev) / prev, 4).alias("qoq_growth"),
+    )
+
+
+QUARTERLY_GROWTH_SQL = f"""
+WITH q AS (
+  SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         {dsum_sql("o_totalprice")} AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, yr, qtr
+)
+SELECT c_mktsegment, yr, qtr, revenue,
+       {round_ties_safe_sql("(revenue - lag(revenue) OVER (PARTITION BY c_mktsegment ORDER BY yr, qtr)) / lag(revenue) OVER (PARTITION BY c_mktsegment ORDER BY yr, qtr)", 4)} AS qoq_growth
+FROM q
+"""
+
+
+def cross_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38 shape (customers present in EVERY channel): per
+    market segment, how many customers ordered through all three
+    priority channels, and how many orders those omni-channel
+    customers placed. One shuffle to the per-customer channel set, one
+    join back to customer for the segment — the INTERSECT of three
+    channel scans expressed as count(DISTINCT channel) = 3, which
+    scans orders once instead of three times."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = orders.withColumn("channel", _channel_col()).groupBy("o_custkey").agg(
+        F.countDistinct("channel").alias("n_channels"),
+        F.count("*").alias("n_orders"),
+    )
+    triple = per.filter(F.col("n_channels") == 3)
+    return (
+        triple.join(cust, triple.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+        )
+    )
+
+
+CROSS_CHANNEL_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         count(DISTINCT {_CHANNEL_CASE_SQL}) AS n_channels,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders
+FROM per JOIN customer ON o_custkey = c_custkey
+WHERE n_channels = 3
+GROUP BY c_mktsegment
+"""
+
+
 OPS = {
+    "channel_sales_rollup": Op(
+        "channel_sales_rollup",
+        channel_sales_rollup,
+        CHANNEL_ROLLUP_SQL,
+        description=(
+            "TPC-DS Q5 shape: heterogeneous channel sub-aggregates "
+            "unioned then ROLLUP(channel, yr); decimal-exact through "
+            "both aggregation levels"
+        ),
+    ),
+    "returns_ratio_topn": Op(
+        "returns_ratio_topn",
+        returns_ratio_topn,
+        RETURNS_RATIO_SQL,
+        description=(
+            "TPC-DS Q49 shape: worst-10 brands by currency return "
+            "ratio per ship-year via a rank window over the (brand, "
+            "year) aggregate"
+        ),
+    ),
+    "date_dim_quarter_sales": Op(
+        "date_dim_quarter_sales",
+        date_dim_quarter_sales,
+        DATE_DIM_QUARTER_SQL,
+        description=(
+            "derived date-dimension aggregate: quarterly revenue + "
+            "share-of-year window over the (yr, qtr) rollup"
+        ),
+    ),
+    "quarterly_segment_growth": Op(
+        "quarterly_segment_growth",
+        quarterly_segment_growth,
+        QUARTERLY_GROWTH_SQL,
+        description=(
+            "quarter-over-quarter revenue growth per market segment "
+            "via a lag window over the tiny quarterly aggregate"
+        ),
+    ),
+    "cross_channel_customers": Op(
+        "cross_channel_customers",
+        cross_channel_customers,
+        CROSS_CHANNEL_SQL,
+        description=(
+            "TPC-DS Q38 shape: customers present in every priority "
+            "channel, as one scan + count(DISTINCT channel) = 3 "
+            "instead of a 3-way INTERSECT"
+        ),
+    ),
     "customer_rfm_segments": Op(
         "customer_rfm_segments",
         customer_rfm_segments,
