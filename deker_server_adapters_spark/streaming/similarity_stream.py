@@ -1,0 +1,181 @@
+"""Structured Streaming twin of ``ann_cosine_threshold_join``.
+
+Incremental all-pairs-above-τ similarity: embeddings arrive as a
+stream, the LSH bucket index is maintained as keyed state, and a pair
+is emitted in the micro-batch where its LATER vector arrives — after
+the stream is drained, the emitted set equals the batch op's output
+exactly (tests/test_streaming.py drives both and compares).
+
+Shape, mirrored from the batch op (operators/similarity.py):
+
+- the signature expressions (md5 hyperplanes, sign bits, bucket ints)
+  run JVM-side BEFORE the stateful stage — Python never computes a
+  hash, only the per-bucket pair scoring;
+- state is keyed by LSH cell ((table, bucket) packed into one long):
+  the ids + embeddings + full signature lists of every vector indexed
+  in that cell. The bits ladder keeps EXPECTED cell occupancy ≤
+  ``_TJ_TARGET_BUCKET``, so per-cell state and per-arrival pair work
+  are bounded the same way the batch join's per-bucket fan-out is.
+  Total state = ``tables`` copies of the indexed corpus — the standard
+  streaming-LSH memory price (RocksDB-backed in production; sizing in
+  docs/PERF.md);
+- exactly-once pair emission WITHOUT a second stateful dedup stage:
+  every row carries its vector's full cell list, and a pair is emitted
+  only from the MINIMUM cell the two signatures share (signatures are
+  static per vector, so the minimum shared cell is the same in
+  whichever batch the pair becomes visible — one canonical emitter);
+- the cosine is scored in Python with the SAME sequential IEEE fold
+  the JVM expression uses (left-to-right multiply-add — NOT np.dot,
+  whose pairwise/SIMD summation can differ in the last ulp) and the
+  same tie-safe floor rounding, so streamed cosines are bit-identical
+  to the batch column.
+
+The bit count cannot adapt mid-stream (a resize would re-bucket the
+whole index), so ``n_hint`` fixes it via the batch ladder up front —
+size it for the expected corpus, exactly like capacity-planning any
+streaming index.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from deker_server_adapters_spark.functions.vectors import dot
+from deker_server_adapters_spark.operators.similarity import (
+    _DIM,
+    _TJ_MAX_BITS,
+    _TJ_TABLES,
+    _TJ_TAU,
+    _hyperplanes,
+)
+from deker_server_adapters_spark.tools.tj_sweep import _ladder_bits
+
+EMBEDDINGS_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ]
+)
+
+_CELL_SHIFT = 1 << 40  # cell key = tbl * 2^40 + bucket (bucket < 2^12)
+
+
+def stream_embeddings_source(spark, sf_dir: str, n_files: int | None = None) -> DataFrame:
+    """File-stream over the embeddings parquet, embedding pre-cast to
+    array<double> (the value ``x.cast(\"double\")`` yields JVM-side).
+    ``n_files`` splits by vec_id range, one file per micro-batch."""
+    from deker_server_adapters_spark.sources.scratch import staged_dir
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    stream_dir, staged = staged_dir("deker_emb_stream_", sf_dir, n_files)
+    if not staged:
+        batch = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        if n_files:
+            batch.repartitionByRange(n_files, "vec_id").write.mode("overwrite").parquet(
+                stream_dir
+            )
+        else:
+            batch.write.mode("overwrite").parquet(stream_dir)
+    reader = spark.readStream.schema(EMBEDDINGS_STREAM_SCHEMA)
+    if n_files:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(stream_dir)
+
+
+def _cell_exprs(nbits: int, tables: int):
+    """The batch op's signature arithmetic, bits fixed at ``nbits``:
+    one packed cell key per table."""
+    planes = _hyperplanes(tables * _TJ_MAX_BITS, _DIM)
+    cells = []
+    for t in range(tables):
+        sig = F.lit(0).cast("long")
+        for i in range(nbits):
+            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
+            sig = sig + F.shiftleft(bit, i)
+        cells.append((F.lit(t).cast("long") * F.lit(_CELL_SHIFT) + sig))
+    return F.array(*cells)
+
+
+def _tie_safe_round6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _seq_cosine(a, b) -> float:
+    """Sequential IEEE fold, matching functions.vectors.cosine_similarity
+    (F.aggregate is a left-to-right fold) bit for bit."""
+    acc = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+        na += x * x
+        nb += y * y
+    return acc / (math.sqrt(na) * math.sqrt(nb))
+
+
+def streaming_threshold_join(
+    embs: DataFrame,
+    n_hint: int,
+    tables: int = _TJ_TABLES,
+    tau: float = _TJ_TAU,
+) -> DataFrame:
+    """All pairs with cosine ≥ τ over the embedding stream; emitted
+    set after draining == the batch ``ann_cosine_threshold_join`` at a
+    corpus of ``n_hint`` vectors."""
+    import pandas as pd
+
+    nbits = _ladder_bits(n_hint, 0)
+    indexed = embs.select(
+        "vec_id", "embedding", _cell_exprs(nbits, tables).alias("cells")
+    ).select("vec_id", "embedding", "cells", F.explode("cells").alias("cell"))
+
+    out_schema = "a_id long, b_id long, cosine double"
+    state_schema = (
+        "ids array<long>, vecs array<array<double>>, cells array<array<long>>"
+    )
+
+    def update(key, pdfs, state):
+        ids, vecs, cellsets = state.get if state.exists else ([], [], [])
+        ids, vecs, cellsets = list(ids), list(vecs), list(cellsets)
+        cell = key[0]
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            for vid, emb, cells in zip(
+                pdf["vec_id"], pdf["embedding"], pdf["cells"]
+            ):
+                # pure-Python scalars: numpy types in the state tuple
+                # break the JVM-side state unpickler
+                emb = [float(x) for x in emb]
+                cells = set(int(c) for c in cells)
+                for oid, ovec, ocells in zip(ids, vecs, cellsets):
+                    shared = cells.intersection(ocells)
+                    if cell != min(shared):  # another cell is canonical
+                        continue
+                    cos = _tie_safe_round6(_seq_cosine(emb, ovec))
+                    if cos >= tau:
+                        a, b = (oid, int(vid)) if oid < vid else (int(vid), oid)
+                        rows.append((a, b, cos))
+                ids.append(int(vid))
+                vecs.append(emb)
+                cellsets.append(cells)
+        state.update((ids, vecs, [sorted(c) for c in cellsets]))
+        yield pd.DataFrame(rows, columns=["a_id", "b_id", "cosine"])
+
+    return indexed.groupBy("cell").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )

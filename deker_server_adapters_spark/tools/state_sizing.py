@@ -41,6 +41,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
         ),
     }
     out: dict = {}
+    out["threshold_join"] = _measure_threshold_join(spark, sf_dir, n_files)
     for name, (builder, mode) in twins.items():
         src = stream_events_source(spark, sf_dir, n_files=n_files)
         q = (
@@ -74,6 +75,50 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
             "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
         }
     return out
+
+
+def _measure_threshold_join(spark, sf_dir: str, n_files: int) -> dict:
+    """State footprint of the streaming LSH threshold join (r11): the
+    index holds ``tables`` copies of the corpus in per-cell state, so
+    bytes/key here prices the whole streaming-ANN memory budget."""
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.similarity_stream import (
+        stream_embeddings_source,
+        streaming_threshold_join,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    src = stream_embeddings_source(spark, sf_dir, n_files=n_files)
+    q = (
+        streaming_threshold_join(src, n_hint=n)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", "/tmp/deker_state_sizing/threshold_join")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+    finally:
+        q.stop()
+    ops = (prog or {}).get("stateOperators") or []
+    if not ops:
+        return {"error": "no stateOperators progress"}
+    so = ops[0]
+    custom = so.get("customMetrics") or {}
+    rows = so.get("numRowsTotal", 0)
+    mem = so.get("memoryUsedBytes", 0)
+    sst = custom.get("rocksdbSstFileSize", 0)
+    return {
+        "operator": so.get("operatorName"),
+        "n_vectors": n,
+        "state_rows": rows,
+        "memory_used_bytes": mem,
+        "rocksdb_sst_bytes": sst,
+        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
+        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
+        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
+    }
 
 
 def main() -> None:

