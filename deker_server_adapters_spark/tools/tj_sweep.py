@@ -114,10 +114,14 @@ def sweep(
         emb = emb.cache()
         n = emb.count()
         # exact n² ground truth only at base scale: at 10× it is 2·10⁸
-        # pair dots — the brute force the LSH path exists to avoid. At
-        # scale the quality signal is n_found per replica (pair density
-        # is replica-invariant under key-shifted replication, so
-        # n_found ≈ k × base n_found at equal recall).
+        # pair dots — the brute force the LSH path exists to avoid.
+        # NOTE the replication semantics for reading n_found at scale:
+        # key-shifted replicas carry IDENTICAL embeddings, so the true
+        # pair set grows ~k² (every base pair appears in all k×k
+        # replica combinations, plus C(k,2) clone pairs per vector at
+        # cosine 1.0) — a deliberately near-dup-heavy stress corpus,
+        # not a k× one. Signatures are replica-identical too, so
+        # found ≈ k²·found_base(nbits) + clone pairs.
         ex = exact_pairs(emb).cache() if scale == 1 else None
         n_exact = ex.count() if ex is not None else None
         for tables in (8, 12, 16):
