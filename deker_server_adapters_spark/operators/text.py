@@ -513,6 +513,65 @@ def pack_sequences_df(docs: DataFrame, seq_len: int = _SEQ_LEN,
     )
 
 
+_CHUNK_W = 128  # tokens per chunk window
+_CHUNK_S = 96  # stride (32-token overlap between consecutive chunks)
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking — the RAG-indexing /
+    long-context-training sibling of ``docs_pack_sequences``: each
+    document's token sequence is cut into ``_CHUNK_W``-token windows
+    at ``_CHUNK_S``-token stride (trailing windows run short), with
+    provenance (doc_id, chunk_idx, start_tok) and a portable content
+    hash of the chunk text so the oracle value-checks the actual chunk
+    CONTENT, not just offsets. Pure Catalyst: sequence + explode +
+    slice — per-doc fan-out is ceil(n/stride), no shuffle at all
+    (embarrassingly parallel over docs; chunk_idx = start/stride needs
+    no window function)."""
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    exploded = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(f"sequence(0, n - 1, {_CHUNK_S})")).alias("start"),
+    )
+    chunk = F.expr(f"slice(toks, start + 1, {_CHUNK_W})")
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_S).cast("int").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        h64(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def _chunk_overlap_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    chunk = f"array_to_string(list_slice(toks, start + 1, least(start + {_CHUNK_W}, n)), ' ')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks, len({_TOKENS_DUCK}) AS n FROM documents
+), s AS (
+  SELECT doc_id, toks, n, CAST(u.start AS BIGINT) AS start
+  FROM t, UNNEST(range(0, n, {_CHUNK_S})) u(start)
+  WHERE n > 0
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_S} AS INT) AS chunk_idx,
+       start AS start_tok,
+       CAST(len(list_slice(toks, start + 1, least(start + {_CHUNK_W}, n))) AS BIGINT) AS n_tokens,
+       {h64_sql(chunk)} AS chunk_hash
+FROM s
+"""
+
+
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_df(load_table(spark, sf_dir, "documents"))
 
@@ -1331,6 +1390,16 @@ OPS = {
             "benchmark set here = doc_id % 97 == 0 (deterministic stand-in "
             "for eval suites); word-5-gram exact overlap, benchmark side "
             "broadcast"
+        ),
+    ),
+    "docs_chunk_overlap": Op(
+        "docs_chunk_overlap",
+        docs_chunk_overlap,
+        _chunk_overlap_sql(),
+        description=(
+            "RAG/long-context chunking: 128-token windows at 96-token "
+            "stride with provenance + portable content hash; shuffle-"
+            "free sequence/explode/slice"
         ),
     ),
     "docs_pack_sequences": Op(
