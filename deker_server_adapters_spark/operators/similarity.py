@@ -489,11 +489,13 @@ qt AS (
 """
 
 
-def _ivf_cand_cte() -> str:
-    """WITH-fragment replaying the IVF candidate generation
-    (``_ivf_centroids`` + inverted file + query probes) in DuckDB;
-    ends with ``cand(query_id, neighbor_id)``. Shared by the IVF and
-    IVFPQ recall oracles."""
+def _ivf_inv_cte() -> str:
+    """WITH-fragment replaying the IVF coarse quantizer + inverted
+    file (``_ivf_centroids`` + full-corpus assignment) in DuckDB; ends
+    with ``inv(neighbor_id, cell)``. Shared by ``_ivf_cand_cte`` (the
+    IVF/IVFPQ recall oracles) and the semantic-dedup oracle — split
+    out verbatim so the rendered SQL (and thus every existing op
+    fingerprint) is byte-identical to the pre-split form."""
     from deker_server_adapters_spark.functions.hashing import h32_sql
 
     return f"""
@@ -524,7 +526,15 @@ seeds AS (
   SELECT vec_id AS neighbor_id, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a1
   ) t WHERE rn = 1
-), qcells AS (
+)"""
+
+
+def _ivf_cand_cte() -> str:
+    """WITH-fragment replaying the IVF candidate generation
+    (``_ivf_centroids`` + inverted file + query probes) in DuckDB;
+    ends with ``cand(query_id, neighbor_id)``. Shared by the IVF and
+    IVFPQ recall oracles."""
+    return f"""{_ivf_inv_cte()}, qcells AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
     FROM a1 WHERE vec_id < {_N_QUERIES}
@@ -553,6 +563,120 @@ WITH exact AS ({ANN_TOPK_SQL}),
   ) t WHERE rnk <= {_TOP_K}
 )
 {_RECALL_TAIL_SQL}
+"""
+
+
+_SEM_TAU = 0.35  # same angle as the threshold join: ~p99.9 of pair-cosine mass
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster the corpus with the IVF
+    coarse quantizer (md5-seeded k-means + one Lloyd refinement — the
+    exact trainer the IVF recall oracle already replays in SQL), then
+    compare vectors ONLY within their cluster and flag any vector
+    whose cosine to a LOWER-id cluster-mate reaches ``_SEM_TAU`` as a
+    semantic duplicate (min-id-keeper — the deterministic keeper rule
+    the exact/minhash dedup family uses). One verdict row per vector:
+    cluster, lower-id cluster-mate count, how many of those clear the
+    threshold, the max such cosine (tie-safe 6 dp; NULL for a
+    cluster's min id), and the keep/drop flag.
+
+    Distinct from ``dedup_embedding`` (LSH candidate pairs at 0.95):
+    the candidate space here is cluster-bounded and DETERMINISTIC
+    (every cluster-mate is compared — no probabilistic recall), and
+    the output is per-vector keep/drop verdicts, not pairs.
+
+    Scale shape (the published SemDeDup design point): pair cost is
+    sum(n_c^2) with k chosen so cluster sizes stay bounded (k grows
+    ~n/target_cell_size; k=_IVF_CELLS at test scale — same dial as
+    the IVF index). Cluster assignment is a compiled argmin
+    expression over the k collected centroids — pure codegen, NO
+    per-vector window shuffle (first-max = lowest cell, matching the
+    oracle's ``ORDER BY sim DESC, cell`` rank-1) — so the only wide
+    ops are the self-join's Exchange(cell) and one map-side-combined
+    aggregate on vec_id. Centroids travel; the corpus never
+    reshuffles for training."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sorted(_local_centroids(emb).collect(), key=lambda r: r.cell)
+    if not cents:  # empty corpus: typed empty verdict table
+        return (
+            emb.select(
+                "vec_id",
+                F.lit(0).cast("int").alias("cell"),
+                F.lit(0).cast("long").alias("n_lower"),
+                F.lit(0).cast("long").alias("n_dup_lower"),
+                F.lit(None).cast("double").alias("max_sim_lower"),
+                F.lit(False).alias("is_dup"),
+            ).limit(0)
+        )
+    sims = F.array(
+        *[
+            round_ties_safe(
+                cosine_similarity(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in r.ce]),
+                ),
+                9,
+            )
+            for r in cents
+        ]
+    )
+    asg = emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+    )
+    a = asg.select("vec_id", F.col("embedding").alias("ea"), "cell")
+    b = asg.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vid_b") < F.col("vec_id"))
+        .withColumn(
+            "cos", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        )
+    )
+    agg = pairs.groupBy("vec_id").agg(
+        F.count("*").alias("n_lower"),
+        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_lower"),
+        F.max("cos").alias("max_sim_lower"),
+    )
+    return (
+        asg.select("vec_id", "cell")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("n_lower"), F.lit(0)).cast("long").alias("n_lower"),
+            F.coalesce(F.col("n_dup_lower"), F.lit(0)).cast("long").alias("n_dup_lower"),
+            "max_sim_lower",
+            (F.coalesce(F.col("n_dup_lower"), F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    return f"""
+WITH {_ivf_inv_cte()}, invv AS (
+  SELECT neighbor_id AS vec_id, cell FROM inv
+), pairs AS (
+  SELECT a.vec_id AS vid, a.cell AS cell,
+         {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 6)} AS cos
+  FROM invv a JOIN invv b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), agg AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n_lower,
+         CAST(sum(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lower,
+         max(cos) AS max_sim_lower
+  FROM pairs GROUP BY vid
+)
+SELECT i.vec_id AS vec_id, i.cell AS cell,
+       COALESCE(a.n_lower, 0) AS n_lower,
+       COALESCE(a.n_dup_lower, 0) AS n_dup_lower,
+       a.max_sim_lower AS max_sim_lower,
+       COALESCE(a.n_dup_lower, 0) > 0 AS is_dup
+FROM invv i LEFT JOIN agg a ON a.vid = i.vec_id
 """
 
 
@@ -1517,6 +1641,15 @@ OPS = {
             f"product quantization: {_PQ_M} subspaces x {_PQ_K}-centroid "
             "codebooks (64 floats -> 8 nibbles, 32x payload shrink); "
             "codebooks travel, data never reshuffles; NumPy-parity pytest"
+        ),
+    ),
+    "dedup_semantic": Op(
+        "dedup_semantic",
+        dedup_semantic,
+        _semantic_dedup_sql(),
+        description=(
+            f"SemDeDup: IVF-cell-partitioned cosine dedup at tau={_SEM_TAU}, "
+            "min-id keeper; candidate space deterministic (all cluster-mates)"
         ),
     ),
     "embeddings_kmeans": Op(

@@ -2455,6 +2455,11 @@ def channel_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.rollup("channel", "yr")
         .agg(F.sum("sales_dec").alias("s"), F.sum("n_rows").alias("n"))
+        # drop the degenerate all-NULL grand-total row DuckDB emits for
+        # the () group over an EMPTY input (Spark's Expand+groupBy
+        # rollup emits no rows there); on any non-empty input n >= 1,
+        # so this filter is a no-op
+        .filter(F.col("n").isNotNull())
         .select(
             F.coalesce("channel", F.lit("ALL")).alias("channel"),
             F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
@@ -2484,6 +2489,7 @@ SELECT coalesce(channel, 'ALL') AS channel,
        CAST(/* native-round-ok: DECIMAL */ round(sum(sales_dec), 2) AS DOUBLE) AS sales,
        CAST(sum(n_rows) AS BIGINT) AS n_rows
 FROM u GROUP BY ROLLUP (channel, yr)
+HAVING sum(n_rows) IS NOT NULL
 """
 
 

@@ -1511,6 +1511,56 @@ def test_lpa_labels_match_python_reference(spark, sf_dir):
     assert got == labels
 
 
+def test_dedup_semantic_invariants(spark, sf_dir):
+    """SemDeDup contract: one verdict row per vector; within a cluster
+    the lower-id-mate counts replay the rank (sum over a cluster =
+    C(n_c, 2) pairs, each cluster's min id has none), dup flags are
+    consistent (is_dup <=> n_dup_lower > 0 <= n_lower), and a vector
+    with max_sim_lower >= tau is always flagged."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _SEM_TAU,
+        dedup_semantic,
+    )
+
+    pdf = dedup_semantic(spark, sf_dir).toPandas()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(pdf) == n_vecs
+    assert pdf["vec_id"].is_unique
+    assert (pdf["n_dup_lower"] <= pdf["n_lower"]).all()
+    assert ((pdf["n_dup_lower"] > 0) == pdf["is_dup"]).all()
+    for cell, g in pdf.groupby("cell"):
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        # each vector sees exactly its lower-id cluster-mates
+        assert list(g["n_lower"]) == list(range(len(g)))
+        assert g["max_sim_lower"].isna().iloc[0] and not g["max_sim_lower"].isna()[1:].any()
+    flagged = pdf[pdf["max_sim_lower"] >= _SEM_TAU]
+    assert flagged["is_dup"].all()
+    assert not pdf[pdf["max_sim_lower"].fillna(-2.0) < _SEM_TAU]["is_dup"].any()
+
+
+def test_dedup_semantic_planted_clone(spark, sf_dir, tmp_path):
+    """A planted exact clone (same embedding, higher vec_id) lands in
+    the same cluster at cosine 1.0 >= tau and is flagged; its keeper
+    (the original) keeps whatever verdict it had before."""
+    import pyspark.sql.functions as F
+
+    from deker_server_adapters_spark.operators.similarity import dedup_semantic
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    clone_src = emb.orderBy("vec_id").limit(1)
+    clone = clone_src.withColumn("vec_id", F.lit(int(max_id) + 1).cast("long"))
+    emb.unionByName(clone).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    pdf = dedup_semantic(spark, str(tmp_path)).toPandas().set_index("vec_id")
+    planted = pdf.loc[int(max_id) + 1]
+    assert bool(planted["is_dup"])
+    assert planted["max_sim_lower"] == 1.0
+    src_id = clone_src.first().vec_id
+    assert planted["cell"] == pdf.loc[src_id]["cell"]
+
+
 def test_docs_chunk_overlap_invariants(spark, sf_dir):
     """Chunking contract: chunk_idx contiguous from 0 per doc; every
     full window has exactly _CHUNK_W tokens and consecutive windows
