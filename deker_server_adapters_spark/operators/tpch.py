@@ -2688,7 +2688,141 @@ GROUP BY c_mktsegment
 """
 
 
+def customers_above_avg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape: customers whose returned net revenue exceeds
+    1.2x the average over their NATION's returning customers — the
+    classic correlated scalar subquery rewritten as one window over
+    the per-customer aggregate, so the "subquery" costs a single
+    Exchange(nationkey) of customer-COUNT rows instead of a rescan of
+    the fact table per outer row. The membership predicate compares
+    the UNROUNDED doubles: both engines derive them from the same
+    exact DECIMAL sums with the identical cast/divide/multiply IEEE
+    ops, so membership is bit-deterministic cross-engine; displayed
+    values round (native for the exact decimal, tie-safe for the
+    non-dyadic avg/ratio) only at the final projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dec = "decimal(30,6)"
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    per = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(net).alias("ret_dec"))
+    )
+    wc = per.join(cust, per.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_nationkey", "ret_dec"
+    )
+    w = Window.partitionBy("c_nationkey")
+    scored = wc.withColumn("nat_sum", F.sum("ret_dec").over(w)).withColumn(
+        "nat_n", F.count(F.lit(1)).over(w)
+    )
+    avg = F.col("nat_sum").cast("double") / F.col("nat_n")
+    return (
+        scored.filter(F.col("ret_dec").cast("double") > 1.2 * avg)
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "n_name",
+            # native-round-ok: ret_dec is DECIMAL(30,6) — exact
+            F.round(F.col("ret_dec"), 2).cast("double").alias("cust_returns"),
+            round_ties_safe(avg, 4).alias("nation_avg_returns"),
+            round_ties_safe(F.col("ret_dec").cast("double") / avg, 4).alias("ratio"),
+        )
+    )
+
+
+ABOVE_AVG_RETURNS_SQL = f"""
+WITH per AS (
+  SELECT o_custkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS ret_dec
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+), wc AS (
+  SELECT c_custkey, c_nationkey, ret_dec,
+         sum(ret_dec) OVER (PARTITION BY c_nationkey) AS nat_sum,
+         count(*) OVER (PARTITION BY c_nationkey) AS nat_n
+  FROM per JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_custkey, n_name,
+       CAST(/* native-round-ok: DECIMAL */ round(ret_dec, 2) AS DOUBLE) AS cust_returns,
+       {round_ties_safe_sql("CAST(nat_sum AS DOUBLE) / nat_n", 4)} AS nation_avg_returns,
+       {round_ties_safe_sql("CAST(ret_dec AS DOUBLE) / (CAST(nat_sum AS DOUBLE) / nat_n)", 4)} AS ratio
+FROM wc JOIN nation ON c_nationkey = n_nationkey
+WHERE CAST(ret_dec AS DOUBLE) > 1.2 * (CAST(nat_sum AS DOUBLE) / nat_n)
+"""
+
+
+def bulk_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q34/Q73 shape (group -> band filter -> regroup): orders
+    with 5-7 lineitems are 'bulk'; return customers holding >= 2 of
+    them with their bulk order count and total bulk quantity. The only
+    wide op over the fact table is the map-side-combined per-order
+    aggregate; the order->customer join then moves already-aggregated
+    order rows (one row per qualifying order), never raw lineitems."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("qty_dec"),
+        )
+        .filter((F.col("n_lines") >= 5) & (F.col("n_lines") <= 7))
+    )
+    return (
+        per.join(orders, per.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_bulk"), F.sum("qty_dec").alias("q"))
+        .filter(F.col("n_bulk") >= 2)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("n_bulk").cast("long").alias("n_bulk_orders"),
+            # native-round-ok: q is a DECIMAL sum — exact
+            F.round(F.col("q"), 2).cast("double").alias("bulk_qty"),
+        )
+    )
+
+
+BULK_ORDER_SQL = """
+WITH per AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         sum(CAST(l_quantity AS DECIMAL(30,6))) AS qty_dec
+  FROM lineitem GROUP BY l_orderkey
+  HAVING count(*) BETWEEN 5 AND 7
+)
+SELECT o_custkey AS c_custkey,
+       CAST(count(*) AS BIGINT) AS n_bulk_orders,
+       CAST(/* native-round-ok: DECIMAL */ round(sum(qty_dec), 2) AS DOUBLE) AS bulk_qty
+FROM per JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+HAVING count(*) >= 2
+"""
+
+
 OPS = {
+    "customers_above_avg_returns": Op(
+        "customers_above_avg_returns",
+        customers_above_avg_returns,
+        ABOVE_AVG_RETURNS_SQL,
+        description=(
+            "TPC-DS Q1 shape: returns above 1.2x the nation average, "
+            "correlated subquery rewritten as one window over the "
+            "per-customer aggregate"
+        ),
+    ),
+    "bulk_order_customers": Op(
+        "bulk_order_customers",
+        bulk_order_customers,
+        BULK_ORDER_SQL,
+        description=(
+            "TPC-DS Q34/Q73 shape: group -> band filter -> regroup; "
+            "customers with >= 2 orders of 5-7 lineitems"
+        ),
+    ),
     "channel_sales_rollup": Op(
         "channel_sales_rollup",
         channel_sales_rollup,
