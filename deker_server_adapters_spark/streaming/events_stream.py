@@ -232,6 +232,73 @@ def streaming_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_funnel(events: DataFrame) -> DataFrame:
+    """Stateful twin of the batch ``events_funnel``: per-user funnel
+    progression (click -> first view strictly after it -> first
+    purchase strictly after that) maintained as three timestamps of
+    state per user — O(users) state, no event retention. Each
+    micro-batch emits the user's refreshed (stage, t1, t2, t3) row
+    (update semantics); aggregating the final per-user stages
+    reproduces the batch op's three funnel counts.
+
+    The per-batch transition is the batch op's min-chain applied to
+    the batch's events given the carried state (vectorized masked
+    mins, not a per-row loop): t1 locks to the earliest click seen,
+    then t2 to the earliest view with ts > t1, then t3 likewise for
+    purchases. Under event-time-ordered micro-batch replay this
+    equals the batch chain EXACTLY (single-batch pytest); under
+    arbitrary arrival order each user's stage is a lower bound of the
+    batch stage (a late-arriving earlier click can only have delayed
+    a lock-in, never forged one — multi-batch pytest pins the bound).
+    Stages are monotone per user, so the latest emitted row is always
+    the best known verdict."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "user_id long, stage int, t1 timestamp, t2 timestamp, t3 timestamp"
+    state_schema = "t1_us long, t2_us long, t3_us long"
+    unset = -1  # event timestamps are positive epoch-us
+
+    def update(key, pdfs, state):
+        t1, t2, t3 = state.get if state.exists else (unset, unset, unset)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks and t3 == unset:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ets = pdf["event_type"].to_numpy()
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            if t1 == unset:
+                m = us[ets == "click"]
+                if len(m):
+                    t1 = int(m.min())
+            if t1 != unset and t2 == unset:
+                m = us[(ets == "view") & (us > t1)]
+                if len(m):
+                    t2 = int(m.min())
+            if t2 != unset and t3 == unset:
+                m = us[(ets == "purchase") & (us > t2)]
+                if len(m):
+                    t3 = int(m.min())
+        state.update((t1, t2, t3))
+        stage = int(t1 != unset) + int(t2 != unset) + int(t3 != unset)
+
+        def _ts(v):
+            return pd.Timestamp(v, unit="us") if v != unset else pd.NaT
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage": [stage],
+                "t1": [_ts(t1)],
+                "t2": [_ts(t2)],
+                "t3": [_ts(t3)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def streaming_wau_sliding(events: DataFrame) -> DataFrame:
     """Streaming twin of ``events_wau_rolling``: 7-day sliding windows
     advancing daily, approximate distinct users per window.

@@ -217,6 +217,93 @@ def test_streaming_sessionization_matches_batch_sessions(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def _funnel_reference(spark, sf_dir):
+    """Per-user batch funnel chain (min click -> min view > t1 -> min
+    purchase > t2) replayed in pandas — the per-user ground truth the
+    3-row batch op aggregates."""
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+    )
+    stages = {}
+    for user_id, g in ev.groupby("user_id"):
+        clicks = g.loc[g["event_type"] == "click", "ts"]
+        if clicks.empty:
+            stages[user_id] = 0
+            continue
+        t1 = clicks.min()
+        views = g.loc[(g["event_type"] == "view") & (g["ts"] > t1), "ts"]
+        if views.empty:
+            stages[user_id] = 1
+            continue
+        t2 = views.min()
+        purchases = g.loc[(g["event_type"] == "purchase") & (g["ts"] > t2), "ts"]
+        stages[user_id] = 2 if purchases.empty else 3
+    return stages
+
+
+def _final_funnel_rows(table_name, spark):
+    got = spark.table(table_name).toPandas()
+    # stages are monotone per user and the t-columns immutable once
+    # set, so the max-stage row is the final verdict
+    return got.sort_values("stage").groupby("user_id").last()
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir):
+    """Single batch = the whole history in one trigger: per-user
+    stages equal the batch min-chain exactly, and aggregating them
+    reproduces the batch op's three funnel counts."""
+    from deker_server_adapters_spark.operators.events import events_funnel
+    from deker_server_adapters_spark.streaming.events_stream import streaming_funnel
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_funnel(src), "t_funnel", "update")
+    final = _final_funnel_rows("t_funnel", spark)
+    ref = _funnel_reference(spark, sf_dir)
+    got_stages = {u: int(s) for u, s in final["stage"].items()}
+    # users with zero funnel progress may never appear with stage>0,
+    # but every user in the stream emits at least one row
+    assert got_stages == {u: s for u, s in ref.items()}
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in events_funnel(spark, sf_dir).toPandas().to_dict("records")
+    }
+    stages = pd.Series(list(got_stages.values()))
+    assert batch["click"] == int((stages >= 1).sum())
+    assert batch["click>view"] == int((stages >= 2).sum())
+    assert batch["click>view>purchase"] == int((stages >= 3).sum())
+
+
+def test_streaming_funnel_multibatch_lower_bound(spark, sf_dir):
+    """Across 6 time-ranged micro-batches the carried state keeps each
+    user's stage a LOWER BOUND of the batch chain (equality when files
+    arrive in event-time order — not guaranteed by the file source),
+    and stages never regress batch-over-batch."""
+    from deker_server_adapters_spark.streaming.events_stream import streaming_funnel
+
+    src = stream_events_source(spark, sf_dir, n_files=6)
+    _run_stream(streaming_funnel(src), "t_funnel_mb", "update")
+    rows = spark.table("t_funnel_mb").toPandas()
+    ref = _funnel_reference(spark, sf_dir)
+    final = rows.sort_values("stage").groupby("user_id").last()
+    assert ((final["stage"] - pd.Series(ref)[final.index]) <= 0).all()
+    # monotone per user in emission order
+    for _, g in rows.groupby("user_id"):
+        s = g["stage"].to_numpy()
+        assert (s[:-1] <= s[1:]).all() or len(s) == 1
+    # t-columns immutable once set: the final row's t1/t2/t3 agree with
+    # every earlier row where they were already set
+    merged = rows.merge(
+        final[["t1", "t2", "t3"]], left_on="user_id", right_index=True, suffixes=("", "_f")
+    )
+    for c in ("t1", "t2", "t3"):
+        setrows = merged[merged[c].notna()]
+        assert (setrows[c] == setrows[f"{c}_f"]).all()
+
+
 def test_streaming_anomaly_equals_batch(spark, sf_dir):
     """Stream-static join twin: batch moments + live stream give the
     same outliers as the all-batch op."""
