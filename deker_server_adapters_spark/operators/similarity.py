@@ -183,7 +183,7 @@ _IVF_CELLS = 8
 _IVF_PROBES = 3
 
 
-def _ivf_centroids(emb: DataFrame) -> DataFrame:
+def _ivf_centroids(emb: DataFrame, k: int = _IVF_CELLS) -> DataFrame:
     """Coarse quantizer: k-means-lite with deterministic seeds (the
     md5-smallest vec_ids) and one Lloyd refinement, all as DataFrame
     aggregations — no mllib dependency, fully distributed.
@@ -198,7 +198,7 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     seeds = (
         emb.withColumn("hk", h32(F.col("vec_id")))
         .orderBy("hk")
-        .limit(_IVF_CELLS)
+        .limit(k)
         .select(F.col("vec_id").alias("cell_seed"), F.col("embedding").alias("ce"))
         .withColumn("cell", F.row_number().over(Window.orderBy("cell_seed")) - 1)
         .select("cell", "ce")
@@ -232,7 +232,7 @@ def _ivf_centroids(emb: DataFrame) -> DataFrame:
     return new_cents
 
 
-def _local_centroids(emb: DataFrame) -> DataFrame:
+def _local_centroids(emb: DataFrame, k: int = _IVF_CELLS) -> DataFrame:
     """``_ivf_centroids`` materialized to a K-row LocalRelation.
 
     The consumers reference the centroid table from several plan
@@ -243,7 +243,7 @@ def _local_centroids(emb: DataFrame) -> DataFrame:
     branches a LocalRelation that broadcasts without a recompute — the
     shape that survives 100 TB, where re-running the quantizer per
     branch would double the corpus scans."""
-    cents = _ivf_centroids(emb)
+    cents = _ivf_centroids(emb, k)
     return emb.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
 
 
@@ -489,20 +489,22 @@ qt AS (
 """
 
 
-def _ivf_inv_cte() -> str:
+def _ivf_inv_cte(limit_sql: str = str(_IVF_CELLS)) -> str:
     """WITH-fragment replaying the IVF coarse quantizer + inverted
     file (``_ivf_centroids`` + full-corpus assignment) in DuckDB; ends
     with ``inv(neighbor_id, cell)``. Shared by ``_ivf_cand_cte`` (the
     IVF/IVFPQ recall oracles) and the semantic-dedup oracle — split
-    out verbatim so the rendered SQL (and thus every existing op
-    fingerprint) is byte-identical to the pre-split form."""
+    out verbatim so the default rendering (and thus every existing op
+    fingerprint) is byte-identical to the pre-split form.
+    ``limit_sql``: the seed-count k as SQL text — a literal, or a
+    scalar subquery for data-adaptive k (the semantic-dedup ladder)."""
     from deker_server_adapters_spark.functions.hashing import h32_sql
 
     return f"""
 seeds AS (
   SELECT vec_id, embedding,
          CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h32_sql("vec_id")} LIMIT {_IVF_CELLS})
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY {h32_sql("vec_id")} LIMIT {limit_sql})
 ), a0 AS (
   SELECT e.vec_id, e.embedding, s.cell,
          {round_ties_safe_sql("list_cosine_similarity(e.embedding::DOUBLE[], s.embedding::DOUBLE[])", 9)} AS sim
@@ -568,6 +570,38 @@ WITH exact AS ({ANN_TOPK_SQL}),
 
 _SEM_TAU = 0.35  # same angle as the threshold join: ~p99.9 of pair-cosine mass
 
+# Cluster-count ladder: smallest k with n <= 32*k^2, i.e. k ~ sqrt(n/32),
+# the balance point of the two SemDeDup cost terms (assignment n*k vs
+# within-cluster pairs n^2/k — total ~ n^1.5 at the sqrt choice, the
+# published algorithm's complexity class). Integer-compare thresholds so
+# the oracle replays the choice exactly (the threshold-join bits-ladder
+# device); capped at 1024 cells (n ~ 32M per job — shard above that).
+_SEM_K_LADDER = [
+    (2_048, 8),
+    (8_192, 16),
+    (32_768, 32),
+    (131_072, 64),
+    (524_288, 128),
+    (2_097_152, 256),
+    (8_388_608, 512),
+]
+_SEM_K_MAX = 1024
+
+
+def _sem_k(n: int) -> int:
+    for bound, k in _SEM_K_LADDER:
+        if n <= bound:
+            return k
+    return _SEM_K_MAX
+
+
+def _sem_k_sql() -> str:
+    """The ladder as a scalar subquery over the corpus count."""
+    cases = " ".join(
+        f"WHEN count(*) <= {bound} THEN {k}" for bound, k in _SEM_K_LADDER
+    )
+    return f"(SELECT CASE {cases} ELSE {_SEM_K_MAX} END FROM embeddings)"
+
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -587,18 +621,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every cluster-mate is compared — no probabilistic recall), and
     the output is per-vector keep/drop verdicts, not pairs.
 
-    Scale shape (the published SemDeDup design point): pair cost is
-    sum(n_c^2) with k chosen so cluster sizes stay bounded (k grows
-    ~n/target_cell_size; k=_IVF_CELLS at test scale — same dial as
-    the IVF index). Cluster assignment is a compiled argmin
-    expression over the k collected centroids — pure codegen, NO
-    per-vector window shuffle (first-max = lowest cell, matching the
-    oracle's ``ORDER BY sim DESC, cell`` rank-1) — so the only wide
-    ops are the self-join's Exchange(cell) and one map-side-combined
-    aggregate on vec_id. Centroids travel; the corpus never
-    reshuffles for training."""
+    Scale shape (the published SemDeDup design point): the cluster
+    count follows the ``_SEM_K_LADDER`` (k ~ sqrt(n/32), integer
+    thresholds the oracle replays exactly — the threshold-join
+    bits-ladder device), which balances the algorithm's two cost
+    terms: assignment is n*k cosines, within-cluster pairs are
+    ~n^2/k, so the sqrt choice keeps the total ~n^1.5 (SemDeDup's
+    complexity class) instead of letting a fixed k go quadratic.
+    Cluster assignment is a compiled argmin expression over the k
+    collected centroids — pure codegen, NO per-vector window shuffle
+    (first-max = lowest cell, matching the oracle's ``ORDER BY sim
+    DESC, cell`` rank-1) — so the only wide ops are the self-join's
+    Exchange(cell) and one map-side-combined aggregate on vec_id.
+    Centroids travel; the corpus never reshuffles for training. The
+    ladder read is one bounded eager count() in the builder — the
+    same scalar the oracle's LIMIT subquery computes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sorted(_local_centroids(emb).collect(), key=lambda r: r.cell)
+    k = _sem_k(emb.count())
+    cents = sorted(_local_centroids(emb, k).collect(), key=lambda r: r.cell)
     if not cents:  # empty corpus: typed empty verdict table
         return (
             emb.select(
@@ -657,7 +697,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_sql() -> str:
     return f"""
-WITH {_ivf_inv_cte()}, invv AS (
+WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, invv AS (
   SELECT neighbor_id AS vec_id, cell FROM inv
 ), pairs AS (
   SELECT a.vec_id AS vid, a.cell AS cell,
@@ -1649,7 +1689,8 @@ OPS = {
         _semantic_dedup_sql(),
         description=(
             f"SemDeDup: IVF-cell-partitioned cosine dedup at tau={_SEM_TAU}, "
-            "min-id keeper; candidate space deterministic (all cluster-mates)"
+            "min-id keeper; candidate space deterministic (all cluster-mates); "
+            "cluster count follows the k~sqrt(n/32) integer ladder"
         ),
     ),
     "embeddings_kmeans": Op(

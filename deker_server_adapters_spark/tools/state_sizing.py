@@ -21,6 +21,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     from deker_server_adapters_spark.streaming.events_stream import (
         stream_events_source,
         streaming_cms_sketch,
+        streaming_funnel,
         streaming_hll_registers,
         streaming_inactivity_alerts,
         streaming_inter_arrival,
@@ -30,6 +31,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
 
     twins = {
         # twin -> (builder, writeStream outputMode)
+        "funnel": (streaming_funnel, "update"),
         "inter_arrival": (streaming_inter_arrival, "update"),
         "running_totals": (streaming_running_totals, "append"),
         "cms_sketch": (streaming_cms_sketch, "update"),

@@ -1538,6 +1538,31 @@ def test_dedup_semantic_invariants(spark, sf_dir):
     assert not pdf[pdf["max_sim_lower"].fillna(-2.0) < _SEM_TAU]["is_dup"].any()
 
 
+def test_sem_k_ladder_cross_engine():
+    """The Python ladder (builder) and the SQL CASE ladder (oracle's
+    LIMIT subquery) must pick the identical k at every boundary —
+    pure integer compares, probed at each threshold +/- 1."""
+    import duckdb
+
+    from deker_server_adapters_spark.operators.similarity import (
+        _SEM_K_LADDER,
+        _SEM_K_MAX,
+        _sem_k,
+        _sem_k_sql,
+    )
+
+    probes = {0, 1, 500}
+    for bound, _ in _SEM_K_LADDER:
+        probes |= {bound - 1, bound, bound + 1}
+    probes.add(_SEM_K_LADDER[-1][0] * 4)
+    con = duckdb.connect()
+    for n in sorted(probes):
+        con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.execute(f"SELECT {_sem_k_sql()}").fetchone()[0]
+        assert got == _sem_k(n), (n, got, _sem_k(n))
+    assert _sem_k(10**9) == _SEM_K_MAX
+
+
 def test_dedup_semantic_planted_clone(spark, sf_dir, tmp_path):
     """A planted exact clone (same embedding, higher vec_id) lands in
     the same cluster at cosine 1.0 >= tau and is flagged; its keeper
