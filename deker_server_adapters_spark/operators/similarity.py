@@ -85,6 +85,92 @@ WHERE rnk <= {_TOP_K}
 """
 
 
+_HN_K = 3  # hard negatives / positives kept per query
+
+
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining for embedding-model training (public
+    practice: in-batch/hard-negative mining, e.g. SimCLR/DPR lineage):
+    per query vector, the ``_HN_K`` HARD NEGATIVES (highest-cosine
+    vectors with a DIFFERENT label — the confusable imposters) and
+    ``_HN_K`` HARD POSITIVES (lowest-cosine vectors with the SAME
+    label — the stretched in-class examples). One corpus scan scores
+    both kinds; a single window ranks them via a sign-flipped sort key
+    (-cosine for negatives, +cosine for positives — exact IEEE
+    negation of the already-rounded score, so both engines rank
+    identical keys).
+
+    Scale shape: identical to ``ann_cosine_topk`` — the query set
+    broadcasts, the corpus is scanned once, embarrassingly parallel,
+    and the window partitions on (query, kind) over an already-
+    filtered stream. At production corpus sizes the candidate scan
+    swaps for the IVF/LSH bucket paths exactly as the ANN family
+    does; the brute-force form is the exact baseline by definition."""
+    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        l2_norm(F.col("embedding")).alias("qn"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ne"),
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
+    scored = (
+        cand.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            round_ties_safe(dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn")), 6),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("query_label") != F.col("neighbor_label"), "hard_neg").otherwise(
+                "hard_pos"
+            ),
+        )
+        .withColumn(
+            "skey",
+            F.when(F.col("kind") == "hard_neg", -F.col("cosine")).otherwise(F.col("cosine")),
+        )
+    )
+    w = Window.partitionBy("query_id", "kind").orderBy("skey", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _HN_K)
+        .select(
+            "query_id", "query_label", "kind", "neighbor_id", "neighbor_label", "cosine", "rnk"
+        )
+    )
+
+
+def _hard_negatives_sql() -> str:
+    cos = round_ties_safe_sql(
+        "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])", 6
+    )
+    kind = "CASE WHEN q.label <> c.label THEN 'hard_neg' ELSE 'hard_pos' END"
+    return f"""
+SELECT query_id, query_label, kind, neighbor_id, neighbor_label, cosine, rnk
+FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+         {kind} AS kind,
+         c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         {cos} AS cosine,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id, {kind}
+             ORDER BY CASE WHEN q.label <> c.label THEN -{cos} ELSE {cos} END,
+                      c.vec_id) AS INT) AS rnk
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+) t
+WHERE rnk <= {_HN_K}
+"""
+
+
 def _hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5 — reproducible across runs
     and engines, no RNG state to ship."""
@@ -1681,6 +1767,17 @@ OPS = {
             f"product quantization: {_PQ_M} subspaces x {_PQ_K}-centroid "
             "codebooks (64 floats -> 8 nibbles, 32x payload shrink); "
             "codebooks travel, data never reshuffles; NumPy-parity pytest"
+        ),
+    ),
+    "embeddings_hard_negatives": Op(
+        "embeddings_hard_negatives",
+        embeddings_hard_negatives,
+        _hard_negatives_sql(),
+        description=(
+            f"contrastive-pair mining: top-{_HN_K} hard negatives "
+            f"(highest-cosine cross-label) + hard positives "
+            f"(lowest-cosine same-label) per query; one broadcast-Q "
+            "corpus scan, dual rank via sign-flipped sort key"
         ),
     ),
     "dedup_semantic": Op(

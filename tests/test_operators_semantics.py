@@ -1538,6 +1538,45 @@ def test_dedup_semantic_invariants(spark, sf_dir):
     assert not pdf[pdf["max_sim_lower"].fillna(-2.0) < _SEM_TAU]["is_dup"].any()
 
 
+def test_embeddings_hard_negatives_against_numpy(spark, sf_dir):
+    """Label discipline (negatives cross-label, positives same-label),
+    contiguous ranks, and exact agreement with a NumPy brute-force
+    re-derivation of both rankings."""
+    import numpy as np
+
+    from deker_server_adapters_spark.operators.similarity import (
+        _HN_K,
+        _N_QUERIES,
+        embeddings_hard_negatives,
+    )
+
+    pdf = embeddings_hard_negatives(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    neg = pdf[pdf["kind"] == "hard_neg"]
+    pos = pdf[pdf["kind"] == "hard_pos"]
+    assert (neg["query_label"] != neg["neighbor_label"]).all()
+    assert (pos["query_label"] == pos["neighbor_label"]).all()
+    for (q, kind), g in pdf.groupby(["query_id", "kind"]):
+        assert sorted(g["rnk"]) == list(range(1, len(g) + 1))
+        qi = np.where(ids == q)[0][0]
+        cos = np.round(X @ X[qi], 6)
+        mask = ids != q
+        if kind == "hard_neg":
+            mask &= np.array([labels[i] != labels[q] for i in ids])
+            order = np.lexsort((ids[mask], -cos[mask]))
+        else:
+            mask &= np.array([labels[i] == labels[q] for i in ids])
+            order = np.lexsort((ids[mask], cos[mask]))
+        want = ids[mask][order][:_HN_K]
+        got = g.sort_values("rnk")["neighbor_id"].to_numpy()
+        assert list(got) == list(want), (q, kind)
+    assert pdf["query_id"].nunique() == min(_N_QUERIES, len(emb))
+
+
 def test_sem_k_ladder_cross_engine():
     """The Python ladder (builder) and the SQL CASE ladder (oracle's
     LIMIT subquery) must pick the identical k at every boundary —
