@@ -642,6 +642,126 @@ WHERE {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.em
 """
 
 
+_KNN_K = 5  # neighbors voting in the label check
+
+
+def embeddings_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-error detection (the Confident-Learning-family data-
+    quality pass, public practice): a vector whose ``_KNN_K`` nearest
+    LSH-candidate neighbors majority-vote a DIFFERENT label is a
+    suspected labeling error — the rows a training pipeline routes to
+    re-annotation. One verdict row per vector: its label, the
+    neighbor-majority label (NULL when the vector shares no LSH bucket
+    with anyone), how many neighbors voted, and the suspect flag.
+
+    Determinism: neighbors rank by (cosine tie-safe-6 DESC, vec_id),
+    the majority breaks ties to the SMALLEST label — both replayed in
+    the oracle. Scale shape: candidates come from the same 4x8
+    hyperplane-LSH bucket equi-join as ``dedup_embedding`` (never an
+    n^2 scan); the top-k window and the vote both partition on vec_id
+    over bucket-bounded fan-out, and the final LEFT joins move one row
+    per vector."""
+    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = _emb_lsh_buckets(emb)
+    ba = buckets.select(F.col("vec_id").alias("vid"), "tbl", "bucket")
+    bb = buckets.select(F.col("vec_id").alias("nb"), "tbl", "bucket")
+    cand = (
+        ba.join(bb, ["tbl", "bucket"])
+        .filter(F.col("vid") != F.col("nb"))
+        .select("vid", "nb")
+        .distinct()
+    )
+    ev = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    en = emb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nbn"),
+    )
+    scored = (
+        cand.join(ev, "vid")
+        .join(en, "nb")
+        .withColumn(
+            "cosine",
+            round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nbn")), 6),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("cosine"), "nb")
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KNN_K)
+    votes = top.groupBy("vid", "nb_label").agg(F.count("*").alias("v"))
+    w2 = Window.partitionBy("vid").orderBy(F.desc("v"), "nb_label")
+    maj = (
+        votes.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("nb_label").alias("knn_label"))
+    )
+    cnt = top.groupBy("vid").agg(F.count("*").alias("n"))
+    return (
+        emb.select("vec_id", "label")
+        .join(maj, emb.vec_id == maj.vid, "left")
+        .drop("vid")
+        .join(cnt, emb.vec_id == cnt.vid, "left")
+        .drop("vid")
+        .select(
+            "vec_id",
+            "label",
+            "knn_label",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_neighbors"),
+            F.when(
+                F.col("knn_label").isNotNull() & (F.col("knn_label") != F.col("label")),
+                F.lit(True),
+            )
+            .otherwise(F.lit(False))
+            .alias("is_suspect"),
+        )
+    )
+
+
+def _knn_label_check_sql() -> str:
+    cos = round_ties_safe_sql(
+        "list_cosine_similarity(ev.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6
+    )
+    return f"""
+WITH b AS (
+{_duck_emb_buckets()}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vid, c.vec_id AS nb
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
+), scored AS (
+  SELECT cand.vid AS vid, cand.nb AS nb, en.label AS nb_label, {cos} AS cosine
+  FROM cand
+  JOIN embeddings ev ON ev.vec_id = cand.vid
+  JOIN embeddings en ON en.vec_id = cand.nb
+), top AS (
+  SELECT vid, nb_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, nb) AS rn
+    FROM scored
+  ) t WHERE rn <= {_KNN_K}
+), votes AS (
+  SELECT vid, nb_label, count(*) AS v FROM top GROUP BY vid, nb_label
+), maj AS (
+  SELECT vid, nb_label AS knn_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY v DESC, nb_label) AS rn
+    FROM votes
+  ) t WHERE rn = 1
+), cnt AS (
+  SELECT vid, CAST(count(*) AS BIGINT) AS n FROM top GROUP BY vid
+)
+SELECT e.vec_id AS vec_id, e.label AS label, m.knn_label AS knn_label,
+       COALESCE(c.n, 0) AS n_neighbors,
+       COALESCE(m.knn_label IS NOT NULL AND m.knn_label <> e.label, FALSE) AS is_suspect
+FROM embeddings e
+LEFT JOIN maj m ON m.vid = e.vec_id
+LEFT JOIN cnt c ON c.vid = e.vec_id
+"""
+
+
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup on normalized-text prefixes, with pair
     generation bounded by blocking keys (source + length bucket) —
@@ -1407,6 +1527,17 @@ OPS = {
         "dedup_cross_source_matrix", dedup_cross_source_matrix, CROSS_SOURCE_SQL
     ),
     "dedup_simhash": Op("dedup_simhash", dedup_simhash, SIMHASH_SQL, headline=True),
+    "embeddings_knn_label_check": Op(
+        "embeddings_knn_label_check",
+        embeddings_knn_label_check,
+        _knn_label_check_sql(),
+        description=(
+            f"kNN label-error detection: {_KNN_K} nearest LSH-candidate "
+            "neighbors majority-vote each vector's label; mismatches are "
+            "suspected annotation errors; candidates from the "
+            "dedup_embedding bucket join (never n^2)"
+        ),
+    ),
     "dedup_embedding": Op(
         "dedup_embedding",
         dedup_embedding,

@@ -1538,6 +1538,46 @@ def test_dedup_semantic_invariants(spark, sf_dir):
     assert not pdf[pdf["max_sim_lower"].fillna(-2.0) < _SEM_TAU]["is_dup"].any()
 
 
+def test_knn_label_check_planted_error(spark, sf_dir, tmp_path):
+    """Plant four clones of one vector: three with the true label, one
+    with a flipped label. The flipped clone's top-5 neighbors are the
+    four identical vectors (cosine 1.0, all true-labeled), so the
+    majority vote must flag it; the true-labeled clones see a 3-vs-1
+    true majority and stay clean."""
+    import pyspark.sql.functions as F
+
+    from deker_server_adapters_spark.operators.dedup import (
+        embeddings_knn_label_check,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.orderBy("vec_id").first()
+    m = emb.agg(F.max("vec_id")).first()[0]
+    src = emb.orderBy("vec_id").limit(1)
+    clones = None
+    for i, lab in enumerate([base.label, base.label, base.label, base.label + 1]):
+        c = src.select(
+            (F.lit(int(m) + 1 + i)).cast("long").alias("vec_id"),
+            "embedding",
+            F.lit(int(lab)).cast("int").alias("label"),
+        )
+        clones = c if clones is None else clones.unionByName(c)
+    emb.select("vec_id", "embedding", "label").unionByName(clones).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    pdf = (
+        embeddings_knn_label_check(spark, str(tmp_path))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    flipped = pdf.loc[int(m) + 4]
+    assert bool(flipped["is_suspect"])
+    assert flipped["knn_label"] == base.label
+    for i in range(1, 4):
+        assert not bool(pdf.loc[int(m) + i]["is_suspect"])
+    assert not bool(pdf.loc[base.vec_id]["is_suspect"])
+
+
 def test_embeddings_hard_negatives_against_numpy(spark, sf_dir):
     """Label discipline (negatives cross-label, positives same-label),
     contiguous ranks, and exact agreement with a NumPy brute-force
