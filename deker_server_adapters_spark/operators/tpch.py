@@ -2803,7 +2803,55 @@ HAVING count(*) >= 2
 """
 
 
+_QTY_BANDS = [(1, 10), (10, 20), (20, 30), (30, 40), (40, 50)]
+
+
+def lineitem_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: the textbook form is EIGHT scalar subqueries
+    (one scan per time band) cross-joined into a single row; the
+    Spark-first rewrite is ONE conditional-aggregation pass — each
+    band is a count over a predicate, all bands share one scan with
+    map-side combine, output is a single row. Counts (not sums with
+    0-else) so EMPTY input yields 0s in both engines rather than a
+    NULL/absent-row divergence."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count(
+            F.when((F.col("l_quantity") >= lo) & (F.col("l_quantity") < hi), 1)
+        )
+        .cast("long")
+        .alias(f"band_{lo}_{hi}")
+        for lo, hi in _QTY_BANDS
+    ]
+    aggs.append(
+        F.count(F.when(F.col("l_quantity") >= _QTY_BANDS[-1][1], 1))
+        .cast("long")
+        .alias("band_50_up")
+    )
+    aggs.append(F.count("*").cast("long").alias("n_total"))
+    return li.agg(*aggs)
+
+
+QTY_BANDS_SQL = f"""
+SELECT
+  {", ".join(f'''CAST(count(CASE WHEN l_quantity >= {lo} AND l_quantity < {hi} THEN 1 END) AS BIGINT) AS band_{lo}_{hi}''' for lo, hi in _QTY_BANDS)},
+  CAST(count(CASE WHEN l_quantity >= {_QTY_BANDS[-1][1]} THEN 1 END) AS BIGINT) AS band_50_up,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM lineitem
+"""
+
+
 OPS = {
+    "lineitem_quantity_bands": Op(
+        "lineitem_quantity_bands",
+        lineitem_quantity_bands,
+        QTY_BANDS_SQL,
+        description=(
+            "TPC-DS Q88 shape: 6 band counts that the textbook query "
+            "writes as 8 scalar-subquery scans, collapsed to ONE "
+            "conditional-aggregation pass"
+        ),
+    ),
     "customers_above_avg_returns": Op(
         "customers_above_avg_returns",
         customers_above_avg_returns,
