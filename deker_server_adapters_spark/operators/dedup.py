@@ -643,6 +643,75 @@ WHERE {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.em
 
 
 _KNN_K = 5  # neighbors voting in the label check
+_KNN_TABLES = 4
+_KNN_MAX_BITS = 16
+# Bits ladder: smallest b in [8, 16] with n <= 64 * 2^b (expected bucket
+# occupancy <= 64), so candidate fan-out per vector stays ~tables*64 at
+# any corpus size instead of growing linearly with n at fixed bits —
+# the threshold-join ladder device applied to the label check's own
+# bucket table (dedup_embedding's pinned 4x8 table is left untouched).
+_KNN_BITS_LADDER = [(64 << b, b) for b in range(8, _KNN_MAX_BITS)]
+
+
+def _knn_bits(n: int) -> int:
+    for bound, b in _KNN_BITS_LADDER:
+        if n <= bound:
+            return b
+    return _KNN_MAX_BITS
+
+
+def _knn_bits_sql() -> str:
+    cases = " ".join(
+        f"WHEN count(*) <= {bound} THEN {b}" for bound, b in _KNN_BITS_LADDER
+    )
+    return f"(SELECT CASE {cases} ELSE {_KNN_MAX_BITS} END FROM embeddings)"
+
+
+def _knn_lsh_buckets(emb: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, tbl, bucket) at ladder resolution: each of the
+    ``_KNN_TABLES`` tables owns ``_KNN_MAX_BITS`` reserved hyperplanes
+    (plane index = tbl*16 + i) and uses the first ``bits`` of them, so
+    stepping the ladder REFINES buckets (a b+1 bucket is a subset of
+    its b bucket) and the oracle can replay any step by masking the
+    full 16-bit signature."""
+    from deker_server_adapters_spark.functions.vectors import dot
+    from deker_server_adapters_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_KNN_TABLES * _KNN_MAX_BITS)
+    tables = []
+    for t in range(_KNN_TABLES):
+        sig = F.lit(0)
+        for i in range(bits):
+            pl = F.array(*[F.lit(v) for v in planes[t * _KNN_MAX_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0)
+            sig = sig + F.shiftleft(bit, i)
+        tables.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
+    return emb.withColumn("tb", F.explode(F.array(*tables))).select(
+        "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def _duck_knn_buckets() -> str:
+    """The ladder bucket table in DuckDB: full 16-bit signature per
+    table, masked to the ladder-chosen bit count (sum of the first b
+    bits == full signature & (2^b - 1), bit i carrying weight 2^i)."""
+    from deker_server_adapters_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_KNN_TABLES * _KNN_MAX_BITS)
+    mask = f"((1 << {_knn_bits_sql()}) - 1)"
+    selects = []
+    for t in range(_KNN_TABLES):
+        bits = []
+        for i in range(_KNN_MAX_BITS):
+            p = planes[t * _KNN_MAX_BITS + i]
+            dot_sql = " + ".join(
+                f"embedding[{k + 1}]::DOUBLE * {w}" for k, w in enumerate(p)
+            )
+            bits.append(f"(CASE WHEN ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)")
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST(({' + '.join(bits)}) & {mask} AS INT) AS bucket FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
 
 
 def embeddings_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -656,15 +725,21 @@ def embeddings_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: neighbors rank by (cosine tie-safe-6 DESC, vec_id),
     the majority breaks ties to the SMALLEST label — both replayed in
-    the oracle. Scale shape: candidates come from the same 4x8
-    hyperplane-LSH bucket equi-join as ``dedup_embedding`` (never an
-    n^2 scan); the top-k window and the vote both partition on vec_id
-    over bucket-bounded fan-out, and the final LEFT joins move one row
-    per vector."""
+    the oracle. Scale shape: candidates come from a hyperplane-LSH
+    bucket equi-join (never an n^2 scan) whose RESOLUTION follows the
+    ``_KNN_BITS_LADDER`` (smallest b in [8,16] with expected occupancy
+    n/2^b <= 64 — the threshold-join ladder device), so candidate
+    fan-out per vector stays ~tables*64 at any corpus size instead of
+    growing linearly with n at fixed bits; the oracle replays the
+    chosen step by masking a full 16-bit signature with a CASE over
+    count(*), and the builder's ladder read is one bounded eager
+    count(). The top-k window and the vote partition on vec_id over
+    the bounded fan-out; the final LEFT joins move one row per
+    vector."""
     from deker_server_adapters_spark.functions.vectors import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = _emb_lsh_buckets(emb)
+    buckets = _knn_lsh_buckets(emb, _knn_bits(emb.count()))
     ba = buckets.select(F.col("vec_id").alias("vid"), "tbl", "bucket")
     bb = buckets.select(F.col("vec_id").alias("nb"), "tbl", "bucket")
     cand = (
@@ -729,7 +804,7 @@ def _knn_label_check_sql() -> str:
     )
     return f"""
 WITH b AS (
-{_duck_emb_buckets()}
+{_duck_knn_buckets()}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vid, c.vec_id AS nb
   FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id
@@ -1534,8 +1609,8 @@ OPS = {
         description=(
             f"kNN label-error detection: {_KNN_K} nearest LSH-candidate "
             "neighbors majority-vote each vector's label; mismatches are "
-            "suspected annotation errors; candidates from the "
-            "dedup_embedding bucket join (never n^2)"
+            "suspected annotation errors; bucket resolution follows the "
+            "occupancy<=64 bits ladder (8..16), never n^2"
         ),
     ),
     "dedup_embedding": Op(

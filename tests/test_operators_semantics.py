@@ -1617,6 +1617,35 @@ def test_embeddings_hard_negatives_against_numpy(spark, sf_dir):
     assert pdf["query_id"].nunique() == min(_N_QUERIES, len(emb))
 
 
+def test_knn_bits_ladder_cross_engine():
+    """Python ladder (builder) vs SQL CASE ladder (oracle mask) at
+    every threshold +/- 1, plus mask equivalence: summing the first b
+    bits equals masking the full 16-bit signature."""
+    import duckdb
+
+    from deker_server_adapters_spark.operators.dedup import (
+        _KNN_BITS_LADDER,
+        _KNN_MAX_BITS,
+        _knn_bits,
+        _knn_bits_sql,
+    )
+
+    probes = {0, 1, 500}
+    for bound, _ in _KNN_BITS_LADDER:
+        probes |= {bound - 1, bound, bound + 1}
+    con = duckdb.connect()
+    for n in sorted(probes):
+        con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        got = con.execute(f"SELECT {_knn_bits_sql()}").fetchone()[0]
+        assert got == _knn_bits(n), (n, got, _knn_bits(n))
+    assert _knn_bits(10**9) == _KNN_MAX_BITS
+    for b in range(8, 17):
+        full = 0b1010110011110101
+        assert sum(
+            ((full >> i) & 1) << i for i in range(b)
+        ) == (full & ((1 << b) - 1))
+
+
 def test_sem_k_ladder_cross_engine():
     """The Python ladder (builder) and the SQL CASE ladder (oracle's
     LIMIT subquery) must pick the identical k at every boundary —

@@ -396,6 +396,8 @@ _ITERATIVE_BUILDERS = {
 _INTENTIONAL_BNLJ = {
     "ann_cosine_topk",
     "ann_int8_cosine",
+    # broadcast-Q brute-force scan, same shape as ann_cosine_topk
+    "embeddings_hard_negatives",
     # recall evals embed their brute-force baseline side
     "ann_threshold_join_recall",
     "ann_lsh_recall",
