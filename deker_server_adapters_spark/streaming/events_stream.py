@@ -299,6 +299,64 @@ def streaming_funnel(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_retention(events: DataFrame) -> DataFrame:
+    """Stateful twin of the batch ``events_retention_cohorts``: per
+    user, the cohort day (first active day) plus an 8-BIT MASK of
+    which day-N offsets (0..7) have been seen — two longs of state per
+    user, no event retention. Each (user, day_n) pair is emitted
+    EXACTLY ONCE (append mode), the first time its bit sets; the batch
+    op's (cohort_day, day_n, n_users) counts are the emitted rows
+    aggregated, which the pytest does. Day arithmetic is UTC epoch-day
+    integers (the loader pins the session to UTC, so the batch op's
+    date_trunc('day') is the same floor).
+
+    Ordering contract (the funnel twin's): under event-time-ordered
+    micro-batch replay the emitted set equals the batch op exactly —
+    the cohort day locks to the true minimum before any later day is
+    scored against it. Under arbitrary arrival order emission stays
+    exactly-once and cohort-consistent (every row scored against the
+    locked cohort), but a day EARLIER than the locked cohort arrives
+    with a negative offset and is skipped — a documented lower bound,
+    never a wrong pair."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = "user_id long, cohort_day timestamp, day_n long"
+    state_schema = "cohort_day_us long, seen_mask long"
+    day_us = 86_400_000_000
+
+    def update(key, pdfs, state):
+        cohort_us, mask = state.get if state.exists else (-1, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            days = np.unique(us // day_us * day_us)
+            if cohort_us < 0:
+                cohort_us = int(days.min())
+            for d in days:
+                day_n = (int(d) - cohort_us) // day_us
+                if 0 <= day_n <= 7 and not (mask >> day_n) & 1:
+                    mask |= 1 << day_n
+                    rows.append(day_n)
+        state.update((cohort_us, mask))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(rows), key[0], dtype=np.int64),
+                    "cohort_day": pd.to_datetime(cohort_us, unit="us"),
+                    "day_n": np.array(rows, dtype=np.int64),
+                }
+            )
+        else:
+            yield pd.DataFrame(columns=["user_id", "cohort_day", "day_n"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def streaming_wau_sliding(events: DataFrame) -> DataFrame:
     """Streaming twin of ``events_wau_rolling``: 7-day sliding windows
     advancing daily, approximate distinct users per window.

