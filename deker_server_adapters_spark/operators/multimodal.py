@@ -233,6 +233,68 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_stage(resized)
 
 
+def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type asset report a media pipeline plans with BEFORE
+    decoding anything: exact payload dedup (content-hash groups —
+    duplicate binaries are pure wasted storage and decode work) and
+    the DECODE BUDGET in pixels (sum of width*height*n_frames from
+    the typed metadata) — the capacity number that sizes the decode
+    stage. Everything derives from the binary column's content hash
+    and metadata, so unlike the decode pipeline this IS
+    SQL-expressible and oracle-checked. Scale shape: one
+    map-side-combined groupBy on the 16-byte content hash, then a
+    3-row rollup; no payload bytes ever shuffle (the hash rides, not
+    the binary)."""
+    assets = synth_assets(spark, sf_dir)
+    per = assets.groupBy(
+        "media_type", F.hex(F.col("payload")).alias("ph")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("meta.width") * F.col("meta.height") * F.col("meta.n_frames")).cast(
+                "long"
+            )
+        ).alias("px"),
+    )
+    return per.groupBy("media_type").agg(
+        F.sum("n").cast("long").alias("n_assets"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_dup_assets"),
+        (F.sum(F.col("n") - 1) * 16).cast("long").alias("wasted_bytes"),
+        F.sum("px").cast("long").alias("decode_budget_pixels"),
+    )
+
+
+ASSET_STATS_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
+         upper(md5(text)) AS ph,
+         (doc_id % 4 * 16 + 32) * (doc_id % 3 * 16 + 32) * (doc_id % 5 + 1) AS px
+  FROM documents
+), g AS (
+  SELECT media_type, ph, count(*) AS n, sum(px) AS px FROM a GROUP BY media_type, ph
+)
+SELECT media_type,
+       CAST(sum(n) AS BIGINT) AS n_assets,
+       CAST(count(*) AS BIGINT) AS n_unique,
+       CAST(sum(n - 1) AS BIGINT) AS n_dup_assets,
+       CAST(sum(n - 1) * 16 AS BIGINT) AS wasted_bytes,
+       CAST(sum(px) AS BIGINT) AS decode_budget_pixels
+FROM g GROUP BY media_type
+"""
+
+
 OPS = {
     "multimodal_pipeline": Op("multimodal_pipeline", multimodal_pipeline, None),
+    "multimodal_asset_stats": Op(
+        "multimodal_asset_stats",
+        multimodal_asset_stats,
+        ASSET_STATS_SQL,
+        description=(
+            "pre-decode media planning report: exact binary dedup by "
+            "content hash + decode budget in pixels per media type; "
+            "hashes shuffle, payload bytes never do"
+        ),
+    ),
 }
