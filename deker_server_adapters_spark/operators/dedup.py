@@ -315,6 +315,136 @@ HAVING {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END)
 """
 
 
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-batch) dedup: verdict each NEW document
+    (deterministic split: doc_id % 5 == 4, ~20%) against the EXISTING
+    corpus only — the production shape where yesterday's corpus is
+    already deduped and today's delta must not rescan it pairwise.
+    Two tiers, same devices as the batch family: an exact tier
+    (normalized-text md5 equi-join against the old side's hash->min-id
+    table) and a near tier (minhash band keys, NEW bands join OLD
+    bands only — no old-vs-old and no new-vs-new pair work), verified
+    at signature agreement >= 0.5. One row per new doc: the matched
+    old doc per tier (min old id, NULL = no match) and the verdict.
+
+    Scale shape: the delta is small relative to the corpus, so the
+    band join's new side broadcasts in production (here Catalyst
+    picks); the old side's hash and band tables are exactly what a
+    curation pipeline would keep bucketed on disk between runs, making
+    the daily job map-side — the docstring contract this op encodes.
+    Signature agreement rides the band join (both sigs travel), so
+    there is no join back to a signature table."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_pred = (F.col("doc_id") % 5) == 4
+    hashed = docs.select("doc_id", F.expr(f"md5({_NORM})").alias("text_hash"))
+    old_hash = (
+        hashed.filter(~new_pred)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    exact = (
+        hashed.filter(new_pred)
+        .join(old_hash, "text_hash", "left")
+        .select("doc_id", "exact_dup_of")
+    )
+    sigs = minhash_signatures_df(docs)
+    n_bands = _MINHASH_K // _BAND_SIZE
+    key_cols = ", ".join(f"sig[{{b}}*{_BAND_SIZE} + {i}]" for i in range(_BAND_SIZE))
+    stack_args = ", ".join(f"{b}, " + key_cols.format(b=b) for b in range(n_bands))
+    key_names = ", ".join(f"k{i}" for i in range(_BAND_SIZE))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, {key_names})"),
+    )
+    bn = bands.filter(new_pred).alias("n")
+    bo = bands.filter(~new_pred).alias("o")
+    cond = F.col("n.band") == F.col("o.band")
+    for i in range(_BAND_SIZE):
+        cond = cond & (F.col(f"n.k{i}") == F.col(f"o.k{i}"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("n.sig"),
+            F.col("o.sig"),
+            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = round_ties_safe(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
+    near = (
+        bn.join(bo, cond)
+        .select(
+            F.col("n.doc_id").alias("nid"),
+            F.col("o.doc_id").alias("oid"),
+            est.alias("est"),
+        )
+        .dropDuplicates(["nid", "oid"])
+        .filter(F.col("est") >= 0.5)
+        .groupBy("nid")
+        .agg(F.min("oid").alias("near_dup_of"))
+    )
+    return (
+        exact.join(near, exact.doc_id == near.nid, "left")
+        .drop("nid")
+        .select(
+            "doc_id",
+            "exact_dup_of",
+            "near_dup_of",
+            F.when(F.col("exact_dup_of").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_dup_of").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+), hv AS (
+  SELECT doc_id, CAST(CAST('0x' || substr(md5(shingle), 1, 8) AS UBIGINT) AS BIGINT) AS h
+  FROM sh
+), seeds(seed, a, b) AS (
+  VALUES {_MH_SEEDS_VALUES}
+), sigs AS (
+  SELECT doc_id, CAST(seed AS INT) AS seed, min((a * h + b) % {_MH_P}) AS minh
+  FROM hv, seeds
+  GROUP BY doc_id, seed
+), bands AS (
+  SELECT doc_id, CAST(seed // {_BAND_SIZE} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sigs GROUP BY doc_id, band
+), cand AS (
+  SELECT DISTINCT n.doc_id AS nid, o.doc_id AS oid
+  FROM bands n JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+  WHERE n.doc_id % 5 = 4 AND o.doc_id % 5 <> 4
+), near_pairs AS (
+  SELECT nid, oid FROM cand
+  JOIN sigs sa ON sa.doc_id = nid
+  JOIN sigs sb ON sb.doc_id = oid AND sb.seed = sa.seed
+  GROUP BY nid, oid
+  HAVING {round_ties_safe_sql(f"sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / {float(_MINHASH_K)}", 4)} >= 0.5
+), near AS (
+  SELECT nid, min(oid) AS near_dup_of FROM near_pairs GROUP BY nid
+), ex_old AS (
+  SELECT md5({_NORM_DUCK}) AS th, min(doc_id) AS exact_dup_of
+  FROM documents WHERE doc_id % 5 <> 4 GROUP BY th
+), newd AS (
+  SELECT doc_id, md5({_NORM_DUCK}) AS th FROM documents WHERE doc_id % 5 = 4
+)
+SELECT newd.doc_id AS doc_id,
+       e.exact_dup_of AS exact_dup_of,
+       near.near_dup_of AS near_dup_of,
+       CASE WHEN e.exact_dup_of IS NOT NULL THEN 'exact_dup'
+            WHEN near.near_dup_of IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS verdict
+FROM newd
+LEFT JOIN ex_old e ON e.th = newd.th
+LEFT JOIN near ON near.nid = newd.doc_id
+"""
+
+
 def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Where the duplication mass comes from: minhash near-dup pairs
     joined to their documents' sources and counted per UNORDERED source
@@ -1598,6 +1728,16 @@ OPS = {
     "dedup_levenshtein": Op("dedup_levenshtein", dedup_levenshtein, LEVENSHTEIN_SQL),
     "dedup_ngram_jaccard": Op("dedup_ngram_jaccard", dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": Op("dedup_minhash_lsh", dedup_minhash_lsh, MINHASH_SQL, headline=True),
+    "docs_incremental_dedup": Op(
+        "docs_incremental_dedup",
+        docs_incremental_dedup,
+        INCREMENTAL_DEDUP_SQL,
+        description=(
+            "daily-batch dedup: new docs (doc_id%5==4) verdict against "
+            "the existing corpus only — exact md5 tier + minhash band "
+            "tier, no old-vs-old or new-vs-new pair work"
+        ),
+    ),
     "dedup_cross_source_matrix": Op(
         "dedup_cross_source_matrix", dedup_cross_source_matrix, CROSS_SOURCE_SQL
     ),

@@ -1617,6 +1617,43 @@ def test_embeddings_hard_negatives_against_numpy(spark, sf_dir):
     assert pdf["query_id"].nunique() == min(_N_QUERIES, len(emb))
 
 
+def test_incremental_dedup_planted_exact(spark, sf_dir, tmp_path):
+    """Plant a NEW doc (id % 5 == 4) carrying an OLD doc's exact text:
+    the exact tier must point it at that old doc (this corpus has no
+    natural exact dups, so the tier is otherwise unexercised), and an
+    old-side clone of a NEW doc must NOT make the new doc 'unique'
+    flip — direction matters: verdicts are for new docs only."""
+    import pyspark.sql.functions as F
+
+    from deker_server_adapters_spark.operators.dedup import docs_incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_src = docs.filter((F.col("doc_id") % 5) != 4).orderBy("doc_id").limit(1)
+    src_row = old_src.first()
+    m = int(docs.agg(F.max("doc_id")).first()[0])
+    new_id = m + 1
+    while new_id % 5 != 4:
+        new_id += 1
+    clone = old_src.withColumn("doc_id", F.lit(new_id).cast("long"))
+    docs.unionByName(clone).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    pdf = (
+        docs_incremental_dedup(spark, str(tmp_path)).toPandas().set_index("doc_id")
+    )
+    planted = pdf.loc[new_id]
+    assert planted["verdict"] == "exact_dup"
+    assert planted["exact_dup_of"] == src_row.doc_id
+    # every new doc gets exactly one verdict row
+    n_new = (
+        spark.read.parquet(str(tmp_path / "documents.parquet"))
+        .filter((F.col("doc_id") % 5) == 4)
+        .count()
+    )
+    assert len(pdf) == n_new
+    assert set(pdf["verdict"].unique()) <= {"exact_dup", "near_dup", "unique"}
+
+
 def test_knn_bits_ladder_cross_engine():
     """Python ladder (builder) vs SQL CASE ladder (oracle mask) at
     every threshold +/- 1, plus mask equivalence: summing the first b
