@@ -689,6 +689,34 @@ def _sem_k_sql() -> str:
     return f"(SELECT CASE {cases} ELSE {_SEM_K_MAX} END FROM embeddings)"
 
 
+def _sem_assignments(emb: DataFrame) -> "DataFrame | None":
+    """(vec_id, embedding, cell) under the ladder-k IVF quantizer —
+    the compiled-argmin assignment shared by ``dedup_semantic`` and
+    its recall eval (first-max = lowest cell, matching the oracle's
+    ``ORDER BY sim DESC, cell`` rank-1). None on an empty corpus."""
+    k = _sem_k(emb.count())
+    cents = sorted(_local_centroids(emb, k).collect(), key=lambda r: r.cell)
+    if not cents:
+        return None
+    sims = F.array(
+        *[
+            round_ties_safe(
+                cosine_similarity(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in r.ce]),
+                ),
+                9,
+            )
+            for r in cents
+        ]
+    )
+    return emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public): cluster the corpus with the IVF
@@ -723,9 +751,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder read is one bounded eager count() in the builder — the
     same scalar the oracle's LIMIT subquery computes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    k = _sem_k(emb.count())
-    cents = sorted(_local_centroids(emb, k).collect(), key=lambda r: r.cell)
-    if not cents:  # empty corpus: typed empty verdict table
+    asg = _sem_assignments(emb)
+    if asg is None:  # empty corpus: typed empty verdict table
         return (
             emb.select(
                 "vec_id",
@@ -736,23 +763,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False).alias("is_dup"),
             ).limit(0)
         )
-    sims = F.array(
-        *[
-            round_ties_safe(
-                cosine_similarity(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(v)) for v in r.ce]),
-                ),
-                9,
-            )
-            for r in cents
-        ]
-    )
-    asg = emb.select(
-        "vec_id",
-        "embedding",
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
-    )
     a = asg.select("vec_id", F.col("embedding").alias("ea"), "cell")
     b = asg.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"), "cell")
     pairs = (
@@ -779,6 +789,77 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_dup_lower"), F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall eval twin of ``dedup_semantic`` (the family pattern:
+    every approximate candidate scheme ships an oracled recall
+    measurement): cluster partitioning MISSES cross-cluster pairs by
+    design, so this measures what fraction of ALL cosine >= tau pairs
+    land with both ends in the same cell. Brute-force n^2 side is
+    eval-only (the `ann_threshold_join_recall` precedent — fine at
+    test scale, the thing the clustered path exists to avoid at
+    production scale). One row: true pairs, captured pairs,
+    zero-guarded recall."""
+    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = _sem_assignments(emb)
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    tp = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("va", "vb")
+    )
+    if asg is not None:
+        ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
+        cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+        joined = tp.join(ca, "va").join(cb, "vb")
+    else:
+        joined = tp.withColumn("cell_a", F.lit(0)).withColumn("cell_b", F.lit(1))
+    cap = F.sum(F.when(F.col("cell_a") == F.col("cell_b"), 1).otherwise(0))
+    return joined.agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        F.coalesce(cap, F.lit(0)).cast("long").alias("n_captured"),
+        F.when(
+            F.count("*") > 0,
+            round_ties_safe(cap.cast("double") / F.count("*"), 4),
+        ).alias("recall"),
+    )
+
+
+def _semantic_recall_sql() -> str:
+    cos = round_ties_safe_sql(
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6
+    )
+    return f"""
+WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, asg AS (
+  SELECT neighbor_id AS vec_id, cell FROM inv
+), tp AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {_SEM_TAU}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(COALESCE(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_captured,
+       CASE WHEN count(*) = 0 THEN NULL
+            ELSE {round_ties_safe_sql("CAST(sum(CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)}
+       END AS recall
+FROM tp
+JOIN asg ca ON ca.vec_id = tp.va
+JOIN asg cb ON cb.vec_id = tp.vb
+"""
 
 
 def _semantic_dedup_sql() -> str:
@@ -1778,6 +1859,16 @@ OPS = {
             f"(highest-cosine cross-label) + hard positives "
             f"(lowest-cosine same-label) per query; one broadcast-Q "
             "corpus scan, dual rank via sign-flipped sort key"
+        ),
+    ),
+    "dedup_semantic_recall": Op(
+        "dedup_semantic_recall",
+        dedup_semantic_recall,
+        _semantic_recall_sql(),
+        description=(
+            "recall of SemDeDup's cluster-bounded candidate space vs ALL "
+            "cosine>=tau pairs (brute-force side eval-only); cross-cluster "
+            "misses are the measured trade"
         ),
     ),
     "dedup_semantic": Op(

@@ -1683,6 +1683,25 @@ def test_knn_bits_ladder_cross_engine():
         ) == (full & ((1 << b) - 1))
 
 
+def test_dedup_semantic_recall_consistency(spark, sf_dir):
+    """The recall eval's captured count must equal the pairs the
+    verdict op actually flags (sum of n_dup_lower = same-cell pairs at
+    >= tau), and recall stays a valid zero-guarded ratio."""
+    from deker_server_adapters_spark.operators.similarity import (
+        dedup_semantic,
+        dedup_semantic_recall,
+    )
+
+    row = dedup_semantic_recall(spark, sf_dir).first()
+    assert row.n_captured <= row.n_true_pairs
+    if row.n_true_pairs:
+        assert abs(row.recall - round(row.n_captured / row.n_true_pairs, 4)) < 1e-9
+    else:
+        assert row.recall is None
+    verdicts = dedup_semantic(spark, sf_dir).toPandas()
+    assert int(verdicts["n_dup_lower"].sum()) == row.n_captured
+
+
 def test_sem_k_ladder_cross_engine():
     """The Python ladder (builder) and the SQL CASE ladder (oracle's
     LIMIT subquery) must pick the identical k at every boundary —

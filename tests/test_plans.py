@@ -400,6 +400,7 @@ _INTENTIONAL_BNLJ = {
     "embeddings_hard_negatives",
     # recall evals embed their brute-force baseline side
     "ann_threshold_join_recall",
+    "dedup_semantic_recall",
     "ann_lsh_recall",
     "ann_int8_recall",
     "ann_ivf_recall",
