@@ -601,7 +601,11 @@ seeds AS (
   ) t WHERE rn = 1
 ), cent AS (
   SELECT cell, CAST(u.i - 1 AS INT) AS d,
-         {round_ties_safe_sql("CAST(sum(CAST(embedding[u.i] AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 9)} AS cv
+         -- FLOAT must go through DOUBLE before DECIMAL: DuckDB's direct
+         -- FLOAT->DECIMAL cast converts in float32 arithmetic and is
+         -- wrong past ~7 significant digits (r11 find; Spark casts the
+         -- array to double first, so the engines diverged ~1e-9/dim)
+         {round_ties_safe_sql("CAST(sum(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 9)} AS cv
   FROM asg0, UNNEST(range(1, len(embedding) + 1)) u(i)
   GROUP BY cell, d
 ), cents AS (
@@ -689,11 +693,13 @@ def _sem_k_sql() -> str:
     return f"(SELECT CASE {cases} ELSE {_SEM_K_MAX} END FROM embeddings)"
 
 
-def _sem_assignments(emb: DataFrame) -> "DataFrame | None":
-    """(vec_id, embedding, cell) under the ladder-k IVF quantizer —
-    the compiled-argmin assignment shared by ``dedup_semantic`` and
-    its recall eval (first-max = lowest cell, matching the oracle's
-    ``ORDER BY sim DESC, cell`` rank-1). None on an empty corpus."""
+def _sem_assignments(emb: DataFrame, with_sim: bool = False) -> "DataFrame | None":
+    """(vec_id, embedding, cell[, best_sim]) under the ladder-k IVF
+    quantizer — the compiled-argmin assignment shared by
+    ``dedup_semantic``, its recall eval, and the centroid-outlier op
+    (first-max = lowest cell, matching the oracle's ``ORDER BY sim
+    DESC, cell`` rank-1; ``best_sim`` is that rank-1 sim, 1e-9
+    rounded). None on an empty corpus."""
     k = _sem_k(emb.count())
     cents = sorted(_local_centroids(emb, k).collect(), key=lambda r: r.cell)
     if not cents:
@@ -710,11 +716,14 @@ def _sem_assignments(emb: DataFrame) -> "DataFrame | None":
             for r in cents
         ]
     )
-    return emb.select(
+    cols = [
         "vec_id",
         "embedding",
         (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
-    )
+    ]
+    if with_sim:
+        cols.append(F.array_max(sims).alias("best_sim"))
+    return emb.select(*cols)
 
 
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +798,66 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_dup_lower"), F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+def embeddings_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier/OOD detection — the pre-training
+    filter that routes vectors far from every cluster (garbage,
+    corrupted, off-distribution samples) to review: a vector whose
+    cosine to its OWN (best) centroid falls more than 0.1 below its
+    cell's average is flagged. Reuses the ladder-k quantizer
+    assignment (``_sem_assignments(with_sim=True)``); the flag
+    threshold is an absolute offset, not a ratio, so near-zero or
+    negative cell averages keep monotone semantics. Scale shape: one
+    corpus scan for the assignment (compiled argmin — no shuffle),
+    one map-side-combined per-cell average (≤k rows) broadcast back.
+
+    The per-cell average follows the decimal-sum discipline
+    (order-independent), and the flag compares two identically-derived
+    doubles — both engines agree bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = _sem_assignments(emb, with_sim=True)
+    if asg is None:  # empty corpus: typed empty
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("int").alias("cell"),
+            F.lit(0.0).alias("centroid_sim"),
+            F.lit(0.0).alias("cell_avg_sim"),
+            F.lit(False).alias("is_outlier"),
+        ).limit(0)
+    per_cell = asg.groupBy("cell").agg(
+        round_ties_safe(
+            F.sum(F.col("best_sim").cast("decimal(20,9)")).cast("double") / F.count("*"),
+            6,
+        ).alias("cell_avg_sim")
+    )
+    sim6 = round_ties_safe(F.col("best_sim"), 6)
+    return asg.join(F.broadcast(per_cell), "cell").select(
+        "vec_id",
+        "cell",
+        sim6.alias("centroid_sim"),
+        "cell_avg_sim",
+        (sim6 < F.col("cell_avg_sim") - 0.1).alias("is_outlier"),
+    )
+
+
+def _centroid_outliers_sql() -> str:
+    return f"""
+WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, best AS (
+  SELECT vec_id, cell, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a1
+  ) t WHERE rn = 1
+), agg AS (
+  SELECT cell,
+         {round_ties_safe_sql("CAST(sum(CAST(sim AS DECIMAL(20,9))) AS DOUBLE) / count(*)", 6)} AS cell_avg_sim
+  FROM best GROUP BY cell
+)
+SELECT b.vec_id AS vec_id, b.cell AS cell,
+       {round_ties_safe_sql("b.sim", 6)} AS centroid_sim,
+       a.cell_avg_sim AS cell_avg_sim,
+       {round_ties_safe_sql("b.sim", 6)} < a.cell_avg_sim - 0.1 AS is_outlier
+FROM best b JOIN agg a ON a.cell = b.cell
+"""
 
 
 def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1859,6 +1928,16 @@ OPS = {
             f"(highest-cosine cross-label) + hard positives "
             f"(lowest-cosine same-label) per query; one broadcast-Q "
             "corpus scan, dual rank via sign-flipped sort key"
+        ),
+    ),
+    "embeddings_centroid_outliers": Op(
+        "embeddings_centroid_outliers",
+        embeddings_centroid_outliers,
+        _centroid_outliers_sql(),
+        description=(
+            "centroid-distance OOD filter: flag vectors whose cosine to "
+            "their own centroid falls 0.1 below the cell average; "
+            "ladder-k quantizer reused, per-cell avg broadcast back"
         ),
     ),
     "dedup_semantic_recall": Op(

@@ -1654,6 +1654,37 @@ def test_incremental_dedup_planted_exact(spark, sf_dir, tmp_path):
     assert set(pdf["verdict"].unique()) <= {"exact_dup", "near_dup", "unique"}
 
 
+def test_duckdb_float_to_decimal_cast_hazard():
+    """Regression pin for the r11 find: DuckDB's direct FLOAT->DECIMAL
+    cast converts in float32 arithmetic (wrong past ~7 significant
+    digits), while FLOAT->DOUBLE->DECIMAL is exact. Every oracle that
+    decimal-accumulates a float column must route through DOUBLE; this
+    test keeps the hazard visible (if DuckDB ever fixes the direct
+    cast, the first assertion flips and the detour can be dropped)."""
+    import duckdb
+
+    con = duckdb.connect()
+    # build the float via DOUBLE: a bare decimal literal parses as
+    # DECIMAL and DuckDB's DECIMAL->FLOAT cast is itself lossy
+    con.execute(
+        "CREATE TABLE t AS SELECT CAST(CAST(0.12480366975069046 AS DOUBLE) AS FLOAT) AS f"
+    )
+    direct = con.execute("SELECT CAST(f AS DECIMAL(30,12)) FROM t").fetchone()[0]
+    via_double = con.execute(
+        "SELECT CAST(CAST(f AS DOUBLE) AS DECIMAL(30,12)) FROM t"
+    ).fetchone()[0]
+    from decimal import Decimal
+
+    assert via_double == Decimal("0.124803669751")  # correct 12dp rounding
+    assert direct != via_double  # the hazard this pin documents
+    # and no oracle still uses the direct cast on the float embedding col
+    from deker_server_adapters_spark.operators import all_ops
+
+    for name, op in all_ops().items():
+        if op.oracle:
+            assert "embedding[u.i] AS DECIMAL" not in op.oracle, name
+
+
 def test_knn_bits_ladder_cross_engine():
     """Python ladder (builder) vs SQL CASE ladder (oracle mask) at
     every threshold +/- 1, plus mask equivalence: summing the first b
