@@ -372,14 +372,23 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     )
     est = round_ties_safe(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
+    # pair-dedup via the FIRST matching band (both sigs ride the join),
+    # not a trailing dropDuplicates — that would be a whole extra
+    # shuffle over the pair table (the minhash_pairs_df device; keep
+    # the two sites in sync if the banding scheme changes)
+    band_match = " AND ".join(
+        f"n.sig[bb*{_BAND_SIZE} + {i}] = o.sig[bb*{_BAND_SIZE} + {i}]"
+        for i in range(_BAND_SIZE)
+    )
+    first_band = F.expr(f"filter(sequence(0, {n_bands - 1}), bb -> {band_match})[0]")
     near = (
         bn.join(bo, cond)
+        .filter(F.col("n.band") == first_band)
         .select(
             F.col("n.doc_id").alias("nid"),
             F.col("o.doc_id").alias("oid"),
             est.alias("est"),
         )
-        .dropDuplicates(["nid", "oid"])
         .filter(F.col("est") >= 0.5)
         .groupBy("nid")
         .agg(F.min("oid").alias("near_dup_of"))

@@ -246,21 +246,32 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row rollup; no payload bytes ever shuffle (the hash rides, not
     the binary)."""
     assets = synth_assets(spark, sf_dir)
+    # images decode exactly ONE frame (decode_stage clamps them), so
+    # their budget is w*h regardless of declared n_frames — budgeting
+    # the declared frames would overstate the image share (r11
+    # self-review find)
+    frames = F.when(F.col("media_type") == "image", F.lit(1)).otherwise(
+        F.col("meta.n_frames")
+    )
     per = assets.groupBy(
-        "media_type", F.hex(F.col("payload")).alias("ph")
+        # md5 of the BYTES, not the hex-doubled payload: only 32-char
+        # digests shuffle, and the device survives real (large) blobs
+        "media_type",
+        F.md5(F.col("payload")).alias("ph"),
     ).agg(
         F.count("*").alias("n"),
-        F.sum(
-            (F.col("meta.width") * F.col("meta.height") * F.col("meta.n_frames")).cast(
-                "long"
-            )
-        ).alias("px"),
+        F.max(F.length("payload")).cast("long").alias("blob_bytes"),
+        F.sum((F.col("meta.width") * F.col("meta.height") * frames).cast("long")).alias(
+            "px"
+        ),
     )
     return per.groupBy("media_type").agg(
         F.sum("n").cast("long").alias("n_assets"),
         F.count("*").cast("long").alias("n_unique"),
         F.sum(F.col("n") - 1).cast("long").alias("n_dup_assets"),
-        (F.sum(F.col("n") - 1) * 16).cast("long").alias("wasted_bytes"),
+        # all payloads in a hash group are identical, so waste is
+        # (copies - 1) x that group's actual blob size
+        F.sum((F.col("n") - 1) * F.col("blob_bytes")).cast("long").alias("wasted_bytes"),
         F.sum("px").cast("long").alias("decode_budget_pixels"),
     )
 
@@ -269,17 +280,24 @@ ASSET_STATS_SQL = """
 WITH a AS (
   SELECT doc_id,
          CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
-         upper(md5(text)) AS ph,
-         (doc_id % 4 * 16 + 32) * (doc_id % 3 * 16 + 32) * (doc_id % 5 + 1) AS px
+         -- grouping key need only be EQUALITY-equivalent to Spark's
+         -- md5(payload) (ph never reaches the output): payload =
+         -- unhex(md5(text)) is a bijection of md5(text), and DuckDB's
+         -- md5() is VARCHAR-only anyway
+         md5(text) AS ph,
+         octet_length(from_hex(md5(text))) AS blob_bytes,
+         (doc_id % 4 * 16 + 32) * (doc_id % 3 * 16 + 32)
+           * (CASE WHEN CAST(doc_id % 3 + 1 AS INT) = 1 THEN 1 ELSE doc_id % 5 + 1 END) AS px
   FROM documents
 ), g AS (
-  SELECT media_type, ph, count(*) AS n, sum(px) AS px FROM a GROUP BY media_type, ph
+  SELECT media_type, ph, count(*) AS n, max(blob_bytes) AS blob_bytes, sum(px) AS px
+  FROM a GROUP BY media_type, ph
 )
 SELECT media_type,
        CAST(sum(n) AS BIGINT) AS n_assets,
        CAST(count(*) AS BIGINT) AS n_unique,
        CAST(sum(n - 1) AS BIGINT) AS n_dup_assets,
-       CAST(sum(n - 1) * 16 AS BIGINT) AS wasted_bytes,
+       CAST(sum((n - 1) * blob_bytes) AS BIGINT) AS wasted_bytes,
        CAST(sum(px) AS BIGINT) AS decode_budget_pixels
 FROM g GROUP BY media_type
 """

@@ -716,10 +716,21 @@ def _sem_assignments(emb: DataFrame, with_sim: bool = False) -> "DataFrame | Non
             for r in cents
         ]
     )
+    # Map the argmin POSITION back to the centroid's TRUE cell id:
+    # _ivf_centroids drops cells emptied by the Lloyd step, so the
+    # cents list can have id gaps — the oracle's inv emits the true
+    # ids, and a compacted array index would diverge on the first gap
+    # (r11 self-review find). pos==0 happens only when every sim is
+    # NaN (a zero-norm embedding): array_position can't match NaN, and
+    # the oracle's ORDER BY sim DESC ranks the NaNs first with the
+    # lowest cell winning the tie — exactly element 1 of the sorted
+    # cell array, so clamping reproduces the oracle's verdict.
+    cell_ids = F.array(*[F.lit(int(r.cell)) for r in cents])
+    pos = F.array_position(sims, F.array_max(sims))
     cols = [
         "vec_id",
         "embedding",
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+        F.element_at(cell_ids, F.greatest(pos, F.lit(1)).cast("int")).alias("cell"),
     ]
     if with_sim:
         cols.append(F.array_max(sims).alias("best_sim"))
