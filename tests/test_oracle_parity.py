@@ -158,3 +158,48 @@ def test_round_half_tie_cross_engine_regression(spark):
             assert ss == ds, f"tie probe diverged at ({v!r}, {d})"
     finally:
         con.close()
+
+
+def test_round_ties_safe_randomized_sweep(spark):
+    """Property-style cross-engine sweep of the tie-safe device: 400
+    seeded random doubles across 13 orders of magnitude plus
+    constructed ...5-terminating renderings, rounded at every scale
+    the registry uses (2/4/6/9 dp), must agree bit-for-bit. One Spark
+    job and one DuckDB query per run; repr() round-trips doubles
+    exactly in both engines, so the inputs are identical."""
+    import random
+
+    import duckdb
+
+    from deker_server_adapters_spark.functions.histogram import (
+        round_ties_safe,
+        round_ties_safe_sql,
+    )
+
+    rng = random.Random(42)
+    vals = [rng.uniform(-1.0, 1.0) * 10.0 ** rng.randint(-6, 6) for _ in range(400)]
+    # adversarial: renderings terminating in 5 one digit past each scale
+    for s in (2, 4, 6, 9):
+        vals += [n * 10.0 ** -(s + 1) / 2.0 for n in range(-19, 20, 2)]
+    scales = (2, 4, 6, 9)
+    rows = [(float(v),) for v in vals]
+    sdf = spark.createDataFrame(rows, "v double").select(
+        "v", *[round_ties_safe(F.col("v"), s).alias(f"s{s}") for s in scales]
+    )
+    got = sdf.collect()
+    con = duckdb.connect()
+    try:
+        # CAST('<repr>' AS DOUBLE): a bare decimal literal parses as
+        # DECIMAL first and the DECIMAL->DOUBLE hop can be 1 ulp off;
+        # the string->double parse is correct IEEE-nearest
+        union = " UNION ALL ".join(
+            f"SELECT CAST('{v!r}' AS DOUBLE) AS v" for (v,) in rows
+        )
+        cols = ", ".join(round_ties_safe_sql("v", s) + f" AS s{s}" for s in scales)
+        want = con.execute(f"SELECT v, {cols} FROM ({union})").fetchall()
+    finally:
+        con.close()
+    for (v,), g, w in zip(rows, got, want):
+        assert g["v"] == w[0] == v  # rows line up (narrow plans, no shuffle)
+        for i, s in enumerate(scales):
+            assert g[f"s{s}"] == w[i + 1], (v, s, g[f"s{s}"], w[i + 1])
