@@ -2841,7 +2841,136 @@ FROM lineitem
 """
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series: how many orders were placed but
+    not yet (fully) shipped on each day an order event happened. The
+    interval-counting pattern WITHOUT a range join: every order emits
+    +1 at its order date and -1 at its completion date (max lineitem
+    ship date — the order is open until its LAST line ships; orders
+    with no lineitems never complete and stay in the backlog), the
+    deltas pre-aggregate per day, and a running sum over the bounded
+    day table yields the backlog. Scale shape: the only corpus-sized
+    work is two map-side-combined aggregates (per-order completion,
+    per-day delta); the cumsum window runs over |distinct days| rows
+    (a date-dimension-sized table), so its single partition is a
+    bounded post-aggregation artifact, not a corpus sort — the same
+    class as the share-of-year windows."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    done = li.groupBy("l_orderkey").agg(F.max(F.date_trunc("day", "l_shipdate")).alias("d"))
+    opens = orders.select(F.date_trunc("day", "o_orderdate").alias("day")).withColumn(
+        "delta", F.lit(1).cast("long")
+    )
+    closes = (
+        orders.join(done, orders.o_orderkey == done.l_orderkey)
+        .select(F.col("d").alias("day"))
+        .withColumn("delta", F.lit(-1).cast("long"))
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("delta").cast("long").alias("delta"),
+        F.sum("delta").over(w).cast("long").alias("open_orders"),
+    )
+
+
+OPEN_BACKLOG_SQL = """
+WITH done AS (
+  SELECT l_orderkey, max(date_trunc('day', l_shipdate)) AS d FROM lineitem GROUP BY l_orderkey
+), ev AS (
+  SELECT date_trunc('day', o_orderdate) AS day, 1 AS delta FROM orders
+  UNION ALL
+  SELECT done.d AS day, -1 AS delta FROM orders JOIN done ON o_orderkey = l_orderkey
+), daily AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM ev GROUP BY day
+)
+SELECT day, delta,
+       CAST(sum(delta) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS open_orders
+FROM daily
+"""
+
+
+def part_type_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration analytics: the Herfindahl-Hirschman index
+    of supplier revenue shares within each part type — the
+    procurement-risk view (HHI → 1 means one supplier owns the type;
+    → 1/n means evenly spread). Shares are each supplier's net
+    revenue over the type total (exact DECIMAL sums, identical
+    cast/divide IEEE ops both engines); the squared shares accumulate
+    in DECIMAL before the final tie-safe rounding, so the HHI is
+    order-independent. One shuffle to the (type, supplier) aggregate;
+    the type total is a window over that bounded table; final rows =
+    |types|."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    dec = "decimal(30,6)"
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    per = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(net).alias("rev_dec"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("p_type")
+    share = F.col("rev_dec").cast("double") / F.sum("rev_dec").over(w).cast("double")
+    scored = per.withColumn("share2", (share * share).cast("decimal(30,15)"))
+    return (
+        scored.groupBy("p_type")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            round_ties_safe(F.sum("share2").cast("double"), 6).alias("hhi"),
+        )
+    )
+
+
+HHI_SQL = f"""
+WITH per AS (
+  SELECT p_type, l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, l_suppkey
+), sh AS (
+  SELECT p_type,
+         CAST((CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE))
+              * (CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE))
+              AS DECIMAL(30,15)) AS share2
+  FROM per
+)
+SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+       {round_ties_safe_sql("CAST(sum(share2) AS DOUBLE)", 6)} AS hhi
+FROM sh GROUP BY p_type
+"""
+
+
 OPS = {
+    "orders_open_backlog": Op(
+        "orders_open_backlog",
+        orders_open_backlog,
+        OPEN_BACKLOG_SQL,
+        description=(
+            "open-order backlog time series via +1/-1 event cumsum — "
+            "interval counting with no range join; cumsum window over "
+            "the bounded day table only"
+        ),
+    ),
+    "part_type_supplier_hhi": Op(
+        "part_type_supplier_hhi",
+        part_type_supplier_hhi,
+        HHI_SQL,
+        description=(
+            "Herfindahl-Hirschman supplier-concentration index per part "
+            "type; squared shares decimal-accumulated, tie-safe rounded"
+        ),
+    ),
     "lineitem_quantity_bands": Op(
         "lineitem_quantity_bands",
         lineitem_quantity_bands,
