@@ -983,11 +983,14 @@ def kmeans_assignments(
     output rows, map-side combined). That is the canonical
     cluster-scale k-means: data stays put, centroids travel.
 
-    Determinism: seeds are the md5-smallest vec_ids (same device as
-    the IVF coarse quantizer), ties in the argmin break to the lowest
-    cluster id, and the per-dim means are rounded to 1e-9 before
-    compilation into the next iteration's expression so float jitter
-    in the avg can't flip assignments between runs."""
+    Determinism (so the DuckDB oracle can replay every Lloyd round):
+    seeds are the md5-smallest vec_ids (same device as the IVF coarse
+    quantizer), squared distances round tie-safe to 1e-9 BEFORE the
+    argmin (ties break to the lowest cluster id), and the per-dim
+    means accumulate in DECIMAL(30,12) then round tie-safe to 1e-9 —
+    order-independent and engine-exact, the same device
+    ``_ivf_centroids`` uses — before compilation into the next
+    iteration's expression."""
     from deker_server_adapters_spark.functions.hashing import h32
 
     seeds = (
@@ -1008,9 +1011,10 @@ def kmeans_assignments(
 
     def dist_expr(c: list[float]) -> str:
         arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
-        return (
+        return round_ties_safe_sql(
             f"aggregate(zip_with(embedding, {arr}, (x, y) -> (x - y) * (x - y)),"
-            " 0D, (acc, v) -> acc + v)"
+            " 0D, (acc, v) -> acc + v)",
+            9,
         )
 
     def assign(cs: list[list[float]]) -> DataFrame:
@@ -1030,14 +1034,20 @@ def kmeans_assignments(
                 F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
             )
             .groupBy("cluster", "d")
-            .agg(F.avg("v").alias("cv"))
+            .agg(
+                round_ties_safe(
+                    F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                    / F.count("v"),
+                    9,
+                ).alias("cv")
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cluster.setdefault(r.cluster, {})[r.d] = r.cv
         cents = [
-            [round(by_cluster[c][d], 9) for d in range(len(cents[0]))]
+            [by_cluster[c][d] for d in range(len(cents[0]))]
             if c in by_cluster
             else cents[c]  # empty cluster keeps its centroid
             for c in range(len(cents))
@@ -1600,17 +1610,90 @@ def embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster summary (size + mean within-cluster squared
-    distance) after ``_KMEANS_ITERS`` Lloyd iterations. Rows-only op
-    (iterative — no SQL-expressible oracle); assignment parity vs a
-    NumPy reference implementation is pytest-checked."""
+    distance) after ``_KMEANS_ITERS`` Lloyd iterations.
+
+    Fully oracled (r12): the trainer is deterministic end to end —
+    md5-smallest seeds, tie-safe 1e-9 distance rounding before every
+    argmin, DECIMAL-accumulated 1e-9 centroid means — so
+    ``_kmeans_sql`` replays all ``_KMEANS_ITERS`` Lloyd rounds as
+    unrolled DuckDB CTEs (the same device the IVF/PQ recall oracles
+    use for their one-round quantizers) and the driver hash-checks the
+    cluster summary. NumPy assignment parity stays pytest-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_assignments(emb)
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_points"),
-        # native-round-ok: rows-only op (no cross-engine oracle);
-        # NumPy-parity pytest pins its values
-        F.round(F.avg(F.expr("array_min(dists)")), 6).alias("avg_sqdist"),
+        round_ties_safe(
+            F.sum(F.expr("cast(array_min(dists) as decimal(30,12))")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_sqdist"),
     )
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB replay of ``kmeans_assignments`` + the cluster summary:
+    ``iters`` Lloyd rounds unrolled as CTE chains c0 -> c{iters}
+    (assign by tie-safe-rounded squared distance, recompute
+    DECIMAL-mean centroids, empty clusters keep their centroid via the
+    LEFT JOIN COALESCE), then the final assignment aggregates size and
+    mean within-cluster squared distance. Engine-exact by the same
+    argument as ``_ivf_inv_cte``: every comparison happens on 1e-9
+    tie-safe-rounded values and every mean accumulates in DECIMAL."""
+    from deker_server_adapters_spark.functions.hashing import h32_sql
+
+    parts = [
+        f"""
+expl AS (
+  SELECT vec_id, CAST(u.i - 1 AS INT) AS d, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) u(i)
+), seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cluster
+  FROM (SELECT vec_id FROM embeddings ORDER BY {h32_sql("vec_id")}, vec_id LIMIT {k})
+), c0 AS (
+  SELECT s.cluster, e.d, e.v AS cv FROM seeds s JOIN expl e USING (vec_id)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT e.vec_id, c.cluster,
+         {round_ties_safe_sql("sum((e.v - c.cv) * (e.v - c.cv))", 9)} AS dist
+  FROM expl e JOIN c{i - 1} c ON c.d = e.d
+  GROUP BY e.vec_id, c.cluster
+), a{i} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{i}
+  ) t WHERE rn = 1
+), m{i} AS (
+  SELECT a.cluster, e.d,
+         {round_ties_safe_sql("CAST(sum(CAST(e.v AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 9)} AS cv
+  FROM a{i} a JOIN expl e USING (vec_id)
+  GROUP BY a.cluster, e.d
+), c{i} AS (
+  SELECT c.cluster, c.d, COALESCE(m.cv, c.cv) AS cv
+  FROM c{i - 1} c LEFT JOIN m{i} m ON m.cluster = c.cluster AND m.d = c.d
+)"""
+        )
+    fin = iters + 1
+    parts.append(
+        f""", d{fin} AS (
+  SELECT e.vec_id, c.cluster,
+         {round_ties_safe_sql("sum((e.v - c.cv) * (e.v - c.cv))", 9)} AS dist
+  FROM expl e JOIN c{iters} c ON c.d = e.d
+  GROUP BY e.vec_id, c.cluster
+), a{fin} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{fin}
+  ) t WHERE rn = 1
+)
+SELECT cluster, count(*) AS n_points,
+       {round_ties_safe_sql("CAST(sum(CAST(dist AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 6)} AS avg_sqdist
+FROM a{fin} GROUP BY cluster"""
+    )
+    return "WITH " + "".join(parts)
 
 
 # --- cosine similarity THRESHOLD self-join (r9) -----------------------
@@ -1974,11 +2057,12 @@ OPS = {
     "embeddings_kmeans": Op(
         "embeddings_kmeans",
         embeddings_kmeans,
-        None,
+        _kmeans_sql(),
         description=(
             f"Lloyd's k-means, k={_KMEANS_K}, {_KMEANS_ITERS} iterations; "
             "centroids travel (broadcast expression), data never "
-            "reshuffles; NumPy-parity pytest"
+            "reshuffles; oracle unrolls every Lloyd round as DuckDB "
+            "CTEs (r12); NumPy-parity pytest"
         ),
     ),
 }

@@ -571,17 +571,20 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     seed_ids = sorted(
         pdf.sort_values(["hk", "vec_id"]).head(_KMEANS_K)["vec_id"].tolist()
     )
+    def rts(x, digits):  # the engines' tie-safe rounding device
+        return np.floor(x * 10.0**digits + 0.5) / 10.0**digits
+
     C = X[np.isin(ids, seed_ids)].astype(float)
     for _ in range(_KMEANS_ITERS):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        d = rts(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
         a = d.argmin(axis=1)  # argmin takes the first (lowest) index on ties
         C = np.array(
             [
-                np.round(X[a == c].mean(axis=0), 9) if (a == c).any() else C[c]
+                rts(X[a == c].mean(axis=0), 9) if (a == c).any() else C[c]
                 for c in range(_KMEANS_K)
             ]
         )
-    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    d = rts(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 9)
     want = dict(zip(ids.tolist(), d.argmin(axis=1).tolist()))
 
     assert np.allclose(np.array(cents), C, atol=1e-9)
