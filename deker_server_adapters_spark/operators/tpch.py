@@ -2252,7 +2252,11 @@ def parts_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_sql() -> str:
+def _lpa_cte_parts() -> list:
+    """The LPA replay WITH-fragments (edges, adj, l0..l{rounds}) —
+    shared verbatim by ``_lpa_sql`` and ``_modularity_sql`` so the LPA
+    oracle's rendered text (and with it the op fingerprint) is
+    byte-identical to the pre-split form."""
     # AS MATERIALIZED for the same reason as k-core: round r reads
     # round r-1 once but DuckDB would inline the whole chain into
     # every reference without it
@@ -2279,9 +2283,13 @@ def _lpa_sql() -> str:
   ) t WHERE rn = 1
 )"""
         )
+    return parts
+
+
+def _lpa_sql() -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_lpa_cte_parts())
         + f"""
 SELECT community, n_nodes, CAST(rnk AS INT) AS rnk
 FROM (
@@ -2289,6 +2297,129 @@ FROM (
          row_number() OVER (ORDER BY count(*) DESC, label) AS rnk
   FROM l{_LPA_ROUNDS} GROUP BY label
 ) t WHERE rnk <= {_LPA_TOPK}
+"""
+    )
+
+
+def _modularity_percomm(
+    edges: DataFrame, deg: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per-community modularity scores (label, n_nodes,
+    internal_edges, degree_sum, q_contrib) for an undirected (u, v)
+    edge list, its (n, deg) degree table, and an (n, label) partition
+    — the formula seam the planted-two-clique pytest drives with a
+    hand-built graph."""
+    m = edges.agg(F.count("*").cast("double").alias("m"))
+    comm = labels.groupBy("label").agg(F.count("*").cast("long").alias("n_nodes"))
+    dsum = (
+        labels.join(deg, "n")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("long").alias("degree_sum"))
+    )
+    intl = (
+        edges.join(labels.select(F.col("n").alias("u"), F.col("label").alias("lu")), "u")
+        .join(labels.select(F.col("n").alias("v"), F.col("label").alias("lv")), "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").cast("long").alias("internal_edges"))
+    )
+    half = F.col("degree_sum").cast("double") / (F.lit(2.0) * F.col("m"))
+    return (
+        comm.join(dsum, "label")
+        .join(intl, "label", "left")
+        .withColumn("internal_edges", F.coalesce("internal_edges", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "q_contrib",
+            round_ties_safe(
+                F.col("internal_edges").cast("double") / F.col("m") - half * half, 9
+            ),
+        )
+    )
+
+
+def parts_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity scoring of the LPA communities — the graph
+    family's measured-not-assumed eval (the ``dedup_semantic_recall``
+    pattern): ``parts_copurchase_lpa`` emits communities but nothing
+    said whether the partition is GOOD. Per community c:
+    q_c = e_c/m − (d_c/2m)², where e_c = intra-community edges, d_c =
+    degree sum, m = total edges; the graph-wide Q (sum over ALL
+    communities, not just the displayed top-k) repeats per row.
+
+    Scale shape — everything is bounded, no pair enumeration: e_c is
+    one edge-table pass joined twice against the (n, label) table on
+    the narrow node key, d_c is a label-join over the degree table,
+    and the per-community math happens on |communities| rows. The two
+    ratios are IEEE double ops on exact integer counts — identical in
+    both engines with no rounding jitter — so q_c needs only the
+    standard 1e-9 tie-safe display rounding, and Q accumulates in
+    DECIMAL before its 1e-6 rounding (order-independent).
+
+    Reference parity: no counterpart (the reference is an HTTP
+    adapter); extends SURVEY §2.2's graph analytics line."""
+    edges, deg = _copurchase_graph(spark, sf_dir)
+    labels = _lpa_labels(edges, _LPA_ROUNDS)
+    percomm = _modularity_percomm(edges, deg, labels)
+    glob = percomm.agg(
+        round_ties_safe(
+            F.sum(F.col("q_contrib").cast("decimal(30,12)")).cast("double"), 6
+        ).alias("graph_modularity")
+    )
+    w = Window.orderBy(F.desc("n_nodes"), "label")
+    return (
+        percomm.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= _LPA_TOPK)
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("label").alias("community"),
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            "q_contrib",
+            "graph_modularity",
+            "rnk",
+        )
+    )
+
+
+def _modularity_sql() -> str:
+    ln = f"l{_LPA_ROUNDS}"
+    q_expr = (
+        "CAST(internal_edges AS DOUBLE) / m"
+        " - (CAST(degree_sum AS DOUBLE) / (2.0 * m))"
+        " * (CAST(degree_sum AS DOUBLE) / (2.0 * m))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(_lpa_cte_parts())
+        + f""",
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges),
+comm AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM {ln} GROUP BY label),
+dsum AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         FROM {ln} l JOIN deg d ON d.n = l.n GROUP BY l.label),
+intl AS (SELECT lu.label, CAST(count(*) AS BIGINT) AS internal_edges
+         FROM edges e JOIN {ln} lu ON lu.n = e.u JOIN {ln} lv ON lv.n = e.v
+         WHERE lu.label = lv.label GROUP BY lu.label),
+percomm AS (
+  SELECT c.label AS community, c.n_nodes,
+         COALESCE(i.internal_edges, 0) AS internal_edges, d.degree_sum,
+         {round_ties_safe_sql(q_expr, 9)} AS q_contrib
+  FROM comm c JOIN dsum d ON d.label = c.label
+  LEFT JOIN intl i ON i.label = c.label
+  CROSS JOIN mm
+),
+gq AS (
+  SELECT {round_ties_safe_sql("CAST(sum(CAST(q_contrib AS DECIMAL(30,12))) AS DOUBLE)", 6)} AS graph_modularity
+  FROM percomm
+)
+SELECT community, n_nodes, internal_edges, degree_sum, q_contrib,
+       graph_modularity, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_nodes DESC, community) AS rnk
+  FROM percomm
+) t CROSS JOIN gq WHERE rnk <= {_LPA_TOPK}
 """
     )
 
@@ -3116,6 +3247,17 @@ OPS = {
             "synchronous min-tie-break label propagation communities "
             "on the co-purchase graph, fixed rounds, per-round "
             "localCheckpoint; top-20 communities by size"
+        ),
+    ),
+    "parts_copurchase_modularity": Op(
+        "parts_copurchase_modularity",
+        parts_copurchase_modularity,
+        _modularity_sql(),
+        description=(
+            "Newman modularity eval of the LPA communities: per-"
+            "community q_c = e_c/m - (d_c/2m)^2 plus the graph-wide Q "
+            "over ALL communities; bounded joins only, no pair "
+            "enumeration"
         ),
     ),
     "parts_copurchase_jaccard": Op(

@@ -1481,6 +1481,44 @@ def test_lpa_planted_communities(spark):
     assert labels5 == labels4  # fixed point reached
 
 
+def test_modularity_on_planted_two_cliques(spark):
+    """Newman modularity of the planted two-clique graph (one bridge
+    edge) under its LPA partition must equal the textbook value:
+    m = 21 edges, each community has e_c = 10 internal edges and
+    degree sum 21, so q_c = 10/21 - (21/42)^2 and Q = 2*q_c
+    ~ 0.452381 — positive and well above the random-partition 0."""
+    from deker_server_adapters_spark.operators.tpch import (
+        _lpa_labels,
+        _modularity_percomm,
+    )
+
+    cliques = ([0, 1, 2, 3, 4], [10, 11, 12, 13, 14])
+    edges = [
+        (u, v)
+        for clique in cliques
+        for i, u in enumerate(clique)
+        for v in clique[i + 1 :]
+    ] + [(4, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    deg = (
+        df.select(F.col("u").alias("n"))
+        .union(df.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    labels = _lpa_labels(df, 4)
+    rows = {r.label: r for r in _modularity_percomm(df, deg, labels).collect()}
+    assert set(rows) == {0, 10}
+    q_expected = 10 / 21 - (21 / 42) ** 2
+    for r in rows.values():
+        assert r.n_nodes == 5
+        assert r.internal_edges == 10
+        assert r.degree_sum == 21
+        assert abs(r.q_contrib - q_expected) < 1e-9
+    total = sum(r.q_contrib for r in rows.values())
+    assert abs(total - 2 * q_expected) < 1e-9
+
+
 def test_lpa_labels_match_python_reference(spark, sf_dir):
     """The registry graph's round-_LPA_ROUNDS label table must equal an
     exact in-memory replay of synchronous min-tie-break propagation —
