@@ -3082,6 +3082,235 @@ FROM sh GROUP BY p_type
 """
 
 
+def parts_hierarchy_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape: ROLLUP over the part hierarchy (mfgr ->
+    brand -> ship year), then a per-top-level rank window OVER THE
+    ROLLED LATTICE itself — subtotal rows compete with leaf rows for
+    the top-10 slots, which is what makes Q67 interesting (a plain
+    per-group top-k never ranks a subtotal). The manufacturer level
+    derives from the brand code (TPC-H's Brand#MB encoding: char 7 is
+    the manufacturer digit) since this schema's part table carries no
+    p_mfgr column.
+
+    Unlike ``channel_sales_rollup`` (and per the r11 advice on its
+    coalesce conflation), subtotal rows carry explicit GROUPING()
+    flags, so a genuine NULL data group can never collide with an
+    'ALL'/-1 subtotal label. Rank partitions include g_mfgr, putting
+    the grand-total row in its own partition. Sales stay DECIMAL
+    through the rollup (order-independent, engine-exact); the rank
+    orders the exact-rounded double with full label tie-breaks. The
+    rollup + window run over the tiny (mfgr, brand, yr) aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    base = li.join(broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.concat(F.lit("MFGR#"), F.substring("p_brand", 7, 1)).alias("p_mfgr"),
+        "p_brand",
+        F.year("l_shipdate").alias("yr"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,6)")
+        .alias("net"),
+    )
+    rolled = (
+        base.rollup("p_mfgr", "p_brand", "yr")
+        .agg(
+            F.sum("net").alias("s_dec"),
+            F.count("*").alias("n"),
+            F.grouping("p_mfgr").cast("int").alias("g_mfgr"),
+            F.grouping("p_brand").cast("int").alias("g_brand"),
+            F.grouping("yr").cast("int").alias("g_yr"),
+        )
+        # empty-input device (see channel_sales_rollup): DuckDB emits a
+        # degenerate () row over an empty scan, Spark emits nothing
+        .filter(F.col("n") > 0)
+        .select(
+            F.coalesce("p_mfgr", F.lit("ALL")).alias("mfgr"),
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("yr", F.lit(-1)).cast("int").alias("yr"),
+            "g_mfgr",
+            "g_brand",
+            "g_yr",
+            # native-round-ok: s_dec is the DECIMAL rollup sum — exact
+            F.round("s_dec", 2).cast("double").alias("sales"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )
+    w = Window.partitionBy("g_mfgr", "mfgr").orderBy(
+        F.desc("sales"), "g_brand", "g_yr", "brand", "yr"
+    )
+    return rolled.withColumn("rnk", F.rank().over(w).cast("int")).filter(
+        F.col("rnk") <= 10
+    )
+
+
+ROLLUP_TOPK_SQL = """
+WITH base AS (
+  SELECT 'MFGR#' || substring(p_brand, 7, 1) AS p_mfgr,
+         p_brand, CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), rolled AS (
+  SELECT coalesce(p_mfgr, 'ALL') AS mfgr, coalesce(p_brand, 'ALL') AS brand,
+         CAST(coalesce(yr, -1) AS INT) AS yr,
+         CAST(GROUPING(p_mfgr) AS INT) AS g_mfgr,
+         CAST(GROUPING(p_brand) AS INT) AS g_brand,
+         CAST(GROUPING(yr) AS INT) AS g_yr,
+         CAST(/* native-round-ok: DECIMAL */ round(sum(net), 2) AS DOUBLE) AS sales,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY ROLLUP (p_mfgr, p_brand, yr)
+  HAVING count(*) > 0
+)
+SELECT mfgr, brand, yr, g_mfgr, g_brand, g_yr, sales, n_rows, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, rank() OVER (
+    PARTITION BY g_mfgr, mfgr
+    ORDER BY sales DESC, g_brand, g_yr, brand, yr
+  ) AS rnk FROM rolled
+) t WHERE rnk <= 10
+"""
+
+
+def channel_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: per market segment, the express and economy
+    channels' monthly revenue become two CUMULATIVE series, FULL OUTER
+    joined on (segment, month); months missing on one side gap-fill
+    with a running-max window (cumulative revenue is nondecreasing, so
+    running max IS the carried-forward cumulative — Q51's exact
+    device); emit the months where the express cumulative has
+    overtaken the economy cumulative.
+
+    Cumulatives stay DECIMAL through the sum and max windows, so the
+    overtake comparison is exact in both engines; windows run over the
+    |segments| x |months| aggregate (bounded partitions)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per = (
+        orders.withColumn("channel", _channel_col())
+        .filter(F.col("channel").isin("express", "economy"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            "channel",
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec"))
+    )
+    wcum = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("yr", "mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    a = (
+        per.filter(F.col("channel") == "express")
+        .withColumn("cum_a", F.sum("rev_dec").over(wcum))
+        .select("c_mktsegment", "yr", "mo", "cum_a")
+    )
+    b = (
+        per.filter(F.col("channel") == "economy")
+        .withColumn("cum_b", F.sum("rev_dec").over(wcum))
+        .select("c_mktsegment", "yr", "mo", "cum_b")
+    )
+    j = a.join(b, ["c_mktsegment", "yr", "mo"], "full_outer")
+    wfill = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("yr", "mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = j.select(
+        "c_mktsegment",
+        F.col("yr").cast("int").alias("yr"),
+        F.col("mo").cast("int").alias("mo"),
+        F.max("cum_a").over(wfill).alias("express_cum_dec"),
+        F.max("cum_b").over(wfill).alias("economy_cum_dec"),
+    )
+    return filled.filter(F.col("express_cum_dec") > F.col("economy_cum_dec")).select(
+        "c_mktsegment",
+        "yr",
+        "mo",
+        # native-round-ok: both cumulatives are DECIMAL — exact
+        F.round("express_cum_dec", 2).cast("double").alias("express_cum"),
+        F.round("economy_cum_dec", 2).cast("double").alias("economy_cum"),
+    )
+
+
+CHANNEL_CUMULATIVE_SQL = f"""
+WITH per AS (
+  SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         {_CHANNEL_CASE_SQL} AS channel,
+         sum(CAST(o_totalprice AS DECIMAL(30,6))) AS rev_dec
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE {_CHANNEL_CASE_SQL} IN ('express', 'economy')
+  GROUP BY c_mktsegment, yr, mo, channel
+), a AS (
+  SELECT c_mktsegment, yr, mo,
+         sum(rev_dec) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
+                            ROWS UNBOUNDED PRECEDING) AS cum_a
+  FROM per WHERE channel = 'express'
+), b AS (
+  SELECT c_mktsegment, yr, mo,
+         sum(rev_dec) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
+                            ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM per WHERE channel = 'economy'
+), j AS (
+  SELECT c_mktsegment, yr, mo, cum_a, cum_b
+  FROM a FULL OUTER JOIN b USING (c_mktsegment, yr, mo)
+), filled AS (
+  SELECT c_mktsegment, yr, mo,
+         max(cum_a) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
+                          ROWS UNBOUNDED PRECEDING) AS express_cum_dec,
+         max(cum_b) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
+                          ROWS UNBOUNDED PRECEDING) AS economy_cum_dec
+  FROM j
+)
+SELECT c_mktsegment, yr, mo,
+       CAST(/* native-round-ok: DECIMAL */ round(express_cum_dec, 2) AS DOUBLE) AS express_cum,
+       CAST(/* native-round-ok: DECIMAL */ round(economy_cum_dec, 2) AS DOUBLE) AS economy_cum
+FROM filled WHERE express_cum_dec > economy_cum_dec
+"""
+
+
+def express_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35/Q69 shape: channel-membership EXISTS / NOT-EXISTS —
+    customers with at least one express order and NO economy order,
+    profiled by (market segment, nation) with headcount and average
+    balance. The membership predicates are a LEFT SEMI and a LEFT ANTI
+    join on the customer key (Catalyst's native EXISTS/NOT-EXISTS
+    forms — one pass over orders each, no fact-table rescan per outer
+    row); nation is a broadcast dim."""
+    orders = _t(spark, sf_dir, "orders").withColumn("channel", _channel_col())
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    express = orders.filter(F.col("channel") == "express").select("o_custkey")
+    economy = orders.filter(F.col("channel") == "economy").select("o_custkey")
+    sel = cust.join(
+        express, cust.c_custkey == express.o_custkey, "left_semi"
+    ).join(economy, cust.c_custkey == economy.o_custkey, "left_anti")
+    return (
+        sel.join(broadcast(nation), sel.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            davg(F.col("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+EXPRESS_ONLY_SQL = f"""
+SELECT c_mktsegment, n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       {davg_sql("c_acctbal")} AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND {_CHANNEL_CASE_SQL} = 'express')
+  AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND {_CHANNEL_CASE_SQL} = 'economy')
+GROUP BY c_mktsegment, n_name
+"""
+
+
 OPS = {
     "orders_open_backlog": Op(
         "orders_open_backlog",
@@ -3100,6 +3329,36 @@ OPS = {
         description=(
             "Herfindahl-Hirschman supplier-concentration index per part "
             "type; squared shares decimal-accumulated, tie-safe rounded"
+        ),
+    ),
+    "parts_hierarchy_rollup_topk": Op(
+        "parts_hierarchy_rollup_topk",
+        parts_hierarchy_rollup_topk,
+        ROLLUP_TOPK_SQL,
+        description=(
+            "TPC-DS Q67 shape: mfgr->brand->year ROLLUP with explicit "
+            "GROUPING() flags, then a per-mfgr rank window over the "
+            "rolled lattice itself (subtotals compete with leaves)"
+        ),
+    ),
+    "channel_cumulative_compare": Op(
+        "channel_cumulative_compare",
+        channel_cumulative_compare,
+        CHANNEL_CUMULATIVE_SQL,
+        description=(
+            "TPC-DS Q51 shape: per-segment express vs economy cumulative "
+            "monthly revenue, FULL OUTER joined, running-max gap-fill, "
+            "overtake months; decimal-exact comparisons"
+        ),
+    ),
+    "express_only_customers": Op(
+        "express_only_customers",
+        express_only_customers,
+        EXPRESS_ONLY_SQL,
+        description=(
+            "TPC-DS Q35/Q69 shape: EXISTS/NOT-EXISTS channel membership "
+            "as LEFT SEMI + LEFT ANTI joins; segment x nation headcount "
+            "and average balance"
         ),
     ),
     "lineitem_quantity_bands": Op(
