@@ -1,0 +1,126 @@
+"""Minimal pure-stdlib PNG decoder — the vendored real-codec path.
+
+The container ships no media libraries, so the multimodal family's
+``codec='pil'`` seam can only be value-tested where Pillow happens to
+exist. This module closes that gap with a from-the-spec decoder for
+the subset the fixtures and tests exercise: the public W3C PNG
+specification / RFC 2083 — 8-bit greyscale (colour type 0) and 8-bit
+truecolour (colour type 2), all five scanline filters (None / Sub /
+Up / Average / Paeth), single IDAT stream or split chunks, no
+interlace. Truecolour converts to luma with the ITU-R 601-2 transform
+in the fixed-point rounding form ``(R*19595 + G*38470 + B*7471 +
+0x8000) >> 16``.
+
+Scale note: this decoder is NOT the production hot path — it exists
+so the decode STAGE (mapInPandas batch shape, pixel plumbing,
+invariants) is value-checked end to end with real image bytes. The
+per-byte unfilter loop is fine for fixture-sized images; a real
+deployment flips ``codec='pil'`` (or any vectorized codec) at the
+same ``_decode_payload`` seam.
+
+Reference parity: no counterpart in the reference (an HTTP adapter);
+this supports SURVEY §2.4's multimodal family.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to a (height, width) uint8 greyscale array.
+
+    Supports 8-bit colour types 0 (grey, returned as-is) and 2 (RGB,
+    converted to luma); raises ``ValueError`` on a non-PNG payload and
+    ``NotImplementedError`` on an unsupported variant — the same
+    clear-error contract as the codec seam itself.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        pos += 8
+        chunk = data[pos : pos + length]
+        pos += length + 4  # payload + CRC (integrity not re-verified here)
+        if typ == b"IHDR":
+            width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or ctype not in (0, 2) or interlace != 0:
+                raise NotImplementedError(
+                    f"png codec supports 8-bit grey/RGB non-interlaced only "
+                    f"(got depth={depth}, colour type={ctype}, interlace={interlace})"
+                )
+            channels = 1 if ctype == 0 else 3
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data has the wrong length")
+    prev = [0] * stride
+    rows = []
+    off = 0
+    for _y in range(height):
+        ftype = raw[off]
+        line = raw[off + 1 : off + 1 + stride]
+        off += stride + 1
+        cur = [0] * stride
+        for i in range(stride):
+            x = line[i]
+            a = cur[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + a
+            elif ftype == 2:
+                v = x + b
+            elif ftype == 3:
+                v = x + (a + b) // 2
+            elif ftype == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            cur[i] = v & 0xFF
+        rows.append(cur)
+        prev = cur
+    arr = np.array(rows, dtype=np.uint8).reshape(height, width, channels)
+    if channels == 1:
+        return arr[:, :, 0]
+    r = arr[:, :, 0].astype(np.uint32)
+    g = arr[:, :, 1].astype(np.uint32)
+    b = arr[:, :, 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+def resample_nearest(frame: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Deterministic nearest-neighbour resample to (height, width) —
+    the vendored stand-in for a codec library's resize."""
+    sh, sw = frame.shape
+    ys = (np.arange(height) * sh) // height
+    xs = (np.arange(width) * sw) // width
+    return frame[np.ix_(ys, xs)]

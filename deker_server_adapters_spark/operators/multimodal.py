@@ -71,9 +71,14 @@ def _decode_payload(
     """Codec seam: returns (n_frames, height, width) uint8 'pixels'.
 
     ``codec='fake'`` is the deterministic byte-expansion stub (this
-    container has no media libs). ``codec='pil'`` decodes a real image
-    payload with Pillow when it is installed (grayscale, resized to the
-    declared geometry, broadcast across frames) — same signature, same
+    container has no media libs). ``codec='png'`` decodes REAL PNG
+    bytes with the vendored pure-stdlib decoder
+    (functions/pngcodec.py — 8-bit grey/RGB, all five filters),
+    nearest-neighbour resampled to the declared geometry and broadcast
+    across frames, so the decode stage is value-checked end to end
+    without any optional dependency. ``codec='pil'`` decodes with
+    Pillow when installed (grayscale, resized to the declared
+    geometry, broadcast across frames) — same signature, same
     surrounding Spark plumbing, so a real deployment flips the codec
     string and nothing else. Unknown codecs raise NotImplementedError.
     """
@@ -81,6 +86,16 @@ def _decode_payload(
         return _expand_bytes(payload, n_frames * height * width).reshape(
             n_frames, height, width
         )
+    if codec == "png":
+        from deker_server_adapters_spark.functions.pngcodec import (
+            decode_png_gray,
+            resample_nearest,
+        )
+
+        frame = decode_png_gray(payload)
+        if frame.shape != (height, width):
+            frame = resample_nearest(frame, height, width)
+        return np.broadcast_to(frame, (n_frames, height, width)).copy()
     if codec == "pil":
         try:
             import io
