@@ -46,6 +46,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     }
     out: dict = {}
     out["threshold_join"] = _measure_threshold_join(spark, sf_dir, n_files)
+    out["incremental_dedup"] = _measure_incremental_dedup(spark, sf_dir)
     for name, (builder, mode) in twins.items():
         src = stream_events_source(spark, sf_dir, n_files=n_files)
         q = (
@@ -116,6 +117,52 @@ def _measure_threshold_join(spark, sf_dir: str, n_files: int) -> dict:
     return {
         "operator": so.get("operatorName"),
         "n_vectors": n,
+        "state_rows": rows,
+        "memory_used_bytes": mem,
+        "rocksdb_sst_bytes": sst,
+        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
+        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
+        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
+    }
+
+
+def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
+    """State footprint of the streaming incremental dedup (r12): the
+    corpus index = one exact-hash row per distinct old text plus
+    n_bands (band-key -> ids + full signatures) rows, so bytes/key here
+    prices keeping yesterday's deduped corpus resident as stream
+    state."""
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.dedup_stream import (
+        stream_documents_source,
+        streaming_incremental_dedup,
+    )
+
+    n = load_table(spark, sf_dir, "documents").count()
+    src = stream_documents_source(spark, sf_dir, n_new_files=2)
+    q = (
+        streaming_incremental_dedup(src)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", "/tmp/deker_state_sizing/incremental_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+    finally:
+        q.stop()
+    ops = (prog or {}).get("stateOperators") or []
+    if not ops:
+        return {"error": "no stateOperators progress"}
+    so = ops[0]
+    custom = so.get("customMetrics") or {}
+    rows = so.get("numRowsTotal", 0)
+    mem = so.get("memoryUsedBytes", 0)
+    sst = custom.get("rocksdbSstFileSize", 0)
+    return {
+        "operator": so.get("operatorName"),
+        "n_docs": n,
         "state_rows": rows,
         "memory_used_bytes": mem,
         "rocksdb_sst_bytes": sst,

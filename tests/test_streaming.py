@@ -773,3 +773,41 @@ def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
     # exactly-once: no pair may be emitted twice across batches/cells
     assert not got.duplicated(["a_id", "b_id"]).any()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_incremental_dedup_equals_batch_multibatch(spark, sf_dir):
+    """r12 (VERDICT r11 item 6): the streaming incremental dedup — the
+    old corpus replayed first and indexed into keyed state (exact
+    hash->min-id, minhash band tables), new docs arriving in later
+    micro-batches and verdicted against state only, pairs emitted
+    exactly once via the first-agreeing-band canonical device — must
+    assemble to the batch ``docs_incremental_dedup`` verdict table
+    EXACTLY after draining a 3-file stream (1 corpus file + 2 delta
+    files)."""
+    from deker_server_adapters_spark.operators.dedup import docs_incremental_dedup
+    from deker_server_adapters_spark.streaming.dedup_stream import (
+        incremental_verdicts_from_matches,
+        stream_documents_source,
+        streaming_incremental_dedup,
+    )
+
+    src = stream_documents_source(spark, sf_dir, n_new_files=2)
+    _run_stream(streaming_incremental_dedup(src), "t_incr_dedup", "append")
+    matches = spark.table("t_incr_dedup")
+    m = matches.toPandas()
+    # exactly-once: one exact row per new doc; no duplicated near pair
+    assert not m[m.tier == "exact"].duplicated(["doc_id"]).any()
+    assert not m[m.tier == "near"].duplicated(["doc_id", "dup_of"]).any()
+    got = (
+        incremental_verdicts_from_matches(matches)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        docs_incremental_dedup(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
