@@ -52,6 +52,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Calibration query (r12, the bench-noise verdict item): fixed
+    # CPU-bound work with a trivial plan (sum over a range — no I/O, no
+    # shuffle, no data dependence), same warmup + min-of-passes
+    # protocol. Box drift moves raw seconds and the calibration
+    # together, so the calibrated column (raw / calib) is comparable
+    # ACROSS rounds on a drifting shared box; docs/PERF.md's noise rule
+    # reads that column first.
+    calib_df = spark.range(4_000_000_000).selectExpr("sum(id) AS s")
+    calib_df.count()  # warmup (codegen compile)
+    calib = float("inf")
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        calib_df.count()
+        calib = min(calib, time.perf_counter() - t0)
+    calib = round(calib, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total_sec",
@@ -59,6 +75,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration_sec": calib,
+        "queries_calibrated": {
+            name: round(sec / calib, 2) for name, sec in timings.items()
+        },
     }
     sys.stdout.write(json.dumps(result) + "\n")
 

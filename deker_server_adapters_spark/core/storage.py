@@ -533,6 +533,16 @@ class ChunkStore:
         deployment that compacts periodically therefore never
         accumulates invisible orphan disk. Standalone ``gc_temps()``
         remains for stores that never need compaction.
+
+        WRITER-DURATION CONTRACT (r11 advice): the age gate assumes no
+        live writer holds an uncommitted temp file longer than
+        ``gc_temp_age_sec`` (default 1 h) — a bulk write legitimately
+        in flight past that horizon would have its temps reclaimed by
+        a concurrent compact() and lose the write silently. Deployments
+        with longer-running writers must raise ``gc_temp_age_sec``
+        above their worst-case write duration, or pass 0 to make
+        compact() side-effect-free and run ``gc_temps`` on their own
+        schedule. The same contract governs standalone ``gc_temps``.
         """
         import glob as _glob
 

@@ -1734,14 +1734,27 @@ OPS = {
         description=(
             "decimal-exact moments (bit-identical across engines); "
             "single-event / zero-variance types yield NULL z and are "
-            "filtered, not divided (ANSI-safe)"
+            "filtered, not divided (ANSI-safe); tie-rounding note: "
+            "round_ties_safe rounds NEGATIVE halves toward +inf (not "
+            "HALF_UP's away-from-zero), so a negative z sitting exactly "
+            "on a rounding boundary classifies on the +inf side in BOTH "
+            "engines"
         ),
     ),
     "events_type_transitions": Op(
         "events_type_transitions", events_type_transitions, TRANSITIONS_SQL
     ),
     "events_inter_arrival": Op(
-        "events_inter_arrival", events_inter_arrival, INTER_ARRIVAL_SQL
+        "events_inter_arrival",
+        events_inter_arrival,
+        INTER_ARRIVAL_SQL,
+        description=(
+            "rounding-domain note: gaps round at 4 dp, valid while "
+            "|gap_us|*1e4 < 2^53 (~28,500 years in microseconds) — past "
+            "that round_ties_safe degrades to identity identically in "
+            "both engines (parity holds; the displayed precision is "
+            "what saturates)"
+        ),
     ),
     "events_melt_type_counts": Op(
         "events_melt_type_counts",

@@ -720,11 +720,16 @@ def _sem_assignments(emb: DataFrame, with_sim: bool = False) -> "DataFrame | Non
     # _ivf_centroids drops cells emptied by the Lloyd step, so the
     # cents list can have id gaps — the oracle's inv emits the true
     # ids, and a compacted array index would diverge on the first gap
-    # (r11 self-review find). pos==0 happens only when every sim is
-    # NaN (a zero-norm embedding): array_position can't match NaN, and
-    # the oracle's ORDER BY sim DESC ranks the NaNs first with the
-    # lowest cell winning the tie — exactly element 1 of the sorted
-    # cell array, so clamping reproduces the oracle's verdict.
+    # (r11 self-review find). On an all-NaN sims array (a zero-norm
+    # embedding) Spark SQL's NaN-equality semantics make
+    # array_position MATCH the NaN that array_max returns (NaN = NaN
+    # is true in Spark's ordering-aware equality), so pos lands on the
+    # FIRST NaN — the lowest cell — which is also what the oracle's
+    # ORDER BY sim DESC, cell rank-1 picks: the engines agree with no
+    # help. The greatest(pos, 1) clamp is therefore belt-and-suspenders
+    # only (kept so a future engine whose array_position can't match
+    # NaN degrades to the same lowest-cell verdict instead of
+    # element_at(0) erroring), not the mechanism (r11 advice fix).
     cell_ids = F.array(*[F.lit(int(r.cell)) for r in cents])
     pos = F.array_position(sims, F.array_max(sims))
     cols = [

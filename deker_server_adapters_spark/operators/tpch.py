@@ -2557,9 +2557,17 @@ def channel_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sales stay DECIMAL through both aggregation levels — rounding to
     double only at the final projection, so the rollup totals are
     order-independent and bit-identical across engines. The rollup
-    itself runs over |channels| x |years| pre-aggregated rows: free."""
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    itself runs over |channels| x |years| pre-aggregated rows: free.
+
+    NULL-date rows are FILTERED before the rollup (r11 advice fix):
+    coalesce(yr, -1) cannot distinguish a genuine NULL-year data group
+    from the per-channel subtotal, so this op declares the
+    no-NULL-dates assumption explicitly and enforces it with the
+    filter. For the lattice WITH grouping markers (where subtotals and
+    NULL groups coexist safely) see ``parts_hierarchy_rollup_topk``,
+    which carries explicit GROUPING() flags."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     dec = "decimal(30,6)"
     gross = orders.groupBy(F.year("o_orderdate").alias("yr")).agg(
         F.sum(F.col("o_totalprice").cast(dec)).alias("sales_dec"),
@@ -2605,15 +2613,15 @@ CHANNEL_ROLLUP_SQL = """
 WITH u AS (
   SELECT 'orders_gross' AS channel, CAST(year(o_orderdate) AS INT) AS yr,
          sum(CAST(o_totalprice AS DECIMAL(30,6))) AS sales_dec, count(*) AS n_rows
-  FROM orders GROUP BY yr
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY yr
   UNION ALL
   SELECT 'lineitem_net', CAST(year(l_shipdate) AS INT),
          sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), count(*)
-  FROM lineitem GROUP BY 2
+  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 2
   UNION ALL
   SELECT 'returns', CAST(year(l_shipdate) AS INT),
          -sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))), count(*)
-  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 2
+  FROM lineitem WHERE l_returnflag = 'R' AND l_shipdate IS NOT NULL GROUP BY 2
 )
 SELECT coalesce(channel, 'ALL') AS channel,
        CAST(coalesce(yr, -1) AS INT) AS yr,
@@ -3425,7 +3433,9 @@ OPS = {
         QUARTERLY_GROWTH_SQL,
         description=(
             "quarter-over-quarter revenue growth per market segment "
-            "via a lag window over the tiny quarterly aggregate"
+            "via a lag window over the tiny quarterly aggregate; "
+            "negative growth values exactly on a 4-dp tie round toward "
+            "+inf in both engines (round_ties_safe semantics)"
         ),
     ),
     "cross_channel_customers": Op(
@@ -3607,7 +3617,15 @@ OPS = {
         order_ship_latency_histogram,
         LATENCY_HIST_SQL,
     ),
-    "nation_revenue_yoy": Op("nation_revenue_yoy", nation_revenue_yoy, YOY_SQL),
+    "nation_revenue_yoy": Op(
+        "nation_revenue_yoy",
+        nation_revenue_yoy,
+        YOY_SQL,
+        description=(
+            "negative growth values exactly on a rounding tie round "
+            "toward +inf in both engines (round_ties_safe semantics)"
+        ),
+    ),
     "customer_order_grouping_sets": Op(
         "customer_order_grouping_sets",
         customer_order_grouping_sets,
