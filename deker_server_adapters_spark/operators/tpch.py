@@ -3278,6 +3278,57 @@ FROM filled WHERE express_cum_dec > economy_cum_dec
 """
 
 
+def channel_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 shape: customer-base overlap between two channels as
+    one FULL OUTER join of the two distinct-customer sets — how many
+    buy express only / economy only / both. One orders scan feeds both
+    distinct sets; the join runs on the narrow customer key; output is
+    a single row of three counts (the null-side CASE flags are the
+    textbook Q97 device)."""
+    orders = _t(spark, sf_dir, "orders").withColumn("channel", _channel_col())
+    ex = (
+        orders.filter(F.col("channel") == "express")
+        .select(F.col("o_custkey").alias("ek"))
+        .distinct()
+    )
+    ec = (
+        orders.filter(F.col("channel") == "economy")
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    j = ex.join(ec, ex.ek == ec.ck, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("ek").isNotNull() & F.col("ck").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_express_only"),
+        F.sum(
+            F.when(F.col("ek").isNull() & F.col("ck").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_economy_only"),
+        F.sum(
+            F.when(F.col("ek").isNotNull() & F.col("ck").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+
+
+CHANNEL_OVERLAP_SQL = f"""
+WITH ex AS (
+  SELECT DISTINCT o_custkey AS ek FROM orders WHERE {_CHANNEL_CASE_SQL} = 'express'
+), ec AS (
+  SELECT DISTINCT o_custkey AS ck FROM orders WHERE {_CHANNEL_CASE_SQL} = 'economy'
+)
+SELECT CAST(sum(CASE WHEN ek IS NOT NULL AND ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_express_only,
+       CAST(sum(CASE WHEN ek IS NULL AND ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_economy_only,
+       CAST(sum(CASE WHEN ek IS NOT NULL AND ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM ex FULL OUTER JOIN ec ON ek = ck
+"""
+
+
 def express_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q35/Q69 shape: channel-membership EXISTS / NOT-EXISTS —
     customers with at least one express order and NO economy order,
@@ -3357,6 +3408,16 @@ OPS = {
             "TPC-DS Q51 shape: per-segment express vs economy cumulative "
             "monthly revenue, FULL OUTER joined, running-max gap-fill, "
             "overtake months; decimal-exact comparisons"
+        ),
+    ),
+    "channel_overlap_counts": Op(
+        "channel_overlap_counts",
+        channel_overlap_counts,
+        CHANNEL_OVERLAP_SQL,
+        description=(
+            "TPC-DS Q97 shape: express/economy customer-base overlap "
+            "via one FULL OUTER join of the two distinct-key sets; "
+            "single-row three-way count"
         ),
     ),
     "express_only_customers": Op(
