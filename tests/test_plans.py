@@ -421,6 +421,11 @@ _INTENTIONAL_BNLJ = {
     "nation_order_value_quantiles",
     "customer_spend_migration",
     "ann_cosine_threshold_join",  # 1-row adaptive-nbits broadcast
+    # hybrid semantic dedup: the 1-row nbits broadcast (LSH side) plus
+    # the 1-row graph-modularity / corpus-total ride-alongs
+    "dedup_semantic_hybrid",
+    "dedup_semantic_hybrid_recall",
+    "parts_copurchase_modularity",  # 1-row m (edge count) + graph-Q rides
     "customer_rfm_segments",
     "q11_important_parts",
     "q15_top_supplier",
