@@ -2385,10 +2385,16 @@ def parts_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _modularity_sql() -> str:
     ln = f"l{_LPA_ROUNDS}"
+    # fully-qualified COALESCE inside the expression: a bare
+    # `internal_edges` here binds to the raw NULL-able i.internal_edges
+    # (source columns win over lateral SELECT aliases), which NULLed
+    # q_contrib for 0-internal-edge singleton communities while Spark
+    # computed on the coalesced 0 — surfaced only at sf0.1, where
+    # singletons first reached the top-20 window (r12 find)
     q_expr = (
-        "CAST(internal_edges AS DOUBLE) / m"
-        " - (CAST(degree_sum AS DOUBLE) / (2.0 * m))"
-        " * (CAST(degree_sum AS DOUBLE) / (2.0 * m))"
+        "CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / m"
+        " - (CAST(d.degree_sum AS DOUBLE) / (2.0 * m))"
+        " * (CAST(d.degree_sum AS DOUBLE) / (2.0 * m))"
     )
     return (
         "WITH "
