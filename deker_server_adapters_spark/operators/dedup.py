@@ -1470,6 +1470,81 @@ def docs_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram NOVELTY against crawl order (r12): the fraction
+    of a doc's token-``_DUPGRAM_N``-gram windows whose exact text
+    FIRST appears in this doc (corpus-min doc_id == this doc_id, with
+    doc_id as the ingestion order) — the marginal-new-text curve a
+    crawl pipeline watches to decide when another batch of a source
+    stops adding information. The complement of
+    ``docs_duplicate_ngrams``'s dup_frac, but DIRECTIONAL: a later
+    copy scores 0 novelty while its earlier original keeps scoring 1.
+
+    Scale shape: same device as ``docs_duplicate_ngrams`` — positional
+    windows keyed by the portable 60-bit hash (8-byte keys shuffle,
+    never gram strings), min(doc_id) as one map-side-combined
+    aggregate per gram, joined back on the same key. Self-repeats
+    inside the first doc all count novel (the window text is new to
+    the corpus at every one of that doc's positions)."""
+    from deker_server_adapters_spark.functions.hashing import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t")).filter(
+        F.expr(f"size(t) >= {_DUPGRAM_N}")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {_DUPGRAM_N - 1}), "
+                f"i -> array_join(slice(t, i, {_DUPGRAM_N}), ' '))"
+            )
+        ).alias("g"),
+    ).select("doc_id", h64(F.col("g")).alias("gh"))
+    firsts = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            round_ties_safe(F.col("n_novel") / F.col("n_windows"), 4).alias(
+                "novelty_frac"
+            ),
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h64_sql
+
+    gram = f"array_to_string(list_slice(t, i.i, i.i + {_DUPGRAM_N - 1}), ' ')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents
+  WHERE len({_TOKENS_DUCK}) >= {_DUPGRAM_N}
+),
+grams AS (
+  SELECT doc_id, {h64_sql(gram)} AS gh
+  FROM toks, UNNEST(range(1, len(t) - {_DUPGRAM_N - 1} + 1)) i(i)
+),
+firsts AS (SELECT gh, min(doc_id) AS first_doc FROM grams GROUP BY gh)
+SELECT g.doc_id,
+       count(*) AS n_windows,
+       CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {round_ties_safe_sql("sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)", 4)} AS novelty_frac
+FROM grams g JOIN firsts f ON g.gh = f.gh
+GROUP BY g.doc_id
+"""
+
+
 _DUPWIDTHS = (8, 16, 32)
 
 
@@ -1710,6 +1785,17 @@ OPS = {
             "exact text repeats in the corpus (positional, self-repeats "
             "included) — fixed-width exact-substring dedup signal; one "
             "hash-keyed shuffle"
+        ),
+    ),
+    "docs_ngram_novelty": Op(
+        "docs_ngram_novelty",
+        docs_ngram_novelty,
+        _ngram_novelty_sql(),
+        description=(
+            f"per-doc fraction of token-{_DUPGRAM_N}-gram windows first "
+            "seen in THIS doc (doc_id = ingestion order) — the "
+            "marginal-new-text curve; directional complement of "
+            "docs_duplicate_ngrams, same 8-byte-hash shuffle device"
         ),
     ),
     "dedup_exact": Op("dedup_exact", dedup_exact, EXACT_SQL),

@@ -303,6 +303,98 @@ GROUP BY tok
 """
 
 
+_ZIPF_V = 200  # fit over the top-V terms (bounded lattice; the tail is noise)
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-``_ZIPF_V`` vocabulary (r12): OLS of
+    ln(tf) on ln(rank) — natural-language corpora fit slope ≈ −1 with
+    high R²; a drifting slope or collapsing R² flags templated/
+    machine-generated/boilerplate-heavy corpora (a standard corpus-
+    health diagnostic). One row: n_terms, slope, intercept, r2.
+
+    Engine-exact by the ``docs_char_entropy`` device: every
+    transcendental (ln) is applied to INTEGER-derived values (ranks
+    and term frequencies), so both engines produce bit-identical
+    doubles; the five OLS sums accumulate those doubles in
+    DECIMAL(30,12) (order-independent), and the closed-form
+    slope/intercept/R² are a fixed sequence of IEEE ops on identical
+    inputs, tie-safe rounded for display.
+
+    Reading on THIS testdata: the synthetic corpus draws from a ~31
+    word pool near-uniformly, so the fit honestly reports the
+    non-Zipfian profile (slope ≈ −0.18, R² ≈ 0.06) — the diagnostic
+    working as designed; the planted-Zipfian pytest pins slope ≈ −1 /
+    R² ≈ 1 on a corpus that IS Zipfian. Scale shape: one
+    map-side-combined term count, a TakeOrdered top-V (never a global
+    sort), then V-row math — the rank window's single partition is
+    the bounded ``_ZIPF_V``-row artifact."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "tok")
+        .limit(_ZIPF_V)
+    )
+    w = Window.orderBy(F.desc("tf"), "tok")
+    xy = top.select(
+        F.expr("ln(CAST(row_number() OVER (ORDER BY tf DESC, tok) AS DOUBLE))").alias("x"),
+        F.expr("ln(CAST(tf AS DOUBLE))").alias("y"),
+    )
+    dec = "decimal(30,12)"
+    sums = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / denx
+    return sums.select(
+        F.col("n").cast("long").alias("n_terms"),
+        round_ties_safe(slope, 6).alias("zipf_slope"),
+        round_ties_safe((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+        round_ties_safe(num * num / (denx * deny), 6).alias("r2"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents),
+top AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+  ORDER BY tf DESC, tok LIMIT {_ZIPF_V}
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, tok) AS DOUBLE)) AS x,
+         ln(CAST(tf AS DOUBLE)) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {round_ties_safe_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope,
+       {round_ties_safe_sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS zipf_intercept,
+       {round_ties_safe_sql("(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+FROM s
+"""
+
+
 def repetition_score_df(docs: DataFrame) -> DataFrame:
     """Within-document repetition (Gopher-style quality filter): the
     fraction of word trigrams that are duplicates of an earlier trigram
@@ -1360,6 +1452,17 @@ OPS = {
     ),
     "text_top_bigrams": Op("text_top_bigrams", text_top_bigrams, TOP_BIGRAMS_SQL),
     "text_vocabulary": Op("text_vocabulary", text_vocabulary, VOCAB_SQL),
+    "text_zipf_fit": Op(
+        "text_zipf_fit",
+        text_zipf_fit,
+        ZIPF_SQL,
+        description=(
+            f"Zipf's-law OLS over the top-{_ZIPF_V} vocabulary "
+            "(ln tf ~ ln rank): slope/intercept/R2 corpus-health "
+            "diagnostic; integer-derived transcendentals + decimal "
+            "accumulation (the char-entropy device)"
+        ),
+    ),
     "docs_stratified_sample": Op(
         "docs_stratified_sample", docs_stratified_sample, STRATIFIED_SQL
     ),

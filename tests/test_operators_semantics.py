@@ -1852,3 +1852,58 @@ def test_docs_chunk_overlap_invariants(spark, sf_dir):
         # with different starts would mean the hash ignored content
         if len(g) > 1 and g["n_tokens"].nunique() > 1:
             assert g["chunk_hash"].nunique() > 1
+
+
+def test_zipf_fit_on_planted_zipfian_corpus(spark, tmp_path):
+    """The OLS fit must recover slope ~ -1 with R^2 ~ 1 on a corpus
+    BUILT to be Zipfian (word k appears floor(C/k) times), and the
+    novelty op's directional contract must hold alongside: the
+    registry corpus's near-uniform 31-word pool honestly fits ~0 (see
+    the op docstring), so the math is pinned here on a corpus where
+    the law actually holds."""
+    import os
+
+    from deker_server_adapters_spark.operators.text import text_zipf_fit
+
+    C = 1200
+    words = []
+    for k in range(1, 41):  # word w{k} appears C//k times
+        words += [f"w{k:02d}"] * (C // k)
+    # spread deterministically over 30 docs
+    docs = [(i, " ".join(words[i::30])) for i in range(30)]
+    d = str(tmp_path / "zipf_sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    row = text_zipf_fit(spark, d).collect()[0]
+    assert row.n_terms == 40
+    assert -1.1 < row.zipf_slope < -0.9
+    assert row.r2 > 0.98
+
+
+def test_ngram_novelty_directional_contract(spark, tmp_path):
+    """docs_ngram_novelty must score the EARLIER copy 1.0 and the
+    later exact copy 0.0 (doc_id is ingestion order), with a fresh doc
+    scoring 1.0 — the directional complement docs_duplicate_ngrams
+    (which flags both copies symmetrically) cannot express."""
+    import os
+
+    from deker_server_adapters_spark.operators.dedup import docs_ngram_novelty
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base),                      # original: all windows first-seen here
+        (2, base),                      # exact later copy: zero novelty
+        (3, "k l m n o p q r s t u"),   # fresh text: fully novel
+    ]
+    d = str(tmp_path / "novelty_sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r for r in docs_ngram_novelty(spark, d).collect()}
+    assert got[1].novelty_frac == 1.0
+    assert got[2].novelty_frac == 0.0
+    assert got[3].novelty_frac == 1.0
+    assert got[1].n_windows == got[2].n_windows == 3
