@@ -60,11 +60,14 @@ def main() -> None:
     # ACROSS rounds on a drifting shared box; docs/PERF.md's noise rule
     # reads that column first.
     calib_df = spark.range(4_000_000_000).selectExpr("sum(id) AS s")
-    calib_df.count()  # warmup (codegen compile)
+    # collect(), not count(): count over a global aggregate references
+    # no columns, so the sum can be pruned (and a 1-row count could be
+    # constant-folded) — collect pins the documented work
+    calib_df.collect()  # warmup (codegen compile)
     calib = float("inf")
     for _ in range(passes):
         t0 = time.perf_counter()
-        calib_df.count()
+        calib_df.collect()
         calib = min(calib, time.perf_counter() - t0)
     calib = round(calib, 3)
 

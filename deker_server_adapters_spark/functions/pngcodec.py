@@ -59,6 +59,8 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         (length,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
         pos += 8
         chunk = data[pos : pos + length]
+        if len(chunk) < length:  # truncated mid-chunk: clear error, not struct.error
+            raise ValueError("truncated PNG payload")
         pos += length + 4  # payload + CRC (integrity not re-verified here)
         if typ == b"IHDR":
             width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(

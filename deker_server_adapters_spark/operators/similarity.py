@@ -1245,10 +1245,21 @@ def kmeans_assignments(
     cents = [list(map(float, r.embedding)) for r in sorted(seeds, key=lambda r: r.vec_id)]
 
     def dist_expr(c: list[float]) -> str:
+        # per-dim squared diffs are IDENTICAL doubles in both engines
+        # (IEEE ops on identical inputs); truncating each to
+        # DECIMAL(30,12) BEFORE summing makes the sum exact and
+        # order-independent — 12-dp terms add without further
+        # truncation — so Spark's in-order fold equals DuckDB's
+        # unordered row sum bit-for-bit (r12 self-review find: a plain
+        # double fold vs DuckDB's order-unspecified sum() differed in
+        # the last ulp, a nondeterministic-flakiness class at 0.5e-9
+        # rounding boundaries)
         arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
         return round_ties_safe_sql(
-            f"aggregate(zip_with(embedding, {arr}, (x, y) -> (x - y) * (x - y)),"
-            " 0D, (acc, v) -> acc + v)",
+            "CAST(aggregate("
+            f"zip_with(embedding, {arr}, (x, y) -> CAST((x - y) * (x - y) AS DECIMAL(30,12))),"
+            " CAST(0 AS DECIMAL(30,12)),"
+            " (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)",
             9,
         )
 
@@ -1874,7 +1885,9 @@ def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     LEFT JOIN COALESCE), then the final assignment aggregates size and
     mean within-cluster squared distance. Engine-exact by the same
     argument as ``_ivf_inv_cte``: every comparison happens on 1e-9
-    tie-safe-rounded values and every mean accumulates in DECIMAL."""
+    tie-safe-rounded values and every sum — distances AND means —
+    accumulates in DECIMAL over per-term-identical doubles, so no
+    order-unspecified double aggregation survives on either side."""
     from deker_server_adapters_spark.functions.hashing import h32_sql
 
     parts = [
@@ -1893,7 +1906,7 @@ expl AS (
         parts.append(
             f""", d{i} AS (
   SELECT e.vec_id, c.cluster,
-         {round_ties_safe_sql("sum((e.v - c.cv) * (e.v - c.cv))", 9)} AS dist
+         {round_ties_safe_sql("CAST(sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(30,12))) AS DOUBLE)", 9)} AS dist
   FROM expl e JOIN c{i - 1} c ON c.d = e.d
   GROUP BY e.vec_id, c.cluster
 ), a{i} AS (
@@ -1915,7 +1928,7 @@ expl AS (
     parts.append(
         f""", d{fin} AS (
   SELECT e.vec_id, c.cluster,
-         {round_ties_safe_sql("sum((e.v - c.cv) * (e.v - c.cv))", 9)} AS dist
+         {round_ties_safe_sql("CAST(sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(30,12))) AS DOUBLE)", 9)} AS dist
   FROM expl e JOIN c{iters} c ON c.d = e.d
   GROUP BY e.vec_id, c.cluster
 ), a{fin} AS (

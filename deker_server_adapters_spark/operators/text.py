@@ -329,8 +329,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined term count, a TakeOrdered top-V (never a global
     sort), then V-row math — the rank window's single partition is
     the bounded ``_ZIPF_V``-row artifact."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.expr(_TOKENS)).alias("tok"))
     top = (
@@ -339,7 +337,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), "tok")
         .limit(_ZIPF_V)
     )
-    w = Window.orderBy(F.desc("tf"), "tok")
     xy = top.select(
         F.expr("ln(CAST(row_number() OVER (ORDER BY tf DESC, tok) AS DOUBLE))").alias("x"),
         F.expr("ln(CAST(tf AS DOUBLE))").alias("y"),

@@ -2359,8 +2359,24 @@ def parts_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: no counterpart (the reference is an HTTP
     adapter); extends SURVEY §2.2's graph analytics line."""
     edges, deg = _copurchase_graph(spark, sf_dir)
+    # the lineitem self-join behind edges feeds FIVE consumers here
+    # (LPA adjacency, m, deg, intl, and percomm's two output branches);
+    # materialize it once — the same lineage-cut device _lpa_labels
+    # applies to its adjacency (r12 self-review find: without it the
+    # self-join re-ran per branch)
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
     labels = _lpa_labels(edges, _LPA_ROUNDS)
     percomm = _modularity_percomm(edges, deg, labels)
+    # |communities|-row table consumed by BOTH the graph-Q aggregate
+    # and the ranked top-k branch — cut it too so the upstream joins
+    # run once
+    percomm = percomm.localCheckpoint(eager=True)
     glob = percomm.agg(
         round_ties_safe(
             F.sum(F.col("q_contrib").cast("decimal(30,12)")).cast("double"), 6
@@ -3189,8 +3205,10 @@ def channel_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on (segment, month); months missing on one side gap-fill
     with a running-max window (cumulative revenue is nondecreasing, so
     running max IS the carried-forward cumulative — Q51's exact
-    device); emit the months where the express cumulative has
-    overtaken the economy cumulative.
+    device; leading-edge months before a channel's first sale coalesce
+    to a 0 cumulative rather than dropping on a NULL comparison); emit
+    the months where the express cumulative has overtaken the economy
+    cumulative.
 
     Cumulatives stay DECIMAL through the sum and max windows, so the
     overtake comparison is exact in both engines; windows run over the
@@ -3230,12 +3248,18 @@ def channel_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("yr", "mo")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    zero = F.lit(0).cast("decimal(30,6)")
     filled = j.select(
         "c_mktsegment",
         F.col("yr").cast("int").alias("yr"),
         F.col("mo").cast("int").alias("mo"),
-        F.max("cum_a").over(wfill).alias("express_cum_dec"),
-        F.max("cum_b").over(wfill).alias("economy_cum_dec"),
+        # leading-edge months (before a channel's FIRST sale) have
+        # nothing for the running max to carry — their cumulative is 0
+        # by definition, so coalesce instead of dropping the month via
+        # a NULL comparison (r12 self-review find: express overtaking
+        # an economy that hasn't sold yet IS an overtake month)
+        F.coalesce(F.max("cum_a").over(wfill), zero).alias("express_cum_dec"),
+        F.coalesce(F.max("cum_b").over(wfill), zero).alias("economy_cum_dec"),
     )
     return filled.filter(F.col("express_cum_dec") > F.col("economy_cum_dec")).select(
         "c_mktsegment",
@@ -3271,10 +3295,10 @@ WITH per AS (
   FROM a FULL OUTER JOIN b USING (c_mktsegment, yr, mo)
 ), filled AS (
   SELECT c_mktsegment, yr, mo,
-         max(cum_a) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
-                          ROWS UNBOUNDED PRECEDING) AS express_cum_dec,
-         max(cum_b) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
-                          ROWS UNBOUNDED PRECEDING) AS economy_cum_dec
+         COALESCE(max(cum_a) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
+                          ROWS UNBOUNDED PRECEDING), CAST(0 AS DECIMAL(30,6))) AS express_cum_dec,
+         COALESCE(max(cum_b) OVER (PARTITION BY c_mktsegment ORDER BY yr, mo
+                          ROWS UNBOUNDED PRECEDING), CAST(0 AS DECIMAL(30,6))) AS economy_cum_dec
   FROM j
 )
 SELECT c_mktsegment, yr, mo,

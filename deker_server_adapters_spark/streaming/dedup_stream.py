@@ -202,10 +202,19 @@ def streaming_incremental_dedup(docs: DataFrame) -> DataFrame:
         ids, sigs = list(ids), list(sigs)
         kind = key[0]
         rows = []
-        for pdf in pdfs:
-            # old rows index BEFORE new rows probe (mixed-batch safety);
-            # then by doc_id for a deterministic trace
-            pdf = pdf.sort_values(["is_new", "doc_id"]).reset_index(drop=True)
+        # Materialize the WHOLE key-group before sorting: pdfs is an
+        # iterator of Arrow chunks (split at maxRecordsPerBatch), and a
+        # per-chunk sort would let a new doc in an early chunk probe
+        # before an old doc in a later chunk indexes — the mixed-batch
+        # invariant must hold across chunks, not per chunk (r12
+        # self-review find). Group size is the key's band/hash
+        # occupancy — the same bound the state payload already carries.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            whole = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # old rows index BEFORE new rows probe; then by doc_id for a
+            # deterministic trace
+            pdf = whole.sort_values(["is_new", "doc_id"]).reset_index(drop=True)
             for vid, new, sig in zip(pdf["doc_id"], pdf["is_new"], pdf["sig"]):
                 vid = int(vid)
                 if not new:
