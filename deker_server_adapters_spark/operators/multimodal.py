@@ -318,8 +318,83 @@ FROM g GROUP BY media_type
 """
 
 
+_FRAME_BUDGET = 3  # frames fetched per video under the sampling plan
+
+
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling SCHEDULE (r12): for every visual asset, the
+    ``_FRAME_BUDGET`` uniformly-spaced frame indices the decode stage
+    would fetch — first and last frames always included, interior
+    slots at floor(k·(n−1)/(B−1)) — with images pinned to their single
+    frame. The decode-stage work scheduler as a queryable plan: pure
+    metadata arithmetic, so (unlike the decode itself) it is
+    SQL-expressible and oracle-checked, one row per (asset, slot).
+
+    Scale shape: one pass over the asset metadata, a bounded
+    ≤B-element explode per row, integer-division index math — no
+    payload bytes read, nothing shuffles (the groupless projection
+    keeps the scan's partitioning)."""
+    assets = synth_assets(spark, sf_dir).filter(F.col("media_type") != "audio")
+    nf = F.when(F.col("media_type") == "image", F.lit(1)).otherwise(
+        F.col("meta.n_frames")
+    )
+    planned = assets.select(
+        "doc_id",
+        "media_type",
+        nf.cast("long").alias("nf"),
+        F.least(F.lit(_FRAME_BUDGET), nf).cast("long").alias("bb"),
+    )
+    return (
+        planned.select(
+            "doc_id",
+            "media_type",
+            "nf",
+            "bb",
+            F.explode(F.expr("sequence(0, bb - 1)")).alias("slot"),
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("nf").alias("n_frames"),
+            F.col("slot").cast("int").alias("slot"),
+            F.when(F.col("bb") > 1, F.expr("(slot * (nf - 1)) div (bb - 1)"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("frame_idx"),
+        )
+    )
+
+
+FRAME_PLAN_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
+         CASE WHEN CAST(doc_id % 3 + 1 AS INT) = 1 THEN 1 ELSE doc_id % 5 + 1 END AS nf
+  FROM documents
+), p AS (
+  SELECT doc_id, media_type, CAST(nf AS BIGINT) AS nf,
+         CAST(least({_FRAME_BUDGET}, nf) AS BIGINT) AS bb
+  FROM a WHERE media_type <> 'audio'
+)
+SELECT doc_id, media_type, nf AS n_frames, CAST(s.slot AS INT) AS slot,
+       CAST(CASE WHEN bb > 1 THEN (s.slot * (nf - 1)) // (bb - 1) ELSE 0 END AS BIGINT) AS frame_idx
+FROM p, UNNEST(range(0, bb)) s(slot)
+"""
+
+
 OPS = {
     "multimodal_pipeline": Op("multimodal_pipeline", multimodal_pipeline, None),
+    "multimodal_frame_plan": Op(
+        "multimodal_frame_plan",
+        multimodal_frame_plan,
+        FRAME_PLAN_SQL,
+        description=(
+            f"frame-sampling schedule: {_FRAME_BUDGET} uniformly-spaced "
+            "frame indices per visual asset (first/last pinned) from "
+            "metadata only — the decode work scheduler as an oracled "
+            "plan; no payload bytes read"
+        ),
+    ),
     "multimodal_asset_stats": Op(
         "multimodal_asset_stats",
         multimodal_asset_stats,
