@@ -59,17 +59,23 @@ def main() -> None:
     # together, so the calibrated column (raw / calib) is comparable
     # ACROSS rounds on a drifting shared box; docs/PERF.md's noise rule
     # reads that column first.
-    calib_df = spark.range(4_000_000_000).selectExpr("sum(id) AS s")
-    # collect(), not count(): count over a global aggregate references
-    # no columns, so the sum can be pruned (and a 1-row count could be
-    # constant-folded) — collect pins the documented work
-    calib_df.collect()  # warmup (codegen compile)
-    calib = float("inf")
-    for _ in range(passes):
+    # Two protocol traps found and fixed while landing this (r12):
+    # (a) count() over the global aggregate references no columns, so
+    # the summed work can be pruned — collect() pins it; (b) repeated
+    # actions on the SAME DataFrame reuse the materialized shuffle map
+    # outputs (the aggregate's stage 0 is skipped on re-run), so the
+    # timed passes were reading 32 cached rows — rebuild the plan per
+    # pass, exactly as the headline loop rebuilds each query. The
+    # summand is bounded (id % 1000) because sum(id) at this range
+    # would overflow BIGINT under ANSI mode.
+    def calib_run() -> float:
+        df = spark.range(4_000_000_000).selectExpr("sum(id % 1000) AS s")
         t0 = time.perf_counter()
-        calib_df.collect()
-        calib = min(calib, time.perf_counter() - t0)
-    calib = round(calib, 3)
+        df.collect()
+        return time.perf_counter() - t0
+
+    calib_run()  # warmup (codegen compile)
+    calib = round(min(calib_run() for _ in range(passes)), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
