@@ -66,8 +66,9 @@ def main() -> None:
     # outputs (the aggregate's stage 0 is skipped on re-run), so the
     # timed passes were reading 32 cached rows — rebuild the plan per
     # pass, exactly as the headline loop rebuilds each query. The
-    # summand is bounded (id % 1000) because sum(id) at this range
-    # would overflow BIGINT under ANSI mode.
+    # summand is bounded (id % 1000) so the calibration range can be
+    # scaled freely: sum(id) overflows BIGINT under ANSI mode once the
+    # range passes ~4.3e9 rows (n^2/2 > 2^63).
     def calib_run() -> float:
         df = spark.range(4_000_000_000).selectExpr("sum(id % 1000) AS s")
         t0 = time.perf_counter()

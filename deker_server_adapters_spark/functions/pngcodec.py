@@ -78,7 +78,10 @@ def decode_png_gray(data: bytes) -> np.ndarray:
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # cut at a chunk boundary: stream incomplete
+        raise ValueError(f"truncated PNG payload: {e}") from e
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has the wrong length")

@@ -1246,18 +1246,24 @@ def kmeans_assignments(
 
     def dist_expr(c: list[float]) -> str:
         # per-dim squared diffs are IDENTICAL doubles in both engines
-        # (IEEE ops on identical inputs); truncating each to
-        # DECIMAL(30,12) BEFORE summing makes the sum exact and
-        # order-independent — 12-dp terms add without further
-        # truncation — so Spark's in-order fold equals DuckDB's
-        # unordered row sum bit-for-bit (r12 self-review find: a plain
-        # double fold vs DuckDB's order-unspecified sum() differed in
-        # the last ulp, a nondeterministic-flakiness class at 0.5e-9
-        # rounding boundaries)
+        # (IEEE ops on identical inputs); each term is tie-safe
+        # QUANTIZED to 12 dp while still a double, THEN cast to
+        # DECIMAL(30,12) — a double sitting (within float epsilon) on
+        # an exact 12-dp value casts to the same decimal in both
+        # engines, which a raw double->decimal cast does NOT guarantee
+        # (second r12 review find: Spark HALF_UPs the shortest decimal
+        # rendering, DuckDB half-evens the binary-scaled value, so
+        # terms at a 12-dp half-boundary cast one ulp apart). 12-dp
+        # terms then sum exactly and order-independently, so Spark's
+        # in-order fold equals DuckDB's unordered row sum bit-for-bit
+        # (first find: a plain double fold vs DuckDB's
+        # order-unspecified sum() was a nondeterministic-flakiness
+        # class at 0.5e-9 rounding boundaries).
         arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        term = round_ties_safe_sql("(x - y) * (x - y)", 12)
         return round_ties_safe_sql(
             "CAST(aggregate("
-            f"zip_with(embedding, {arr}, (x, y) -> CAST((x - y) * (x - y) AS DECIMAL(30,12))),"
+            f"zip_with(embedding, {arr}, (x, y) -> CAST({term} AS DECIMAL(30,12))),"
             " CAST(0 AS DECIMAL(30,12)),"
             " (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)",
             9,
@@ -1877,6 +1883,11 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the kmeans distance TERM, shared by both _kmeans_sql sites: 12-dp
+# tie-safe quantized before the decimal cast (see dist_expr's comment)
+_KM_TERM = round_ties_safe_sql("(e.v - c.cv) * (e.v - c.cv)", 12)
+
+
 def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
     """DuckDB replay of ``kmeans_assignments`` + the cluster summary:
     ``iters`` Lloyd rounds unrolled as CTE chains c0 -> c{iters}
@@ -1906,7 +1917,7 @@ expl AS (
         parts.append(
             f""", d{i} AS (
   SELECT e.vec_id, c.cluster,
-         {round_ties_safe_sql("CAST(sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(30,12))) AS DOUBLE)", 9)} AS dist
+         {round_ties_safe_sql(f"CAST(sum(CAST({_KM_TERM} AS DECIMAL(30,12))) AS DOUBLE)", 9)} AS dist
   FROM expl e JOIN c{i - 1} c ON c.d = e.d
   GROUP BY e.vec_id, c.cluster
 ), a{i} AS (
@@ -1928,7 +1939,7 @@ expl AS (
     parts.append(
         f""", d{fin} AS (
   SELECT e.vec_id, c.cluster,
-         {round_ties_safe_sql("CAST(sum(CAST((e.v - c.cv) * (e.v - c.cv) AS DECIMAL(30,12))) AS DOUBLE)", 9)} AS dist
+         {round_ties_safe_sql(f"CAST(sum(CAST({_KM_TERM} AS DECIMAL(30,12))) AS DOUBLE)", 9)} AS dist
   FROM expl e JOIN c{iters} c ON c.d = e.d
   GROUP BY e.vec_id, c.cluster
 ), a{fin} AS (

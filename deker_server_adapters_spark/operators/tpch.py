@@ -2365,6 +2365,11 @@ def parts_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applies to its adjacency (r12 self-review find: without it the
     # self-join re-ran per branch)
     edges = edges.localCheckpoint(eager=True)
+    # deg rebuilt off the CHECKPOINTED edges — keep these lines in sync
+    # with _copurchase_graph's deg (the checkpoint can't live in the
+    # helper: an eager cut there would execute the lineitem self-join
+    # at PLAN-BUILD time for every graph op, including registry-wide
+    # plan enumeration that never runs the query)
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select(F.col("v").alias("n")))

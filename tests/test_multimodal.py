@@ -302,3 +302,73 @@ def test_decode_stage_pixel_sum_invariant(spark):
     assert got == want
     # the image sum in closed form: gradient 0,16,...,240 -> 120*16
     assert want["image"] == 1920
+
+
+def test_png_codec_truncated_payload_clear_error():
+    """Truncation at ANY byte offset of a real PNG raises the
+    documented ValueError (or decodes fully at len) — never a raw
+    struct.error / zlib.error crossing the codec seam. Covers both
+    the mid-chunk cut and the cut-at-chunk-boundary (complete IDAT,
+    missing rest) classes from the r12 reviews."""
+    from pathlib import Path
+
+    import pytest
+
+    from deker_server_adapters_spark.functions.pngcodec import decode_png_gray
+
+    payload = Path(__file__).parent.joinpath("fixtures", "gradient_4x4.png").read_bytes()
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    for cut in range(8, len(payload)):
+        try:
+            got = decode_png_gray(payload[:cut])
+        except ValueError:
+            continue
+        except NotImplementedError:  # truncated IHDR fields parsing as such
+            continue
+        except Exception as e:  # noqa: BLE001 - the assertion under test
+            pytest.fail(f"truncation at byte {cut} leaked {type(e).__name__}: {e}")
+        # cuts that keep the full IDAT stream (only trailing CRC/IEND
+        # lost) legitimately decode — but then the pixels must be right
+        np.testing.assert_array_equal(got, src)
+    # the untruncated payload still decodes
+    assert decode_png_gray(payload).shape == (4, 4)
+
+
+def test_frame_plan_planted_schedule(spark, tmp_path):
+    """The frame-sampling schedule's contract, pinned independently of
+    the oracle (which mirrors the same arithmetic and so cannot catch
+    a shared formula bug — r12 review find): first and last frames
+    always included, interior slot at floor(k*(n-1)/(B-1)), images
+    pinned to a single slot 0, audio excluded, budget = min(3, n)."""
+    import os
+
+    from deker_server_adapters_spark.operators.multimodal import (
+        multimodal_frame_plan,
+    )
+
+    # doc_id % 3 + 1 -> 1=image, 2=audio, 3=video; n_frames = doc_id % 5 + 1
+    # doc_id 14: video (14%3+1=3), n_frames = 14%5+1 = 5 -> slots 0,2,4
+    # doc_id 8:  video (8%3+1=3),  n_frames = 8%5+1 = 4  -> slots 0,1,3
+    # doc_id 5:  video (5%3+1=3),  n_frames = 5%5+1 = 1  -> slot 0
+    # doc_id 0:  image -> one slot, frame 0 (regardless of n_frames calc)
+    # doc_id 1:  audio -> excluded
+    d = str(tmp_path / "fp_sf")
+    os.makedirs(d, exist_ok=True)
+    rows = [(i, f"text {i}") for i in (0, 1, 5, 8, 14)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    out = multimodal_frame_plan(spark, d).collect()
+    plan = {}
+    for r in out:
+        plan.setdefault(r.doc_id, []).append((r.slot, r.frame_idx, r.media_type, r.n_frames))
+    assert 1 not in plan  # audio excluded
+    assert sorted(plan[0]) == [(0, 0, "image", 1)]
+    assert sorted(plan[5]) == [(0, 0, "video", 1)]
+    assert sorted(plan[8]) == [(0, 0, "video", 4), (1, 1, "video", 4), (2, 3, "video", 4)]
+    assert sorted(plan[14]) == [(0, 0, "video", 5), (1, 2, "video", 5), (2, 4, "video", 5)]
+    # first/last pinned on every multi-frame video
+    for did in (8, 14):
+        idxs = [fi for _, fi, _, nf in sorted(plan[did])]
+        nf = plan[did][0][3]
+        assert idxs[0] == 0 and idxs[-1] == nf - 1
