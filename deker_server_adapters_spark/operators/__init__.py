@@ -165,14 +165,31 @@ def op_fingerprint(op: "Op") -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
-def rotation_rank(fingerprint: str, verified_fp: Optional[str], last_green: int) -> int:
+# rows-only ops sort after every oracled op (r13): the driver's window
+# check for an op without an oracle is only "spark_rows > 0" — near-zero
+# information next to a hash-verified row — so a window slot spent on
+# one is a slot NOT spent re-certifying an oracled op's values. Their
+# real verification lives in pytests (parity/error-bound suites).
+_ROWS_ONLY_BASE = 1_000_000
+
+
+def rotation_rank(
+    fingerprint: str,
+    verified_fp: Optional[str],
+    last_green: int,
+    oracled: bool = True,
+) -> int:
     """Sort key for the staleness rotation: an op whose current
     fingerprint does not match the last driver-verified one is
-    maximally stale (-1, fronts the window) no matter how recently its
-    NAME was green; otherwise staleness is the last green round."""
+    maximally stale (fronts its class) no matter how recently its
+    NAME was green; otherwise staleness is the last green round.
+    Rows-only ops form a second class behind ALL oracled ops — the
+    driver's rows>0 check is too weak to be worth displacing a
+    hash-verified slot (their value checks are pytest suites)."""
+    base = 0 if oracled else _ROWS_ONLY_BASE
     if verified_fp != fingerprint:
-        return -1
-    return last_green
+        return base - 1
+    return base + last_green
 
 
 def _verified_fingerprints(repo_root: Path) -> dict[str, str]:
@@ -255,7 +272,10 @@ def all_ops() -> dict[str, "Op"]:
         sorted(
             merged.items(),
             key=lambda kv: rotation_rank(
-                op_fingerprint(kv[1]), verified.get(kv[0]), last_green.get(kv[0], -1)
+                op_fingerprint(kv[1]),
+                verified.get(kv[0]),
+                last_green.get(kv[0], -1),
+                oracled=kv[1].oracle is not None,
             ),
         )
     )

@@ -56,7 +56,12 @@ def test_all_ops_orders_stale_first():
     verified = _verified_fingerprints(root)
     ops = all_ops()
     ranks = [
-        rotation_rank(op_fingerprint(op), verified.get(n), green.get(n, -1))
+        rotation_rank(
+            op_fingerprint(op),
+            verified.get(n),
+            green.get(n, -1),
+            oracled=op.oracle is not None,
+        )
         for n, op in ops.items()
     ]
     assert ranks == sorted(ranks)  # never-checked/broken/redefined lead, freshest last
@@ -76,6 +81,18 @@ def test_rotation_fronts_redefined_ops():
     assert rotation_rank("abc", None, 5) == -1
     # ordering: redefined-op rank sorts before any green round
     assert rotation_rank("new", "abc", 5) < rotation_rank("abc", "abc", 0)
+    # rows-only class (r13): sorts after EVERY oracled op — a window
+    # slot spent on a rows>0 check displaces a hash-verified one
+    assert rotation_rank("abc", "abc", 0, oracled=False) > rotation_rank(
+        "abc", "abc", 999
+    )
+    assert rotation_rank("new", "abc", 5, oracled=False) > rotation_rank(
+        "abc", "abc", 999
+    )
+    # ...but within the rows-only class, redefined still fronts
+    assert rotation_rank("new", "abc", 5, oracled=False) < rotation_rank(
+        "abc", "abc", 0, oracled=False
+    )
 
 
 def test_fingerprint_tracks_oracle_and_builder():
