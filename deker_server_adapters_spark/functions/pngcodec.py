@@ -61,7 +61,15 @@ def decode_png_gray(data: bytes) -> np.ndarray:
         chunk = data[pos : pos + length]
         if len(chunk) < length:  # truncated mid-chunk: clear error, not struct.error
             raise ValueError("truncated PNG payload")
-        pos += length + 4  # payload + CRC (integrity not re-verified here)
+        crc = data[pos + length : pos + length + 4]
+        if len(crc) < 4:
+            raise ValueError("truncated PNG payload")
+        # verify the chunk CRC (r12 advice): a bit-flipped IHDR/IDAT that
+        # stays length-consistent must be the documented clear error, not
+        # silently wrong pixels
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(typ + chunk) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {typ!r} failed CRC check")
+        pos += length + 4
         if typ == b"IHDR":
             width, height, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
@@ -124,8 +132,15 @@ def decode_png_gray(data: bytes) -> np.ndarray:
 
 def resample_nearest(frame: np.ndarray, height: int, width: int) -> np.ndarray:
     """Deterministic nearest-neighbour resample to (height, width) —
-    the vendored stand-in for a codec library's resize."""
+    the vendored stand-in for a codec library's resize.
+
+    Index mapping is Pillow's NEAREST center sampling — source pixel
+    ``floor((i + 0.5) * src / dst)`` — so ``codec='png'`` and
+    ``codec='pil'`` yield the same pixels for the same asset when the
+    declared geometry differs from the native size (r12 advice: the
+    seam contract says only the codec string changes). The fixed-point
+    form ``((2i + 1) * src) // (2 * dst)`` avoids float error."""
     sh, sw = frame.shape
-    ys = (np.arange(height) * sh) // height
-    xs = (np.arange(width) * sw) // width
+    ys = ((2 * np.arange(height) + 1) * sh) // (2 * height)
+    xs = ((2 * np.arange(width) + 1) * sw) // (2 * width)
     return frame[np.ix_(ys, xs)]

@@ -353,14 +353,21 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = num / denx
+    # degenerate-corpus zero guard (r12 advice): a single distinct term
+    # (denx = 0) or all-equal top-V frequencies (deny = 0) would make
+    # slope/r2 a 0/0 double — Spark yields NaN while DuckDB's result
+    # depends on its ieee_floating_point_ops setting, so both engines
+    # declare NULL explicitly instead of dividing
+    slope = F.when(denx != 0, num / denx)
     return sums.select(
         F.col("n").cast("long").alias("n_terms"),
         round_ties_safe(slope, 6).alias("zipf_slope"),
         round_ties_safe((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
             "zipf_intercept"
         ),
-        round_ties_safe(num * num / (denx * deny), 6).alias("r2"),
+        round_ties_safe(
+            F.when((denx != 0) & (deny != 0), num * num / (denx * deny)), 6
+        ).alias("r2"),
     )
 
 
@@ -385,9 +392,9 @@ s AS (
   FROM xy
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-       {round_ties_safe_sql("(n * sxy - sx * sy) / (n * sxx - sx * sx)", 6)} AS zipf_slope,
-       {round_ties_safe_sql("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n", 6)} AS zipf_intercept,
-       {round_ties_safe_sql("(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)} AS r2
+       {round_ties_safe_sql("CASE WHEN n * sxx - sx * sx <> 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END", 6)} AS zipf_slope,
+       {round_ties_safe_sql("(sy - (CASE WHEN n * sxx - sx * sx <> 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n", 6)} AS zipf_intercept,
+       {round_ties_safe_sql("CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN (n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END", 6)} AS r2
 FROM s
 """
 

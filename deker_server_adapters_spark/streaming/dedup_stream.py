@@ -183,6 +183,17 @@ def _first_agreeing_band(sig, osig) -> int:
     return -1  # unreachable for same-key pairs (key equality IS agreement)
 
 
+# per-band-key state occupancy past which the update fn logs a warning
+# (r12 advice): band state (ids + full signatures) deserializes into
+# Python lists per trigger, so a pathological hot band key — e.g. many
+# identical boilerplate docs all hashing to one band value — grows both
+# the state row and the per-trigger group without bound. The log makes
+# the hot key visible BEFORE it becomes an executor OOM; the production
+# mitigations (cap the key's id list, or route boilerplate through the
+# exact-hash tier first) are corpus decisions, not defaults.
+_HOT_BAND_WARN = 4096
+
+
 def streaming_incremental_dedup(docs: DataFrame) -> DataFrame:
     """Match-row stream: (doc_id, tier, dup_of, est) for every NEW
     document — one 'exact' row always (dup_of NULL when no old doc
@@ -190,7 +201,14 @@ def streaming_incremental_dedup(docs: DataFrame) -> DataFrame:
     signature agreement clears 0.5, emitted exactly once via the
     first-agreeing-band canonical device. Feed the drained output to
     ``incremental_verdicts_from_matches`` for batch-identical
-    verdicts."""
+    verdicts.
+
+    Memory price (documented): each band key's state row holds every
+    old doc id + 12-long signature indexed under it, rebuilt as Python
+    lists per update call; occupancy past ``_HOT_BAND_WARN`` logs a
+    hot-key warning on the executor."""
+    import logging
+
     import pandas as pd
 
     keyed = _keyed_rows(docs)
@@ -236,6 +254,14 @@ def streaming_incremental_dedup(docs: DataFrame) -> DataFrame:
                     est = math.floor((agree / float(_MINHASH_K)) * 1e4 + 0.5) / 1e4
                     if est >= 0.5:
                         rows.append((vid, "near", oid, est))
+        if kind != -1 and len(ids) > _HOT_BAND_WARN:
+            logging.getLogger(__name__).warning(
+                "hot LSH band key (band=%s key=%s): %d docs in state — "
+                "per-trigger memory grows with this occupancy",
+                kind,
+                key[1],
+                len(ids),
+            )
         state.update((min_old, ids, sigs))
         yield pd.DataFrame(rows, columns=["doc_id", "tier", "dup_of", "est"])
 

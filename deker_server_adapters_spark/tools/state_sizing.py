@@ -18,6 +18,7 @@ import sys
 
 
 def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
+    from deker_server_adapters_spark.sources.scratch import scratch_dir
     from deker_server_adapters_spark.streaming.events_stream import (
         stream_events_source,
         streaming_cms_sketch,
@@ -53,7 +54,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
             builder(src)
             .writeStream.format("noop")
             .outputMode(mode)
-            .option("checkpointLocation", f"/tmp/deker_state_sizing/{name}")
+            .option("checkpointLocation", scratch_dir(f"deker_state_sizing_{name}_"))
             .start()
         )
         try:
@@ -92,13 +93,15 @@ def _measure_threshold_join(spark, sf_dir: str, n_files: int) -> dict:
         streaming_threshold_join,
     )
 
+    from deker_server_adapters_spark.sources.scratch import scratch_dir
+
     n = load_table(spark, sf_dir, "embeddings").count()
     src = stream_embeddings_source(spark, sf_dir, n_files=n_files)
     q = (
         streaming_threshold_join(src, n_hint=n)
         .writeStream.format("noop")
         .outputMode("append")
-        .option("checkpointLocation", "/tmp/deker_state_sizing/threshold_join")
+        .option("checkpointLocation", scratch_dir("deker_state_sizing_tj_"))
         .start()
     )
     try:
@@ -133,6 +136,7 @@ def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
     prices keeping yesterday's deduped corpus resident as stream
     state."""
     from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.sources.scratch import scratch_dir
     from deker_server_adapters_spark.streaming.dedup_stream import (
         stream_documents_source,
         streaming_incremental_dedup,
@@ -144,7 +148,10 @@ def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
         streaming_incremental_dedup(src)
         .writeStream.format("noop")
         .outputMode("append")
-        .option("checkpointLocation", "/tmp/deker_state_sizing/incremental_dedup")
+        # fresh scratch checkpoint per call (r12 advice): a fixed /tmp
+        # path made a second measure() in the same process resume from
+        # the stale checkpoint and report an empty/misleading state row
+        .option("checkpointLocation", scratch_dir("deker_state_sizing_incr_"))
         .start()
     )
     try:
@@ -173,12 +180,9 @@ def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    import shutil
-
     from deker_server_adapters_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    shutil.rmtree("/tmp/deker_state_sizing", ignore_errors=True)
     spark = get_spark(app_name="deker-state-sizing")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set(

@@ -260,7 +260,8 @@ def test_png_codec_resamples_to_declared_geometry():
     payload = Path(__file__).parent.joinpath("fixtures", "gradient_4x4.png").read_bytes()
     got = _decode_payload(payload, width=2, height=2, n_frames=2, codec="png")
     src = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
-    want = src[np.ix_([0, 2], [0, 2])]  # nearest with exact 2:1 ratio
+    # PIL-NEAREST center sampling: index floor((i+0.5)*4/2) = 1, 3
+    want = src[np.ix_([1, 3], [1, 3])]
     assert got.shape == (2, 2, 2)
     np.testing.assert_array_equal(got[0], want)
     np.testing.assert_array_equal(got[1], want)
@@ -332,6 +333,54 @@ def test_png_codec_truncated_payload_clear_error():
         np.testing.assert_array_equal(got, src)
     # the untruncated payload still decodes
     assert decode_png_gray(payload).shape == (4, 4)
+
+
+def test_png_codec_bitflip_fails_crc_not_silent_pixels():
+    """r12 advice: a length-consistent bit flip inside IHDR/IDAT must
+    be the documented clear ValueError (chunk CRC mismatch), never
+    silently wrong pixels."""
+    from pathlib import Path
+
+    import pytest
+
+    from deker_server_adapters_spark.functions.pngcodec import decode_png_gray
+
+    payload = bytearray(
+        Path(__file__).parent.joinpath("fixtures", "gradient_4x4.png").read_bytes()
+    )
+    # flip one bit inside the IDAT payload (first byte after the
+    # 8-byte chunk header following IHDR's 25 bytes + 8-byte signature)
+    idat_off = payload.index(b"IDAT") + 4
+    payload[idat_off] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_gray(bytes(payload))
+
+
+def test_resample_nearest_matches_pil_center_sampling():
+    """r12 advice: the vendored resample must use Pillow NEAREST's
+    center sampling (src index floor((i+0.5)*src/dst)) so codec='png'
+    and codec='pil' agree pixel-for-pixel when declared geometry
+    differs from native size. Pinned against the formula (and against
+    Pillow itself when installed)."""
+    from deker_server_adapters_spark.functions.pngcodec import resample_nearest
+
+    src = np.arange(6 * 4, dtype=np.uint8).reshape(6, 4)
+    got = resample_nearest(src, 3, 3)
+    ys = [int((i + 0.5) * 6 / 3) for i in range(3)]  # 1, 3, 5
+    xs = [int((j + 0.5) * 4 / 3) for j in range(3)]  # 0, 2, 3
+    np.testing.assert_array_equal(got, src[np.ix_(ys, xs)])
+    # upsample direction too
+    got_up = resample_nearest(src[:2, :2], 4, 4)
+    ys_up = [int((i + 0.5) * 2 / 4) for i in range(4)]  # 0, 0, 1, 1
+    np.testing.assert_array_equal(got_up, src[:2, :2][np.ix_(ys_up, ys_up)])
+    try:
+        from PIL import Image  # optional: cross-check the real thing
+    except ImportError:
+        return
+    pil = np.asarray(
+        Image.fromarray(src).resize((3, 3), Image.NEAREST), dtype=np.uint8
+    )
+    np.testing.assert_array_equal(got, pil)
 
 
 def test_frame_plan_planted_schedule(spark, tmp_path):

@@ -1882,6 +1882,41 @@ def test_zipf_fit_on_planted_zipfian_corpus(spark, tmp_path):
     assert row.r2 > 0.98
 
 
+def test_zipf_fit_degenerate_corpora_yield_null_not_nan(spark, tmp_path):
+    """r12-advice guard: a single distinct term makes the OLS x-variance
+    zero (denx = 0), and all-equal frequencies make the y-variance zero
+    (deny = 0) — both must yield NULL slope/r2, not a 0/0 NaN whose
+    cross-engine rendering diverges."""
+    import math
+    import os
+
+    from deker_server_adapters_spark.operators.text import text_zipf_fit
+
+    def fit(rows, name):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "documents.parquet"))
+        return text_zipf_fit(spark, d).collect()[0]
+
+    # one distinct term: single (x, y) point, denx = deny = 0
+    row = fit([(0, "same same same"), (1, "same")], "one_term")
+    assert row.n_terms == 1
+    assert row.zipf_slope is None and row.r2 is None and row.zipf_intercept is None
+    for v in (row.zipf_slope, row.r2):
+        assert v is None or not math.isnan(v)
+
+    # several terms, ALL with equal frequency: deny ~ 0 (exactly 0 in
+    # real arithmetic; the DECIMAL(30,12) y-sums can leave an
+    # engine-identical epsilon), denx > 0 — slope is a genuine 0 and
+    # r2 must be NULL (guarded 0/0) or an exact 0, never NaN
+    row = fit([(0, "aa bb cc dd"), (1, "aa bb cc dd")], "flat_freq")
+    assert row.n_terms == 4
+    assert row.zipf_slope == 0.0
+    assert row.r2 is None or row.r2 == 0.0
+
+
 def test_ngram_novelty_directional_contract(spark, tmp_path):
     """docs_ngram_novelty must score the EARLIER copy 1.0 and the
     later exact copy 0.0 (doc_id is ingestion order), with a fresh doc
