@@ -130,6 +130,36 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
 
 
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 greyscale array as PNG bytes —
+    colour type 0, bit depth 8, filter 0 on every scanline, one IDAT,
+    correct chunk CRCs. The synthetic-asset counterpart of
+    :func:`decode_png_gray` (``decode(encode(p)) == p`` exactly), so
+    the multimodal pipeline's decode stage runs on REAL image bytes
+    whose pixel values an oracle can derive independently."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_png_gray expects a (height, width) array")
+    height, width = arr.shape
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(height))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resample_nearest(frame: np.ndarray, height: int, width: int) -> np.ndarray:
     """Deterministic nearest-neighbour resample to (height, width) —
     the vendored stand-in for a codec library's resize.

@@ -2,19 +2,26 @@
 metadata, processed by Arrow-batched ``mapInPandas`` stages.
 
 The Spark-side plumbing (schemas, batch shapes, partitioning, UDF
-signatures) is real and tested; the codec layer is stubbed: the
-container has no image/audio libs, so ``decode`` falls back to a
-deterministic byte-expansion fake (same seed -> same pixels). Swapping
-in PIL/librosa/av is a one-function change (see ``_decode_payload``).
+signatures) is real and tested. Two codec paths exist at the
+``_decode_payload`` seam: the vendored pure-stdlib PNG codec (REAL
+image bytes, used by the oracled pipeline below) and a deterministic
+byte-expansion fake for payloads with no decodable container (the
+container ships no media libs); swapping in PIL/librosa/av is a
+one-function change.
 
 Pipeline stages (each a separate mapInPandas so stages compose and
 repartition independently, the way a production media pipeline does):
 
-  synth assets (binary + meta) -> decode -> resize (block-mean pool)
-  -> feature extract (per-channel stats) / frame-sample for video
+  synth assets (binary + meta) -> decode -> frame-sample -> resize
+  (block-mean pool) -> feature extract (per-asset stats)
 
-``multimodal_pipeline`` registers as a rows-only queries() entry (no
-SQL oracle can decode bytes); determinism + shape are pytest-checked.
+``multimodal_pipeline`` is FULLY ORACLED (r13): its synthetic source
+encodes formula-derived pixels as real PNG payloads, the decode stage
+inverts that encoding exactly (``decode(encode(p)) == p``), and every
+downstream arithmetic step is exact dyadic float (power-of-two block
+sizes), so the DuckDB twin derives the same features from the pixel
+formula alone — the decode stage is value-checked end to end against
+an engine that never sees the bytes.
 """
 
 from __future__ import annotations
@@ -27,11 +34,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from deker_server_adapters_spark.functions.histogram import round_ties_safe_sql
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
 
 _MEDIA_TYPES = ["image", "audio", "video"]
 _THUMB = 8  # resize target (8x8 block-mean)
+
+# synthetic-PNG pixel formula: pixel(i, j) = (doc_id*A + i*B + j*C) % 256
+# — SQL-expressible integer arithmetic, so the oracle derives the exact
+# decoded bytes without a codec
+_PX_A, _PX_B, _PX_C = 131, 17, 29
 
 
 def synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,6 +65,54 @@ def synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 5 + 1).cast("int").alias("n_frames"),
             F.lit(16000).alias("sample_rate"),
         ).alias("meta"),
+    )
+
+
+def synth_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED asset source: per document, real PNG bytes encoding
+    the formula pixels ``(doc_id*131 + i*17 + j*29) % 256`` at a
+    power-of-two-block geometry (w in {32, 64}, h in {32, 64} from
+    doc_id), metadata typed per media kind. Because the pixel values
+    are pure integer arithmetic on (doc_id, i, j), a SQL engine can
+    reproduce the decoded image without touching the payload — which
+    is what lets the whole decode pipeline be value-oracled. The
+    geometry divides by the 8x8 thumbnail exactly AND by powers of
+    two, so every downstream mean is an exact dyadic double (no
+    cross-engine float-order hazard). Only doc_id is scanned — column
+    pruning drops the text column at the parquet reader."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deker_server_adapters_spark.functions.pngcodec import encode_png_gray
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            payloads, metas, medias = [], [], []
+            for d in ids:
+                d = int(d)
+                w = 32 * (1 + d % 2)
+                h = 32 * (1 + (d % 4) // 2)
+                i = np.arange(h, dtype=np.int64)[:, None]
+                j = np.arange(w, dtype=np.int64)[None, :]
+                px = ((d * _PX_A + i * _PX_B + j * _PX_C) % 256).astype(np.uint8)
+                payloads.append(encode_png_gray(px))
+                medias.append(_MEDIA_TYPES[d % 3])
+                metas.append(
+                    {"width": w, "height": h, "n_frames": d % 5 + 1, "sample_rate": 16000}
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_type": medias,
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int>",
     )
 
 
@@ -202,7 +263,11 @@ def resize_stage(decoded: DataFrame, target: int = _THUMB) -> DataFrame:
                 hh, ww = (h // target) * target, (w // target) * target
                 arr = arr[:, :hh, :ww]
                 pooled = arr.reshape(n, target, hh // target, target, ww // target).mean(axis=(2, 4))
-                thumbs.append(np.round(pooled.mean(axis=0).ravel(), 4))
+                # raw means, NOT rounded here (r13): rounding is the
+                # feature stage's job, via the cross-engine tie-safe
+                # form — np.round's banker's ties would diverge from
+                # the oracle's floor(x*1e4 + 0.5) on dyadic block means
+                thumbs.append(pooled.mean(axis=0).ravel())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -216,36 +281,82 @@ def resize_stage(decoded: DataFrame, target: int = _THUMB) -> DataFrame:
 
 def feature_stage(resized: DataFrame) -> DataFrame:
     """Per-asset feature stats over the thumbnail — pure Catalyst
-    (aggregate/transform over the array), no Python."""
+    (aggregate/transform over the array), no Python. Output rounding
+    is the cross-engine tie-safe form (floor(x*1e4 + 0.5)/1e4) so the
+    oracled pipeline's features are bit-identical to DuckDB's."""
     n = _THUMB * _THUMB
     mean = f"aggregate(thumb, 0.0D, (a, x) -> a + x) / {n}"
+    std = f"sqrt(aggregate(thumb, 0.0D, (a, x) -> a + (x - ({mean})) * (x - ({mean}))) / {n})"
     return resized.select(
         "doc_id",
         "media_type",
-        F.expr(f"round({mean}, 4)").alias("px_mean"),
-        F.expr(
-            f"round(sqrt(aggregate(thumb, 0.0D, (a, x) -> a + (x - ({mean})) * (x - ({mean}))) / {n}), 4)"
-        ).alias("px_std"),
-        F.expr("round(array_min(thumb), 4)").alias("px_min"),
-        F.expr("round(array_max(thumb), 4)").alias("px_max"),
+        F.expr(round_ties_safe_sql(mean, 4)).alias("px_mean"),
+        F.expr(round_ties_safe_sql(std, 4)).alias("px_std"),
+        F.expr(round_ties_safe_sql("array_min(thumb)", 4)).alias("px_min"),
+        F.expr(round_ties_safe_sql("array_max(thumb)", 4)).alias("px_max"),
     )
 
 
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread assets across the cluster before the CPU-bound decode:
-    # media tables arrive as few fat files (one local split here), and
-    # without this the whole decode chain runs in as many tasks as the
-    # scan has splits — the classic media-pipeline bottleneck. The
-    # explicit partition count matters: the asset rows are tiny (the
-    # pixels don't exist yet), so AQE would coalesce a bare
-    # repartition back to one task and serialize the decode.
-    assets = synth_assets(spark, sf_dir).repartition(
+    """The flagship decode pipeline, fully oracled (r13): real PNG
+    payloads -> vendored decode -> frame-sample -> 8x8 block-mean
+    resize -> per-asset feature stats. The PNG frames are identical
+    across an asset's n_frames (one still image broadcast — the video
+    plumbing is exercised, and the mean over identical frames is
+    exactly the single frame), so the DuckDB twin reproduces the
+    features from the pixel FORMULA alone: every engine-side value is
+    an exact dyadic double (integer pixels, power-of-two block sizes),
+    making the parity bit-exact and order-independent.
+
+    Scale notes: assets spread across the cluster BEFORE the CPU-bound
+    decode — asset rows are tiny (the pixels don't exist yet), so AQE
+    would coalesce a bare repartition back to one task and serialize
+    the decode chain (the classic media-pipeline bottleneck, measured
+    at 9.3 -> 1.9 s in PERF.md). Each stage is its own Arrow-batched
+    mapInPandas; only doc_id is scanned from parquet."""
+    assets = synth_png_assets(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    decoded = decode_stage(assets)
+    decoded = decode_stage(assets, codec="png")
     sampled = frame_sample_stage(decoded)
     resized = resize_stage(sampled)
     return feature_stage(resized)
+
+
+PIPELINE_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
+         32 * (1 + doc_id % 2) AS w,
+         32 * (1 + (doc_id % 4) // 2) AS h
+  FROM documents
+), px AS (
+  -- the decoded image, derived from the pixel formula (the engine
+  -- never sees the PNG bytes; decode(encode(p)) == p is the device)
+  SELECT doc_id, media_type, w, h, i.i AS i, j.j AS j,
+         CAST((doc_id * {_PX_A} + i.i * {_PX_B} + j.j * {_PX_C}) % 256 AS DOUBLE) AS v
+  FROM a, UNNEST(range(0, h)) i(i), UNNEST(range(0, w)) j(j)
+), th AS (
+  -- 8x8 block-mean thumbnail: block sizes are powers of two, so every
+  -- avg is an exact dyadic double (order-independent)
+  SELECT doc_id, media_type, i // (h // {_THUMB}) AS bi, j // (w // {_THUMB}) AS bj,
+         avg(v) AS t
+  FROM px GROUP BY doc_id, media_type, h, w, bi, bj
+), mu AS (
+  SELECT doc_id, media_type, avg(t) AS m, min(t) AS tmin, max(t) AS tmax
+  FROM th GROUP BY doc_id, media_type
+), dev AS (
+  SELECT th.doc_id, avg((t - m) * (t - m)) AS var
+  FROM th JOIN mu ON mu.doc_id = th.doc_id
+  GROUP BY th.doc_id
+)
+SELECT mu.doc_id AS doc_id, mu.media_type AS media_type,
+       {round_ties_safe_sql("m", 4)} AS px_mean,
+       {round_ties_safe_sql("sqrt(var)", 4)} AS px_std,
+       {round_ties_safe_sql("tmin", 4)} AS px_min,
+       {round_ties_safe_sql("tmax", 4)} AS px_max
+FROM mu JOIN dev ON dev.doc_id = mu.doc_id
+"""
 
 
 def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +494,17 @@ FROM p, UNNEST(range(0, bb)) s(slot)
 
 
 OPS = {
-    "multimodal_pipeline": Op("multimodal_pipeline", multimodal_pipeline, None),
+    "multimodal_pipeline": Op(
+        "multimodal_pipeline",
+        multimodal_pipeline,
+        PIPELINE_SQL,
+        description=(
+            "decode -> frame-sample -> block-mean resize -> feature "
+            "stats over real PNG payloads via the vendored codec; "
+            "oracled end to end (the DuckDB twin re-derives decoded "
+            "pixels from the synthetic source's formula)"
+        ),
+    ),
     "multimodal_frame_plan": Op(
         "multimodal_frame_plan",
         multimodal_frame_plan,

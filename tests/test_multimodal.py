@@ -335,6 +335,30 @@ def test_png_codec_truncated_payload_clear_error():
     assert decode_png_gray(payload).shape == (4, 4)
 
 
+def test_synth_png_assets_roundtrip_formula_pixels(spark, sf_dir):
+    """The oracled pipeline's device: each synthetic payload is a real
+    PNG whose decode equals the (doc_id, i, j) pixel formula exactly —
+    what lets the DuckDB twin re-derive decoded pixels without a
+    codec."""
+    from deker_server_adapters_spark.functions.pngcodec import decode_png_gray
+    from deker_server_adapters_spark.operators.multimodal import (
+        _PX_A,
+        _PX_B,
+        _PX_C,
+        synth_png_assets,
+    )
+
+    for r in synth_png_assets(spark, sf_dir).limit(20).collect():
+        d = r["doc_id"]
+        w, h = r["meta"]["width"], r["meta"]["height"]
+        assert (w, h) == (32 * (1 + d % 2), 32 * (1 + (d % 4) // 2))
+        got = decode_png_gray(bytes(r["payload"]))
+        i = np.arange(h, dtype=np.int64)[:, None]
+        j = np.arange(w, dtype=np.int64)[None, :]
+        want = ((d * _PX_A + i * _PX_B + j * _PX_C) % 256).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_png_codec_bitflip_fails_crc_not_silent_pixels():
     """r12 advice: a length-consistent bit flip inside IHDR/IDAT must
     be the documented clear ValueError (chunk CRC mismatch), never
