@@ -1860,6 +1860,96 @@ def embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOM_SCALE = 1e9  # per-row contributions fixed-pointed at 1e-9
+
+
+def embeddings_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLED half of PCA (r13, the MLlib RowMatrix split the
+    ``embeddings_pca`` docstring documents): the O(N) mean + Gram
+    moment pass as a queryable coordinate table, leaving only the
+    bounded d x d driver eigensolve to the NumPy-parity pytest. Rows:
+    (i, j, v_e9) = scaled Gram entries sum(round(x_i * x_j * 1e9)) for
+    all (i, j); (i, -1) = scaled component sums; (-1, -1) = n.
+
+    Exactness device (the ``events_user_value_decay`` discipline): each
+    per-row contribution is fixed-pointed as floor(x_i*x_j*1e9 + 0.5)
+    — the same three IEEE ops in NumPy and DuckDB on float32-exact
+    inputs — then accumulated as INT64, so the sums are exact integers,
+    order-independent, and bit-identical across engines, no matter how
+    partitions or DuckDB's parallel aggregate group them.
+
+    Scale shape: one corpus scan; each Arrow batch contributes a d- and
+    a d^2-long INT64 partial (computed blockwise in NumPy — BLAS-shaped
+    outer products, no per-element Python), partials explode to (idx,
+    value) and sum in one bounded shuffle of 4096-rows-per-batch;
+    output is d^2 + d + 1 rows. The corpus is never reshuffled and
+    nothing corpus-sized reaches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = X.shape[1]
+            g = np.zeros((d, d), dtype=np.int64)
+            for lo in range(0, len(X), 256):  # bound the (B, d, d) temp
+                B = X[lo : lo + 256]
+                P = B[:, :, None] * B[:, None, :]
+                g += np.floor(P * _MOM_SCALE + 0.5).astype(np.int64).sum(axis=0)
+            s = np.floor(X * _MOM_SCALE + 0.5).astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {"n": [len(X)], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    part = emb.select("embedding").mapInPandas(
+        partials, schema="n long, s array<long>, g array<long>"
+    )
+    dim = F.size("s")
+    gram = (
+        part.select(dim.alias("d"), F.posexplode("g").alias("k", "v"))
+        .groupBy(
+            F.expr("CAST(k div d AS INT)").alias("i"),
+            F.expr("CAST(k % d AS INT)").alias("j"),
+        )
+        .agg(F.sum("v").cast("long").alias("v_e9"))
+    )
+    sums = (
+        part.select(F.posexplode("s").alias("i", "v"))
+        .groupBy(F.col("i").cast("int").alias("i"))
+        .agg(F.sum("v").cast("long").alias("v_e9"))
+        .select("i", F.lit(-1).cast("int").alias("j"), "v_e9")
+    )
+    count_row = emb.agg(
+        F.lit(-1).cast("int").alias("i"),
+        F.lit(-1).cast("int").alias("j"),
+        F.count("*").cast("long").alias("v_e9"),
+    )
+    return gram.select("i", "j", "v_e9").unionByName(sums).unionByName(count_row)
+
+
+PCA_MOMENTS_SQL = """
+WITH x AS (
+  SELECT vec_id, CAST(t.i AS INT) AS i, embedding[t.i + 1]::DOUBLE AS v
+  FROM embeddings, UNNEST(range(0, len(embedding))) t(i)
+), g AS (
+  SELECT a.i AS i, b.i AS j,
+         CAST(sum(CAST(floor(a.v * b.v * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS v_e9
+  FROM x a JOIN x b USING (vec_id) GROUP BY a.i, b.i
+), s AS (
+  SELECT i, CAST(-1 AS INT) AS j,
+         CAST(sum(CAST(floor(v * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS v_e9
+  FROM x GROUP BY i
+)
+SELECT i, j, v_e9 FROM g
+UNION ALL SELECT i, j, v_e9 FROM s
+UNION ALL SELECT CAST(-1 AS INT), CAST(-1 AS INT), CAST(count(*) AS BIGINT) FROM embeddings
+"""
+
+
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster summary (size + mean within-cluster squared
     distance) after ``_KMEANS_ITERS`` Lloyd iterations.
@@ -2182,6 +2272,17 @@ OPS = {
         description=(
             "threshold-join recall vs the exact n^2 join at the same "
             "tau (brute-force side eval-only)"
+        ),
+    ),
+    "embeddings_pca_moments": Op(
+        "embeddings_pca_moments",
+        embeddings_pca_moments,
+        PCA_MOMENTS_SQL,
+        description=(
+            "the oracled O(N) half of PCA: mean + Gram moments as an "
+            "exact fixed-point (1e-9) INT64 coordinate table, one "
+            "corpus pass; the bounded d x d eigensolve stays "
+            "driver-side (embeddings_pca, NumPy-parity pytest)"
         ),
     ),
     "ann_lsh_cosine": Op("ann_lsh_cosine", ann_lsh_cosine, None),

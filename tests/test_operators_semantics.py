@@ -627,6 +627,40 @@ def test_pca_matches_numpy_reference(spark, sf_dir):
     assert all(got[r][0] >= got[r + 1][0] for r in range(_PCA_K - 1))
 
 
+def test_pca_moments_coordinate_table_matches_numpy(spark, sf_dir):
+    """The oracled moments op: reconstructing (n, mean, covariance)
+    from its fixed-point coordinate rows must agree with direct NumPy
+    on the corpus — the 1e-9 quantization is the only allowed error,
+    and the Gram table must be exactly symmetric (identical fixed-point
+    contributions for (i,j) and (j,i))."""
+    from deker_server_adapters_spark.operators.similarity import (
+        embeddings_pca_moments,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    rows = embeddings_pca_moments(spark, sf_dir).collect()
+    n = next(r.v_e9 for r in rows if r.i == -1 and r.j == -1)
+    d = 1 + max(r.i for r in rows)
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        if r.i == -1:
+            continue
+        if r.j == -1:
+            s[r.i] = r.v_e9 / 1e9
+        else:
+            g[r.i, r.j] = r.v_e9 / 1e9
+    assert np.array_equal(g, g.T)
+
+    pdf = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    assert n == len(X)
+    # per-row 1e-9 quantization -> worst-case n * 0.5e-9 drift per sum
+    tol = n * 1e-9
+    assert np.allclose(s, X.sum(axis=0), atol=tol)
+    assert np.allclose(g, X.T @ X, atol=tol)
+
+
 def _bpe_ref_apply(syms, a, b):
     """Canonical single left-to-right greedy non-overlapping merge pass
     over a symbol LIST — boundary-aware: a pair only matches two whole

@@ -438,7 +438,7 @@ _INTENTIONAL_BNLJ = {
 }
 
 # Arrow-batched Python stages by design (multimodal decode, PCA moments).
-_INTENTIONAL_PYTHON = {"multimodal_pipeline"}
+_INTENTIONAL_PYTHON = {"multimodal_pipeline", "embeddings_pca_moments"}
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
