@@ -3405,6 +3405,265 @@ GROUP BY c_mktsegment, n_name
 """
 
 
+# --- TPC-DS tranche 3 (r13): the heavy multi-join shapes ------------------
+
+_FREQ_MIN_DATES = 5  # 'frequent' part: sold on >= 5 distinct order dates
+
+
+def frequent_buyer_channel_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape: revenue from FREQUENT items bought by BEST
+    customers, per (channel, year). 'Frequent' = part sold on >=
+    ``_FREQ_MIN_DATES`` distinct order dates (Q23's frequent_ss_items);
+    'best' = customer whose total net spend exceeds HALF the maximum
+    customer spend (Q23's best_ss_customer percent-of-max device, as
+    the exact integer comparison ``spend * 2 > max`` so both engines
+    compare identical decimals — no double threshold).
+
+    Scale shape: ONE lineitem-orders join feeds all three consumers
+    (frequent set, spend ranking, final rollup); the qualifying sets
+    are narrow key columns applied as LEFT SEMI joins (Catalyst's
+    native IN form — the fact table is never re-scanned per predicate);
+    the max-spend scalar rides a 1-row broadcast. Fact-scan-linear:
+    everything after the semi joins aggregates on tiny lattices."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dec = "decimal(30,6)"
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey", "o_custkey", "o_orderdate", _channel_col().alias("channel"),
+        net.alias("net"),
+    )
+    freq = (
+        lo.groupBy("l_partkey")
+        .agg(F.countDistinct("o_orderdate").alias("nd"))
+        .filter(F.col("nd") >= _FREQ_MIN_DATES)
+        .select("l_partkey")
+    )
+    spend = lo.groupBy("o_custkey").agg(F.sum("net").alias("sp"))
+    mx = spend.agg(F.max("sp").alias("mx"))
+    best = (
+        spend.crossJoin(F.broadcast(mx))
+        .filter(F.col("sp") * 2 > F.col("mx"))
+        .select("o_custkey")
+    )
+    return (
+        lo.join(freq, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .groupBy("channel", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            # native-round-ok: DECIMAL(30,6) sum — exact
+            F.round(F.sum("net"), 2).cast("double").alias("sales"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+    )
+
+
+FREQUENT_BUYER_SQL = f"""
+WITH lo AS (
+  SELECT l_partkey, o_custkey, o_orderdate, {_CHANNEL_CASE_SQL} AS channel,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), freq AS (
+  SELECT l_partkey FROM lo GROUP BY l_partkey
+  HAVING count(DISTINCT o_orderdate) >= {_FREQ_MIN_DATES}
+), spend AS (
+  SELECT o_custkey, sum(net) AS sp FROM lo GROUP BY o_custkey
+), best AS (
+  SELECT o_custkey FROM spend WHERE sp * 2 > (SELECT max(sp) FROM spend)
+)
+SELECT channel, CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(/* native-round-ok: DECIMAL */ round(sum(net), 2) AS DOUBLE) AS sales,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lo
+WHERE l_partkey IN (SELECT l_partkey FROM freq)
+  AND o_custkey IN (SELECT o_custkey FROM best)
+GROUP BY channel, yr
+"""
+
+
+def brand_nation_cross_year_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q64 shape: the multi-dimension SNOWFLAKE join — lineitem
+    fact to part (brand), supplier -> nation (supplier side), orders ->
+    customer -> nation (customer side) — aggregated per (brand,
+    customer nation, supplier nation, year), then self-joined on
+    CONSECUTIVE years keeping combos whose second-year sales held or
+    grew (Q64's cross-year same-item comparison). Exercises 6-table
+    fact-dim join planning none of the earlier DS shapes touch.
+
+    Scale shape: part/supplier/nation broadcast (true dims); orders ->
+    customer resolves the customer nation on the narrow key BEFORE
+    touching the fact table, so the big join is one fact-side shuffle
+    on l_orderkey; the cross-year self-join runs on the tiny (brand x
+    nation^2 x year) aggregate. Sales stay DECIMAL through the
+    comparison — both engines compare exact values."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = "decimal(30,6)"
+    oc = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            broadcast(nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .select("o_orderkey", "o_orderdate", "cust_nation")
+    )
+    j = (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            broadcast(nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(oc, li.l_orderkey == oc.o_orderkey)
+    )
+    per = j.groupBy(
+        "p_brand", "cust_nation", "supp_nation", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec)).alias("rev"),
+        F.count("*").alias("n"),
+    )
+    # the cross-year self-join reads this lattice twice; without the
+    # eager cut both branches recompute the ENTIRE 6-table fact join
+    # (2x fact work at any scale). The lattice is tiny: |brands| x
+    # |nations|^2 x |years| upper-bounds it
+    per = per.localCheckpoint(eager=True)
+    a = per.select(
+        "p_brand", "cust_nation", "supp_nation",
+        F.col("yr").alias("yr1"), F.col("rev").alias("rev1"), F.col("n").alias("n1"),
+    )
+    b = per.select(
+        "p_brand", "cust_nation", "supp_nation",
+        F.col("yr").alias("yr2"), F.col("rev").alias("rev2"), F.col("n").alias("n2"),
+    )
+    return (
+        a.join(b, ["p_brand", "cust_nation", "supp_nation"])
+        .filter((F.col("yr2") == F.col("yr1") + 1) & (F.col("rev2") >= F.col("rev1")))
+        .select(
+            "p_brand",
+            "cust_nation",
+            "supp_nation",
+            "yr1",
+            # native-round-ok: DECIMAL(30,6) sums — exact
+            F.round(F.col("rev1"), 2).cast("double").alias("sales1"),
+            F.round(F.col("rev2"), 2).cast("double").alias("sales2"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+        )
+    )
+
+
+BRAND_NATION_XYEAR_SQL = """
+WITH per AS (
+  SELECT p_brand, cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS rev,
+         count(*) AS n
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  GROUP BY p_brand, cust_nation, supp_nation, yr
+)
+SELECT a.p_brand AS p_brand, a.cust_nation AS cust_nation,
+       a.supp_nation AS supp_nation, a.yr AS yr1,
+       CAST(/* native-round-ok: DECIMAL */ round(a.rev, 2) AS DOUBLE) AS sales1,
+       CAST(/* native-round-ok: DECIMAL */ round(b.rev, 2) AS DOUBLE) AS sales2,
+       CAST(a.n AS BIGINT) AS n1, CAST(b.n AS BIGINT) AS n2
+FROM per a JOIN per b
+  ON a.p_brand = b.p_brand AND a.cust_nation = b.cust_nation
+ AND a.supp_nation = b.supp_nation AND b.yr = a.yr + 1 AND b.rev >= a.rev
+"""
+
+
+def cross_channel_part_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q14 shape: the ICEBERG query over cross-channel parts —
+    parts sold in ALL THREE channels (Q14's INTERSECT over store/
+    catalog/web item sets, expressed as count(DISTINCT channel) = 3 —
+    one aggregate instead of two intersect shuffles), then per
+    (channel, brand) revenue over only those parts, keeping rows above
+    the AVERAGE (channel, brand) revenue (Q14's avg_sales HAVING). The
+    average compare is exact: ``rev * k > total`` on decimals, never a
+    double threshold.
+
+    Scale shape: one lineitem-orders join feeds both the channel-
+    membership aggregate (distinct (channel, part) pairs — map-side
+    combined) and the final rollup; cross-channel parts apply as a
+    LEFT SEMI on the narrow part key; the avg threshold rides a 1-row
+    broadcast over the tiny (channel, brand) lattice."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(30,6)"
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        _channel_col().alias("channel"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec).alias("net"),
+    )
+    cross = (
+        lo.select("channel", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") == 3)
+        .select("l_partkey")
+    )
+    per = (
+        lo.join(cross, "l_partkey", "left_semi")
+        .join(broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("channel", "p_brand")
+        .agg(F.sum("net").alias("rev"), F.count("*").alias("n"))
+    )
+    tot = per.agg(F.sum("rev").alias("tot"), F.count("*").alias("k"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("rev") * F.col("k") > F.col("tot"))
+        .select(
+            "channel",
+            "p_brand",
+            # native-round-ok: DECIMAL(30,6) sum — exact
+            F.round(F.col("rev"), 2).cast("double").alias("sales"),
+            F.col("n").cast("long").alias("n_rows"),
+        )
+    )
+
+
+CROSS_CHANNEL_ICEBERG_SQL = f"""
+WITH lo AS (
+  SELECT l_partkey, {_CHANNEL_CASE_SQL} AS channel,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), cross_parts AS (
+  SELECT l_partkey FROM (SELECT DISTINCT channel, l_partkey FROM lo) d
+  GROUP BY l_partkey HAVING count(*) = 3
+), per AS (
+  SELECT channel, p_brand, sum(net) AS rev, count(*) AS n
+  FROM lo JOIN part ON l_partkey = p_partkey
+  WHERE l_partkey IN (SELECT l_partkey FROM cross_parts)
+  GROUP BY channel, p_brand
+)
+SELECT channel, p_brand,
+       CAST(/* native-round-ok: DECIMAL */ round(rev, 2) AS DOUBLE) AS sales,
+       CAST(n AS BIGINT) AS n_rows
+FROM per
+WHERE rev * (SELECT count(*) FROM per) > (SELECT sum(rev) FROM per)
+"""
+
+
 OPS = {
     "orders_open_backlog": Op(
         "orders_open_backlog",
@@ -3463,6 +3722,39 @@ OPS = {
             "TPC-DS Q35/Q69 shape: EXISTS/NOT-EXISTS channel membership "
             "as LEFT SEMI + LEFT ANTI joins; segment x nation headcount "
             "and average balance"
+        ),
+    ),
+    "frequent_buyer_channel_sales": Op(
+        "frequent_buyer_channel_sales",
+        frequent_buyer_channel_sales,
+        FREQUENT_BUYER_SQL,
+        description=(
+            "TPC-DS Q23 shape: frequent-item x best-customer revenue "
+            "per channel/year; qualifying sets as LEFT SEMI joins, "
+            "max-spend threshold as the exact spend*2 > max decimal "
+            "comparison"
+        ),
+    ),
+    "brand_nation_cross_year_sales": Op(
+        "brand_nation_cross_year_sales",
+        brand_nation_cross_year_sales,
+        BRAND_NATION_XYEAR_SQL,
+        description=(
+            "TPC-DS Q64 shape: 6-table snowflake (part, supplier, "
+            "nation x2, orders, customer) aggregated per brand/"
+            "nations/year, self-joined on consecutive years where "
+            "sales held or grew"
+        ),
+    ),
+    "cross_channel_part_iceberg": Op(
+        "cross_channel_part_iceberg",
+        cross_channel_part_iceberg,
+        CROSS_CHANNEL_ICEBERG_SQL,
+        description=(
+            "TPC-DS Q14 shape: iceberg over parts sold in ALL three "
+            "channels (INTERSECT as count(DISTINCT channel)=3), "
+            "keeping (channel, brand) rows above the lattice average "
+            "via the exact rev*k > total decimal comparison"
         ),
     ),
     "lineitem_quantity_bands": Op(

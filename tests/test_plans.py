@@ -435,6 +435,9 @@ _INTENTIONAL_BNLJ = {
     "customer_balance_distribution",
     "hash_ring_assignment",
     "events_anomaly_zscore",
+    # r13 TPC-DS tranche: 1-row max-spend / lattice-average broadcasts
+    "frequent_buyer_channel_sales",
+    "cross_channel_part_iceberg",
 }
 
 # Arrow-batched Python stages by design (multimodal decode, PCA moments).
