@@ -93,6 +93,19 @@ def decode_png_gray(data: bytes) -> np.ndarray:
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG scanline data has the wrong length")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    if (lines[:, 0] == 0).all():
+        # filter-0 fast path: no unfiltering needed, pixels are the
+        # scanline bytes — one NumPy slice instead of the per-byte
+        # Python loop (the loop was a measured 13.7x-at-10x scale
+        # cliff on the oracled pipeline's filter-0 payloads)
+        arr = lines[:, 1:].reshape(height, width, channels)
+        if channels == 1:
+            return arr[:, :, 0].copy()
+        r = arr[:, :, 0].astype(np.uint32)
+        g = arr[:, :, 1].astype(np.uint32)
+        b = arr[:, :, 2].astype(np.uint32)
+        return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
     prev = [0] * stride
     rows = []
     off = 0

@@ -79,8 +79,15 @@ def synth_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry divides by the 8x8 thumbnail exactly AND by powers of
     two, so every downstream mean is an exact dyadic double (no
     cross-engine float-order hazard). Only doc_id is scanned — column
-    pruning drops the text column at the parquet reader."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pruning drops the text column at the parquet reader; the id rows
+    are spread across the cluster BEFORE the CPU-bound encode (the
+    same decode-boundary rule as the pipeline: a 1-file table scan
+    would otherwise run the whole encode in one task)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from deker_server_adapters_spark.functions.pngcodec import encode_png_gray
@@ -308,15 +315,15 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact dyadic double (integer pixels, power-of-two block sizes),
     making the parity bit-exact and order-independent.
 
-    Scale notes: assets spread across the cluster BEFORE the CPU-bound
-    decode — asset rows are tiny (the pixels don't exist yet), so AQE
-    would coalesce a bare repartition back to one task and serialize
-    the decode chain (the classic media-pipeline bottleneck, measured
-    at 9.3 -> 1.9 s in PERF.md). Each stage is its own Arrow-batched
-    mapInPandas; only doc_id is scanned from parquet."""
-    assets = synth_png_assets(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    Scale notes: the source spreads the id rows across the cluster
+    BEFORE the CPU-bound encode (synth_png_assets), and decode/sample/
+    resize inherit that explicit partitioning — asset rows are tiny
+    before pixels exist, so AQE would coalesce a bare repartition back
+    to one task and serialize the chain (the classic media-pipeline
+    bottleneck, measured at 9.3 -> 1.9 s in PERF.md). Each stage is
+    its own Arrow-batched mapInPandas; only doc_id is scanned from
+    parquet."""
+    assets = synth_png_assets(spark, sf_dir)
     decoded = decode_stage(assets, codec="png")
     sampled = frame_sample_stage(decoded)
     resized = resize_stage(sampled)

@@ -972,13 +972,83 @@ FROM invv i LEFT JOIN agg a ON a.vid = i.vec_id
 """
 
 
+# --- hybrid TABLES ladder (r13, the r12-verdict recall buy-back) ----------
+# The bits ladder holds bucket occupancy as n grows, but each +1 bit
+# multiplies per-table collision probability by p < 1, so hybrid pair
+# recall decayed 0.79 -> 0.58 at the 10x corpus step (PERF.md). The
+# tj_sweep pricing says +4 tables buys back ~+0.09-0.13 recall, so the
+# TABLE count steps with the SAME integer thresholds the bits ladder
+# uses: L = base + step * (nbits - floor), capped. Signature cost grows
+# linearly with L (map-only codegen dots); candidate pairs stay bounded
+# per table by the occupancy cap. Scoped to the HYBRID ops — the plain
+# threshold join keeps its fixed-8-tables contract and measured recall.
+_HY_TABLES_BASE = _N_TABLES  # == _TJ_TABLES (defined below); 8 at the floor
+_HY_TABLES_STEP = 4
+_HY_MAX_TABLES = 24  # covers nbits up to _TJ_MIN_BITS + 4
+
+
+def _hy_tables_for_bits(b: int) -> int:
+    return min(
+        _HY_MAX_TABLES, _HY_TABLES_BASE + _HY_TABLES_STEP * (b - _TJ_MIN_BITS)
+    )
+
+
+def _hy_tables_ladder_sql(n_expr: str) -> str:
+    """CASE ladder for the hybrid TABLE count — same integer thresholds
+    as ``_tj_bits_ladder_sql``, so both engines derive (nbits, ntables)
+    from count(*) with pure integer comparisons."""
+    branches = []
+    for b in range(_TJ_MIN_BITS, _TJ_MAX_BITS):
+        branches.append(
+            f"WHEN {n_expr} <= {_TJ_TARGET_BUCKET * (1 << b)} THEN {_hy_tables_for_bits(b)}"
+        )
+    return f"CASE {' '.join(branches)} ELSE {_hy_tables_for_bits(_TJ_MAX_BITS)} END"
+
+
+def _hy_nrow(emb: DataFrame) -> DataFrame:
+    """1-row (nbits, ntables) corpus-size ladder read, broadcast into
+    the signature computation — the same eager-scalar device as the
+    threshold join's nbits."""
+    return emb.agg(
+        F.expr(f"{_tj_bits_ladder_sql('count(*)')}").cast("int").alias("nbits"),
+        F.expr(f"{_hy_tables_ladder_sql('count(*)')}").cast("int").alias("ntables"),
+    )
+
+
+def _hy_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) under BOTH ladders: all ``_HY_MAX_TABLES``
+    tables' sign bits compile in (the plane set extends the threshold
+    join's — planes are indexed by (j, d) alone, so tables 0..7 hash
+    identically to the fixed-table form), and rows beyond the corpus's
+    ntables are dropped after the explode."""
+    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
+    buckets = []
+    for t in range(_HY_MAX_TABLES):
+        sig = F.lit(0).cast("long")
+        for i in range(_TJ_MAX_BITS):
+            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
+            sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        buckets.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return (
+        emb.crossJoin(F.broadcast(nrow))
+        .withColumn("tb", F.explode(F.array(*buckets)))
+        .filter(F.col("tb.tbl") < F.col("ntables"))
+        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
 def _hybrid_cand_pairs(emb: DataFrame, asg: DataFrame) -> DataFrame:
     """(vec_id, vid_b) lower-id candidate mates for the HYBRID
     semantic-dedup verdict: cluster-mates (the SemDeDup space) UNION
     the LSH threshold-join bucket-mates at the same angle. Both
-    generators are the bounded forms that already exist — the ladder-k
-    cells and the adaptive-bits buckets — so the union's cost is the
-    max of two sub-quadratic terms, never a new pair regime."""
+    generators are bounded — the ladder-k cells and the adaptive-bits
+    buckets — so the union's cost is the max of two sub-quadratic
+    terms, never a new pair regime. The LSH side runs the r13 TABLES
+    ladder on top of the bits ladder, holding pair recall as the bits
+    step up with corpus size."""
     ca = asg.select("vec_id", "cell")
     cb = asg.select(F.col("vec_id").alias("vid_b"), "cell")
     cpairs = (
@@ -986,10 +1056,7 @@ def _hybrid_cand_pairs(emb: DataFrame, asg: DataFrame) -> DataFrame:
         .filter(F.col("vid_b") < F.col("vec_id"))
         .select("vec_id", "vid_b")
     )
-    nrow = emb.agg(
-        F.expr(f"{_tj_bits_ladder_sql('count(*)')}").cast("int").alias("nbits")
-    )
-    sigs = _tj_signatures(emb, nrow)
+    sigs = _hy_signatures(emb, _hy_nrow(emb))
     sa = sigs.select(F.col("vec_id").alias("hi"), "tbl", "bucket")
     sb = sigs.select(F.col("vec_id").alias("lo"), "tbl", "bucket")
     lpairs = (
@@ -1063,12 +1130,39 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_hy_buckets() -> str:
+    """(vec_id, tbl, bucket) in DuckDB mirroring ``_hy_signatures``:
+    same extended plane set, same sign rule, same TWO integer ladders
+    (nbits and ntables from scalar subqueries); tables at or past
+    ntables emit no rows."""
+    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
+    bits_ladder = _tj_bits_ladder_sql("(SELECT count(*) FROM embeddings)")
+    tab_ladder = _hy_tables_ladder_sql("(SELECT count(*) FROM embeddings)")
+    selects = []
+    for t in range(_HY_MAX_TABLES):
+        bits = []
+        for i in range(_TJ_MAX_BITS):
+            p = planes[t * _TJ_MAX_BITS + i]
+            dot_sql = " + ".join(
+                f"embedding[{k + 1}]::DOUBLE * {w}" for k, w in enumerate(p)
+            )
+            bits.append(
+                f"(CASE WHEN {i} < nb.nbits AND ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({' + '.join(bits)} AS BIGINT) AS bucket\n"
+            f"FROM embeddings CROSS JOIN (SELECT ({bits_ladder}) AS nbits, ({tab_ladder}) AS ntables) nb\n"
+            f"WHERE {t} < nb.ntables"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 def _semantic_hybrid_sql() -> str:
     return f"""
 WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, invv AS (
   SELECT neighbor_id AS vec_id, cell FROM inv
 ), bkt AS (
-{_duck_tj_buckets()}
+{_duck_hy_buckets()}
 ), cand AS (
   SELECT DISTINCT vec_id, vid_b FROM (
     SELECT a.vec_id AS vec_id, b.vec_id AS vid_b
@@ -1167,7 +1261,7 @@ def _semantic_hybrid_recall_sql() -> str:
 WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, asg AS (
   SELECT neighbor_id AS vec_id, cell FROM inv
 ), bkt AS (
-{_duck_tj_buckets()}
+{_duck_hy_buckets()}
 ), cand AS (
   SELECT DISTINCT vec_id, vid_b FROM (
     SELECT a.vec_id AS vec_id, b.vec_id AS vid_b

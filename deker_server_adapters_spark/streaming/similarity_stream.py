@@ -179,3 +179,123 @@ def streaming_threshold_join(
     return indexed.groupBy("cell").applyInPandasWithState(
         update, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+# --- streaming twin of dedup_semantic_hybrid (r13) -------------------------
+
+_SEM_CLUSTER_KEY_BASE = -_CELL_SHIFT  # cluster cells key below every LSH key
+
+
+def _semantic_cell_expr(centroids):
+    """The batch ``_sem_assignments`` argmin (operators/similarity.py),
+    compiled against COLLECTED centroids: tie-safe 1e-9 cosine to every
+    centroid, first-max = lowest cell via array_position — kept
+    expression-identical so streamed cell assignments match the batch
+    op bit for bit (the twin pytest enforces this)."""
+    from deker_server_adapters_spark.functions.histogram import round_ties_safe
+    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+
+    sims = F.array(
+        *[
+            round_ties_safe(
+                cosine_similarity(
+                    F.col("embedding"), F.array(*[F.lit(float(v)) for v in r.ce])
+                ),
+                9,
+            )
+            for r in centroids
+        ]
+    )
+    cell_ids = F.array(*[F.lit(int(r.cell)) for r in centroids])
+    pos = F.array_position(sims, F.array_max(sims))
+    return F.element_at(cell_ids, F.greatest(pos, F.lit(1)).cast("int"))
+
+
+def streaming_semantic_dedup(embs: DataFrame, n_hint: int, ref_emb) -> DataFrame:
+    """Match-row stream twin of ``dedup_semantic_hybrid``: every
+    (later, earlier) candidate pair — cluster-mates under the FIXED
+    trained quantizer ∪ LSH bucket-mates under both ladders — emitted
+    exactly once with its tie-safe cosine, in the micro-batch where the
+    later vector arrives. Feed the drained output (plus the batch
+    assignment table) to ``semantic_verdicts_from_matches`` for
+    verdicts equal to the batch op's.
+
+    Production framing: the IVF centroids are a trained artifact
+    (``ref_emb`` — yesterday's corpus), applied to arrivals as a
+    stateless compiled argmin; the ladder resolution is capacity-
+    planned from ``n_hint`` like the threshold-join twin's. State per
+    cell key = ids + embeddings of the vectors indexed there: LSH keys
+    are occupancy-capped by the bits ladder; CLUSTER keys hold ~n/k
+    vectors (k ~ sqrt(n/32)), the same within-cell bound the batch
+    op's self-join carries — the memory price of SemDeDup as a stream.
+    Exactly-once device: each row carries its vector's full key list
+    (cluster key mapped BELOW every LSH key), so the minimum shared
+    key is the one canonical emitter in whichever batch the pair
+    completes."""
+    import pandas as pd
+
+    from deker_server_adapters_spark.operators.similarity import (
+        _hy_tables_for_bits,
+        _local_centroids,
+        _sem_k,
+    )
+
+    cents = sorted(_local_centroids(ref_emb, _sem_k(n_hint)).collect(), key=lambda r: r.cell)
+    nbits = _ladder_bits(n_hint, 0)
+    tables = _hy_tables_for_bits(nbits)
+    cluster_key = _semantic_cell_expr(cents).cast("long") + F.lit(_SEM_CLUSTER_KEY_BASE)
+    cells = F.concat(F.array(cluster_key), _cell_exprs(nbits, tables))
+    indexed = embs.select(
+        "vec_id", "embedding", cells.alias("cells")
+    ).select("vec_id", "embedding", "cells", F.explode("cells").alias("cell"))
+
+    out_schema = "vec_id long, vid_b long, cos double"
+    state_schema = (
+        "ids array<long>, vecs array<array<double>>, cells array<array<long>>"
+    )
+
+    def update(key, pdfs, state):
+        ids, vecs, cellsets = state.get if state.exists else ([], [], [])
+        ids, vecs, cellsets = list(ids), list(vecs), list(cellsets)
+        cell = key[0]
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            for vid, emb, vcells in zip(pdf["vec_id"], pdf["embedding"], pdf["cells"]):
+                emb = [float(x) for x in emb]
+                vcells = set(int(c) for c in vcells)
+                for oid, ovec, ocells in zip(ids, vecs, cellsets):
+                    shared = vcells.intersection(ocells)
+                    if cell != min(shared):  # another key is canonical
+                        continue
+                    cos = _tie_safe_round6(_seq_cosine(emb, ovec))
+                    hi, lo = (int(vid), oid) if oid < vid else (oid, int(vid))
+                    rows.append((hi, lo, cos))
+                ids.append(int(vid))
+                vecs.append(emb)
+                cellsets.append(vcells)
+        state.update((ids, vecs, [sorted(c) for c in cellsets]))
+        yield pd.DataFrame(rows, columns=["vec_id", "vid_b", "cos"])
+
+    return indexed.groupBy("cell").applyInPandasWithState(
+        update, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def semantic_verdicts_from_matches(matches: DataFrame, assignments: DataFrame, tau: float) -> DataFrame:
+    """Drained match rows -> the batch hybrid op's verdict table
+    (vec_id, cell, n_cand_lower, n_dup_lower, max_sim_lower, is_dup).
+    Plain batch aggregation over the sink table."""
+    agg = matches.groupBy("vec_id").agg(
+        F.count("*").alias("n_cand_lower"),
+        F.sum(F.when(F.col("cos") >= tau, 1).otherwise(0)).alias("n_dup_lower"),
+        F.max("cos").alias("max_sim_lower"),
+    )
+    return assignments.select("vec_id", "cell").join(agg, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("n_cand_lower"), F.lit(0)).cast("long").alias("n_cand_lower"),
+        F.coalesce(F.col("n_dup_lower"), F.lit(0)).cast("long").alias("n_dup_lower"),
+        "max_sim_lower",
+        (F.coalesce(F.col("n_dup_lower"), F.lit(0)) > 0).alias("is_dup"),
+    )

@@ -48,6 +48,7 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     out: dict = {}
     out["threshold_join"] = _measure_threshold_join(spark, sf_dir, n_files)
     out["incremental_dedup"] = _measure_incremental_dedup(spark, sf_dir)
+    out["semantic_dedup"] = _measure_semantic_dedup(spark, sf_dir, n_files)
     for name, (builder, mode) in twins.items():
         src = stream_events_source(spark, sf_dir, n_files=n_files)
         q = (
@@ -102,6 +103,53 @@ def _measure_threshold_join(spark, sf_dir: str, n_files: int) -> dict:
         .writeStream.format("noop")
         .outputMode("append")
         .option("checkpointLocation", scratch_dir("deker_state_sizing_tj_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+    finally:
+        q.stop()
+    ops = (prog or {}).get("stateOperators") or []
+    if not ops:
+        return {"error": "no stateOperators progress"}
+    so = ops[0]
+    custom = so.get("customMetrics") or {}
+    rows = so.get("numRowsTotal", 0)
+    mem = so.get("memoryUsedBytes", 0)
+    sst = custom.get("rocksdbSstFileSize", 0)
+    return {
+        "operator": so.get("operatorName"),
+        "n_vectors": n,
+        "state_rows": rows,
+        "memory_used_bytes": mem,
+        "rocksdb_sst_bytes": sst,
+        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
+        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
+        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
+    }
+
+
+def _measure_semantic_dedup(spark, sf_dir: str, n_files: int) -> dict:
+    """State footprint of the streaming hybrid semantic dedup (r13):
+    cluster-cell rows hold ~n/k embeddings each and LSH rows the
+    occupancy-capped bucket contents, so bytes/key here prices keeping
+    the SemDeDup index resident as stream state."""
+    from deker_server_adapters_spark.sources.scratch import scratch_dir
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.similarity_stream import (
+        stream_embeddings_source,
+        streaming_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    src = stream_embeddings_source(spark, sf_dir, n_files=n_files)
+    q = (
+        streaming_semantic_dedup(src, n_hint=n, ref_emb=emb)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("deker_state_sizing_sem_"))
         .start()
     )
     try:

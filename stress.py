@@ -45,6 +45,7 @@ def scale_tables(
     out_dir: str,
     skew_events: bool = False,
     skew_lineitem: bool = False,
+    skew_parts: bool = False,
     skew_frac: float = 0.1,
 ) -> None:
     from pyspark.sql import functions as F
@@ -100,6 +101,26 @@ def scale_tables(
                         ),
                         F.lit(int(hot)),
                     ).otherwise(F.col("l_orderkey")),
+                )
+            if name == "lineitem" and skew_parts:
+                # ONE hot part in ~skew_frac of ALL lineitems: the
+                # co-purchase graph grows a hub node whose degree is
+                # ~skew_frac of every basket — the shape a real product
+                # graph has (staple items) and uniform replication
+                # can't produce. Hot key = the base table's smallest
+                # partkey (dim tables aren't key-shifted, so it exists).
+                hot = load_table(spark, src_dir, "part").agg(
+                    F.min("p_partkey")
+                ).first()[0]
+                gate = int(round(skew_frac * 100))
+                scaled = scaled.withColumn(
+                    "l_partkey",
+                    F.when(
+                        F.expr(
+                            f"pmod(xxhash64(l_orderkey, l_linenumber), 100) < {gate}"
+                        ),
+                        F.lit(int(hot)),
+                    ).otherwise(F.col("l_partkey")),
                 )
             if name == "events" and skew_events:
                 # ONE hot user owns ~10% of all events across every
@@ -329,10 +350,46 @@ def run_dedup_read(spark, k: int) -> dict:
     return out
 
 
+def run_skew_graph(spark, base: str, k: int, skew_frac: float) -> dict:
+    """Graph family under HUB skew (r13, VERDICT r12 item 5): the
+    co-purchase ops' 10x ratios were all measured under UNIFORM
+    replication, but a real product graph has staple-item hubs. Scale
+    the corpus twice — uniform and with one part in ~skew_frac of all
+    lineitems — and compare pagerank / LPA / modularity wall-clock on
+    the same k. A skewed/uniform ratio near 1 means the plans absorb
+    the hub (their per-node aggregates combine map-side); a blowup
+    means a hot-key cliff."""
+    from deker_server_adapters_spark.operators import all_ops
+
+    graph_family = (
+        "parts_copurchase_pagerank",
+        "parts_copurchase_lpa",
+        "parts_copurchase_modularity",
+    )
+    ops = {n: all_ops()[n] for n in graph_family}
+    uni_dir = tempfile.mkdtemp(prefix="deker_stress_uni_")
+    skw_dir = tempfile.mkdtemp(prefix="deker_stress_hub_")
+    scale_tables(spark, base, k, uni_dir)
+    scale_tables(spark, base, k, skw_dir, skew_parts=True, skew_frac=skew_frac)
+    uni = run(ops, spark, uni_dir)
+    skw = run(ops, spark, skw_dir)
+    return {
+        "k": k,
+        "mode": "skew-graph",
+        "skew_frac": skew_frac,
+        "uniform_sec": uni,
+        "skewed_sec": skw,
+        "ratio_skewed_vs_uniform": {
+            n: round(skw[n] / max(uni[n], 1e-3), 2) for n in ops
+        },
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     skew = "--skew" in sys.argv[1:]
     skew_join = "--skew-join" in sys.argv[1:]
+    skew_graph = "--skew-graph" in sys.argv[1:]
     dedup_read = "--dedup-read" in sys.argv[1:]
     skew_frac = 0.1
     for a in sys.argv[1:]:
@@ -349,6 +406,10 @@ def main() -> None:
 
     if skew_join:
         sys.stdout.write(json.dumps(run_skew_join(spark, base, k, skew_frac)) + "\n")
+        return
+
+    if skew_graph:
+        sys.stdout.write(json.dumps(run_skew_graph(spark, base, k, skew_frac)) + "\n")
         return
 
     if dedup_read:

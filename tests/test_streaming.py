@@ -775,6 +775,53 @@ def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_streaming_semantic_dedup_equals_batch_multibatch(spark, sf_dir):
+    """r13 (VERDICT r12 item 7): the streaming hybrid semantic dedup —
+    IVF cell assignments under the corpus-trained quantizer plus LSH
+    bucket cells (both ladders) maintained as keyed state, candidate
+    pairs emitted exactly once via the min-shared-key canonical device
+    — must assemble to the batch ``dedup_semantic_hybrid`` verdict
+    table EXACTLY after draining a 3-file stream, including
+    bit-identical cosines."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _SEM_TAU,
+        _sem_assignments,
+        dedup_semantic_hybrid,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+    from deker_server_adapters_spark.streaming.similarity_stream import (
+        semantic_verdicts_from_matches,
+        stream_embeddings_source,
+        streaming_semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    src = stream_embeddings_source(spark, sf_dir, n_files=3)
+    _run_stream(
+        streaming_semantic_dedup(src, n_hint=n, ref_emb=emb), "t_semdedup", "append"
+    )
+    matches = spark.table("t_semdedup")
+    m = matches.toPandas()
+    # exactly-once: no candidate pair emitted twice across batches/keys
+    assert not m.duplicated(["vec_id", "vid_b"]).any()
+    # every pair is (later, earlier)
+    assert (m["vec_id"] > m["vid_b"]).all()
+    got = (
+        semantic_verdicts_from_matches(matches, _sem_assignments(emb), _SEM_TAU)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        dedup_semantic_hybrid(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
 def test_streaming_incremental_dedup_equals_batch_multibatch(spark, sf_dir):
     """r12 (VERDICT r11 item 6): the streaming incremental dedup — the
     old corpus replayed first and indexed into keyed state (exact
