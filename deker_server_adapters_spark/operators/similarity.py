@@ -1031,7 +1031,14 @@ def _hy_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
             sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
                 F.lit(0).cast("long")
             )
-        buckets.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+        # gate the WHOLE table on the ladder, not just the explode
+        # filter: Spark's If evaluates one branch per row, so tables
+        # past ntables skip their dot products entirely (at the ladder
+        # floor only 8 of 24 compiled tables pay for their signatures)
+        gated = F.when(F.lit(t) < F.col("ntables"), sig).otherwise(
+            F.lit(-1).cast("long")
+        )
+        buckets.append(F.struct(F.lit(t).alias("tbl"), gated.alias("bucket")))
     return (
         emb.crossJoin(F.broadcast(nrow))
         .withColumn("tb", F.explode(F.array(*buckets)))

@@ -17,8 +17,46 @@ import json
 import sys
 
 
-def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
+def _run_and_size(stream_df, mode: str, checkpoint_prefix: str, extra: dict) -> dict:
+    """Drain a stateful stream into a noop sink on a FRESH scratch
+    checkpoint (r12 advice: a fixed /tmp path made a second measure()
+    in one process resume a stale checkpoint and report an empty
+    state row) and extract the per-key sizing numbers from the final
+    ``stateOperators`` progress."""
     from deker_server_adapters_spark.sources.scratch import scratch_dir
+
+    q = (
+        stream_df.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", scratch_dir(checkpoint_prefix))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        prog = q.lastProgress
+    finally:
+        q.stop()
+    ops = (prog or {}).get("stateOperators") or []
+    if not ops:
+        return {"error": "no stateOperators progress"}
+    so = ops[0]
+    custom = so.get("customMetrics") or {}
+    rows = so.get("numRowsTotal", 0)
+    mem = so.get("memoryUsedBytes", 0)
+    sst = custom.get("rocksdbSstFileSize", 0)
+    return {
+        "operator": so.get("operatorName"),
+        **extra,
+        "state_rows": rows,
+        "memory_used_bytes": mem,
+        "rocksdb_sst_bytes": sst,
+        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
+        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
+        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
+    }
+
+
+def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     from deker_server_adapters_spark.streaming.events_stream import (
         stream_events_source,
         streaming_cms_sketch,
@@ -51,36 +89,9 @@ def measure(spark, sf_dir: str, n_files: int = 4) -> dict:
     out["semantic_dedup"] = _measure_semantic_dedup(spark, sf_dir, n_files)
     for name, (builder, mode) in twins.items():
         src = stream_events_source(spark, sf_dir, n_files=n_files)
-        q = (
-            builder(src)
-            .writeStream.format("noop")
-            .outputMode(mode)
-            .option("checkpointLocation", scratch_dir(f"deker_state_sizing_{name}_"))
-            .start()
+        out[name] = _run_and_size(
+            builder(src), mode, f"deker_state_sizing_{name}_", {}
         )
-        try:
-            q.processAllAvailable()
-            prog = q.lastProgress
-        finally:
-            q.stop()
-        ops = (prog or {}).get("stateOperators") or []
-        if not ops:
-            out[name] = {"error": "no stateOperators progress"}
-            continue
-        so = ops[0]
-        custom = so.get("customMetrics") or {}
-        rows = so.get("numRowsTotal", 0)
-        mem = so.get("memoryUsedBytes", 0)
-        sst = custom.get("rocksdbSstFileSize", 0)
-        out[name] = {
-            "operator": so.get("operatorName"),
-            "state_rows": rows,
-            "memory_used_bytes": mem,
-            "rocksdb_sst_bytes": sst,
-            "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
-            "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
-            "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
-        }
     return out
 
 
@@ -94,40 +105,14 @@ def _measure_threshold_join(spark, sf_dir: str, n_files: int) -> dict:
         streaming_threshold_join,
     )
 
-    from deker_server_adapters_spark.sources.scratch import scratch_dir
-
     n = load_table(spark, sf_dir, "embeddings").count()
     src = stream_embeddings_source(spark, sf_dir, n_files=n_files)
-    q = (
-        streaming_threshold_join(src, n_hint=n)
-        .writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("deker_state_sizing_tj_"))
-        .start()
+    return _run_and_size(
+        streaming_threshold_join(src, n_hint=n),
+        "append",
+        "deker_state_sizing_tj_",
+        {"n_vectors": n},
     )
-    try:
-        q.processAllAvailable()
-        prog = q.lastProgress
-    finally:
-        q.stop()
-    ops = (prog or {}).get("stateOperators") or []
-    if not ops:
-        return {"error": "no stateOperators progress"}
-    so = ops[0]
-    custom = so.get("customMetrics") or {}
-    rows = so.get("numRowsTotal", 0)
-    mem = so.get("memoryUsedBytes", 0)
-    sst = custom.get("rocksdbSstFileSize", 0)
-    return {
-        "operator": so.get("operatorName"),
-        "n_vectors": n,
-        "state_rows": rows,
-        "memory_used_bytes": mem,
-        "rocksdb_sst_bytes": sst,
-        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
-        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
-        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
-    }
 
 
 def _measure_semantic_dedup(spark, sf_dir: str, n_files: int) -> dict:
@@ -135,7 +120,6 @@ def _measure_semantic_dedup(spark, sf_dir: str, n_files: int) -> dict:
     cluster-cell rows hold ~n/k embeddings each and LSH rows the
     occupancy-capped bucket contents, so bytes/key here prices keeping
     the SemDeDup index resident as stream state."""
-    from deker_server_adapters_spark.sources.scratch import scratch_dir
     from deker_server_adapters_spark.sources.tables import load_table
     from deker_server_adapters_spark.streaming.similarity_stream import (
         stream_embeddings_source,
@@ -145,36 +129,12 @@ def _measure_semantic_dedup(spark, sf_dir: str, n_files: int) -> dict:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     src = stream_embeddings_source(spark, sf_dir, n_files=n_files)
-    q = (
-        streaming_semantic_dedup(src, n_hint=n, ref_emb=emb)
-        .writeStream.format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir("deker_state_sizing_sem_"))
-        .start()
+    return _run_and_size(
+        streaming_semantic_dedup(src, n_hint=n, ref_emb=emb),
+        "append",
+        "deker_state_sizing_sem_",
+        {"n_vectors": n},
     )
-    try:
-        q.processAllAvailable()
-        prog = q.lastProgress
-    finally:
-        q.stop()
-    ops = (prog or {}).get("stateOperators") or []
-    if not ops:
-        return {"error": "no stateOperators progress"}
-    so = ops[0]
-    custom = so.get("customMetrics") or {}
-    rows = so.get("numRowsTotal", 0)
-    mem = so.get("memoryUsedBytes", 0)
-    sst = custom.get("rocksdbSstFileSize", 0)
-    return {
-        "operator": so.get("operatorName"),
-        "n_vectors": n,
-        "state_rows": rows,
-        "memory_used_bytes": mem,
-        "rocksdb_sst_bytes": sst,
-        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
-        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
-        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
-    }
 
 
 def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
@@ -184,7 +144,6 @@ def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
     prices keeping yesterday's deduped corpus resident as stream
     state."""
     from deker_server_adapters_spark.sources.tables import load_table
-    from deker_server_adapters_spark.sources.scratch import scratch_dir
     from deker_server_adapters_spark.streaming.dedup_stream import (
         stream_documents_source,
         streaming_incremental_dedup,
@@ -192,39 +151,12 @@ def _measure_incremental_dedup(spark, sf_dir: str) -> dict:
 
     n = load_table(spark, sf_dir, "documents").count()
     src = stream_documents_source(spark, sf_dir, n_new_files=2)
-    q = (
-        streaming_incremental_dedup(src)
-        .writeStream.format("noop")
-        .outputMode("append")
-        # fresh scratch checkpoint per call (r12 advice): a fixed /tmp
-        # path made a second measure() in the same process resume from
-        # the stale checkpoint and report an empty/misleading state row
-        .option("checkpointLocation", scratch_dir("deker_state_sizing_incr_"))
-        .start()
+    return _run_and_size(
+        streaming_incremental_dedup(src),
+        "append",
+        "deker_state_sizing_incr_",
+        {"n_docs": n},
     )
-    try:
-        q.processAllAvailable()
-        prog = q.lastProgress
-    finally:
-        q.stop()
-    ops = (prog or {}).get("stateOperators") or []
-    if not ops:
-        return {"error": "no stateOperators progress"}
-    so = ops[0]
-    custom = so.get("customMetrics") or {}
-    rows = so.get("numRowsTotal", 0)
-    mem = so.get("memoryUsedBytes", 0)
-    sst = custom.get("rocksdbSstFileSize", 0)
-    return {
-        "operator": so.get("operatorName"),
-        "n_docs": n,
-        "state_rows": rows,
-        "memory_used_bytes": mem,
-        "rocksdb_sst_bytes": sst,
-        "rocksdb_total_memory_bytes": custom.get("rocksdbTotalMemoryUsage"),
-        "bytes_per_key_mem": round(mem / rows, 1) if rows else None,
-        "bytes_per_key_sst": round(sst / rows, 1) if rows else None,
-    }
 
 
 def main() -> None:
