@@ -1888,6 +1888,126 @@ def test_docs_chunk_overlap_invariants(spark, sf_dir):
             assert g["chunk_hash"].nunique() > 1
 
 
+def _write_mini_star(tmp_path, spark, orders=None, lineitem=None, part=None,
+                     supplier=None, customer=None, nation=None):
+    """Write a minimal star schema to tmp_path for planted-semantics
+    tests of the TPC-DS shapes — only the columns the op under test
+    selects (an independent ground truth the op+oracle shared formula
+    cannot fake, the r12 review-find pattern)."""
+    import os
+
+    d = str(tmp_path / "mini_star")
+    os.makedirs(d, exist_ok=True)
+    schemas = {
+        "orders": "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderpriority string",
+        "lineitem": "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double, l_discount double",
+        "part": "p_partkey long, p_brand string",
+        "supplier": "s_suppkey long, s_nationkey int",
+        "customer": "c_custkey long, c_nationkey int",
+        "nation": "n_nationkey int, n_name string",
+    }
+    for name, rows in (
+        ("orders", orders), ("lineitem", lineitem), ("part", part),
+        ("supplier", supplier), ("customer", customer), ("nation", nation),
+    ):
+        if rows is not None:
+            spark.createDataFrame(rows, schemas[name]).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+def test_frequent_buyer_planted_sets(spark, tmp_path):
+    """Q23 shape pinned independently of its oracle: the frequent set
+    (>= 5 distinct order dates) and the best set (spend*2 > max) must
+    both gate the final rollup. Customer 1 (best, buys the frequent
+    part on 5 dates) survives; customer 2's single-date part does not,
+    even though customer 2 is also 'best'."""
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        frequent_buyer_channel_sales,
+    )
+
+    dts = [datetime(1995, 1, i + 1) for i in range(5)]
+    orders = [(i + 1, 1, dts[i], "1-URGENT") for i in range(5)] + [
+        (9, 2, dts[0], "5-LOW")
+    ]
+    li = [(i + 1, 100, 1, 300.0, 0.0) for i in range(5)] + [
+        (9, 200, 1, 1000.0, 0.0)
+    ]
+    d = _write_mini_star(tmp_path, spark, orders=orders, lineitem=li)
+    # spend: c1=1500, c2=1000 -> max 1500; best = both (3000>1500, 2000>1500)
+    # frequent: part 100 (5 dates); part 200 (1 date) is NOT frequent
+    rows = frequent_buyer_channel_sales(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.channel, r.yr, r.sales, r.n_rows) == ("express", 1995, 1500.0, 5)
+
+
+def test_cross_channel_iceberg_planted(spark, tmp_path):
+    """Q14 shape pinned independently: only the part sold in ALL three
+    channels enters; only the (channel, brand) cell above the lattice
+    average survives the iceberg HAVING."""
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        cross_channel_part_iceberg,
+    )
+
+    dt = datetime(1995, 6, 1)
+    orders = [
+        (1, 1, dt, "1-URGENT"),   # express
+        (2, 1, dt, "3-MEDIUM"),   # standard
+        (3, 1, dt, "5-LOW"),      # economy
+    ]
+    li = [
+        (1, 100, 1, 10.0, 0.0), (2, 100, 1, 10.0, 0.0), (3, 100, 1, 1000.0, 0.0),
+        (1, 200, 1, 10.0, 0.0), (2, 200, 1, 10.0, 0.0),  # 2 channels only
+    ]
+    part = [(100, "Brand#X"), (200, "Brand#Y")]
+    d = _write_mini_star(tmp_path, spark, orders=orders, lineitem=li, part=part)
+    # cross parts = {100}; lattice = {(express,X,10),(standard,X,10),
+    # (economy,X,1000)}; avg=340 -> only economy survives rev*3 > 1020
+    rows = cross_channel_part_iceberg(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.channel, r.p_brand, r.sales, r.n_rows) == ("economy", "Brand#X", 1000.0, 1)
+
+
+def test_brand_nation_cross_year_planted(spark, tmp_path):
+    """Q64 shape pinned independently: the snowflake must resolve BOTH
+    nation roles (customer vs supplier) and the cross-year self-join
+    must keep only consecutive-year combos where sales held or grew."""
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        brand_nation_cross_year_sales,
+    )
+
+    orders = [
+        (1, 1, datetime(1994, 3, 1), "1-URGENT"),
+        (2, 1, datetime(1995, 3, 1), "1-URGENT"),
+    ]
+    li = [
+        (1, 100, 1, 100.0, 0.0), (2, 100, 1, 150.0, 0.0),  # grew: kept
+        (1, 200, 1, 200.0, 0.0), (2, 200, 1, 100.0, 0.0),  # declined: dropped
+    ]
+    d = _write_mini_star(
+        tmp_path, spark,
+        orders=orders, lineitem=li,
+        part=[(100, "Brand#G"), (200, "Brand#D")],
+        supplier=[(1, 0)],
+        customer=[(1, 1)],
+        nation=[(0, "GERMANY"), (1, "FRANCE")],
+    )
+    rows = brand_nation_cross_year_sales(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_brand, r.cust_nation, r.supp_nation) == ("Brand#G", "FRANCE", "GERMANY")
+    assert (r.yr1, r.sales1, r.sales2, r.n1, r.n2) == (1994, 100.0, 150.0, 1, 1)
+
+
 def test_zipf_fit_on_planted_zipfian_corpus(spark, tmp_path):
     """The OLS fit must recover slope ~ -1 with R^2 ~ 1 on a corpus
     BUILT to be Zipfian (word k appears floor(C/k) times), and the
