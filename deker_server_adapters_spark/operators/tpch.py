@@ -3419,12 +3419,16 @@ def frequent_buyer_channel_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact integer comparison ``spend * 2 > max`` so both engines
     compare identical decimals — no double threshold).
 
-    Scale shape: ONE lineitem-orders join feeds all three consumers
-    (frequent set, spend ranking, final rollup); the qualifying sets
-    are narrow key columns applied as LEFT SEMI joins (Catalyst's
-    native IN form — the fact table is never re-scanned per predicate);
-    the max-spend scalar rides a 1-row broadcast. Fact-scan-linear:
-    everything after the semi joins aggregates on tiny lattices."""
+    Scale shape: the lineitem-orders join is WRITTEN once and consumed
+    by all three branches (frequent set, spend ranking, final rollup);
+    Catalyst expands the branches and column-prunes each one to its
+    own narrow scan (the frequent branch reads 2 lineitem columns, the
+    spend branch 3) — deliberately NOT checkpointed: unlike Q64's tiny
+    lattice, this intermediate is corpus-sized, and three pruned
+    columnar scans beat materializing the full join at any scale. The
+    qualifying sets apply as LEFT SEMI joins (Catalyst's native IN
+    form); the max-spend scalar rides a 1-row broadcast. Everything
+    after the semi joins aggregates on tiny lattices."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )

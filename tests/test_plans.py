@@ -444,6 +444,85 @@ _INTENTIONAL_BNLJ = {
 _INTENTIONAL_PYTHON = {"multimodal_pipeline", "embeddings_pca_moments"}
 
 
+def test_snowflake_cross_year_fact_scans_once(spark, sf_dir):
+    """brand_nation_cross_year_sales (Q64 shape): the consecutive-year
+    self-join runs on the eagerly-checkpointed lattice, so the FINAL
+    plan must contain NO lineitem scan at all (the snowflake ran once,
+    at checkpoint time) — the guard for the reviewed 2x-fact-work
+    regression. Dims must broadcast, the comparison join stays
+    cartesian-free."""
+    df = _plan(spark, sf_dir, "brand_nation_cross_year_sales")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan  # pre-joined at checkpoint time
+    assert "Scan ExistingRDD" in plan  # the checkpointed lattice
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_buyer_semi_joins_and_pruned_branch_scans(spark, sf_dir):
+    """frequent_buyer_channel_sales (Q23 shape): the qualifying sets
+    must apply as LEFT SEMI joins (Catalyst's native IN form), no
+    cartesian anywhere, and each consumer branch must COLUMN-PRUNE its
+    own fact scan — the frequent-set branch reads only the 2 columns
+    it needs (the deliberate trade over materializing the corpus-sized
+    join; see the op docstring)."""
+    df = _plan(spark, sf_dir, "frequent_buyer_channel_sales")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the frequent branch's scan pruned to exactly its 2 key columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
+
+
+def test_multimodal_pipeline_spreads_before_python_stages(spark, sf_dir):
+    """The decode-boundary rule, both stages: the plan must carry the
+    explicit hash repartition (REPARTITION_BY_NUM shuffle origin)
+    UPSTREAM of every Python stage, so neither the PNG encode nor the
+    decode chain can collapse to the scan's (1-file = 1-task)
+    parallelism — the reviewed whole-encode-in-one-task regression."""
+    df = _plan(spark, sf_dir, "multimodal_pipeline")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    py = plan.find("MapInPandas")
+    ex = plan.find("Exchange hashpartitioning(doc_id")
+    assert py != -1 and ex != -1
+    # executedPlan prints top-down: the Exchange must appear BELOW the
+    # first (= topmost = last-executed) MapInPandas, i.e. upstream of
+    # every Python stage
+    assert ex > py
+
+
+def test_hybrid_tables_ladder_sql_matches_python(spark):
+    """The two integer ladders the hybrid oracle replays must agree
+    with the Python forms at every threshold boundary (one below, at,
+    and above each step) — the cross-engine pin for the r13 tables
+    ladder."""
+    import duckdb
+
+    from deker_server_adapters_spark.operators.similarity import (
+        _TJ_MAX_BITS,
+        _TJ_MIN_BITS,
+        _TJ_TARGET_BUCKET,
+        _hy_tables_for_bits,
+        _hy_tables_ladder_sql,
+        _tj_bits_ladder_sql,
+    )
+    from deker_server_adapters_spark.tools.tj_sweep import _ladder_bits
+
+    con = duckdb.connect()
+    for b in range(_TJ_MIN_BITS, _TJ_MAX_BITS + 1):
+        edge = _TJ_TARGET_BUCKET * (1 << b)
+        for n in (edge - 1, edge, edge + 1, 1):
+            got_bits = con.execute(
+                f"SELECT {_tj_bits_ladder_sql(str(n))}"
+            ).fetchone()[0]
+            got_tables = con.execute(
+                f"SELECT {_hy_tables_ladder_sql(str(n))}"
+            ).fetchone()[0]
+            want_bits = _ladder_bits(n, 0)
+            assert got_bits == want_bits, (n, got_bits, want_bits)
+            assert got_tables == _hy_tables_for_bits(want_bits), (n, got_tables)
+
+
 def test_registry_wide_plan_hygiene(spark, sf_dir):
     """Every registry op's physical plan gets the scale floor: no
     CartesianProduct anywhere, BroadcastNestedLoopJoin only where the
