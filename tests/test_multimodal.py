@@ -335,6 +335,43 @@ def test_png_codec_truncated_payload_clear_error():
     assert decode_png_gray(payload).shape == (4, 4)
 
 
+def test_png_codec_roundtrip_property():
+    """Property pin for the codec pair: for random images and random
+    per-row filter choices, decode(encode) is the identity — and the
+    all-zero-filter case (the vectorized fast path) agrees with the
+    general per-byte unfilter loop on the same pixels."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deker_server_adapters_spark.functions.pngcodec import (
+        decode_png_gray,
+        encode_png_gray,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def check(h, w, seed, data):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        # the vendored encoder (filter 0 everywhere -> fast path)
+        np.testing.assert_array_equal(decode_png_gray(encode_png_gray(px)), px)
+        # the reference encoder with arbitrary per-row filters (any
+        # nonzero filter -> the general unfilter loop)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        np.testing.assert_array_equal(
+            decode_png_gray(_encode_png(px, filters=filters)), px
+        )
+
+    check()
+
+
 def test_synth_png_assets_roundtrip_formula_pixels(spark, sf_dir):
     """The oracled pipeline's device: each synthetic payload is a real
     PNG whose decode equals the (doc_id, i, j) pixel formula exactly —

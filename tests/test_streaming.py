@@ -775,6 +775,93 @@ def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_lsh_index_update_exactly_once_property():
+    """Device-level property for the min-shared-key canonical emitter
+    (`_lsh_index_update`): for random cell assignments, random arrival
+    permutations, and random micro-batch splits, every pair of vectors
+    sharing at least one cell is emitted EXACTLY once (from whichever
+    batch completes it), and no non-sharing pair is ever emitted —
+    the invariant both streaming twins' exactly-once guarantees rest
+    on, pinned independently of Spark's state machinery."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deker_server_adapters_spark.streaming.similarity_stream import (
+        _lsh_index_update,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(2, 12),
+        n_cells=st.integers(1, 5),
+        seed=st.integers(0, 2**31 - 1),
+        n_batches=st.integers(1, 4),
+    )
+    def check(n, n_cells, seed, n_batches):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        # each vector gets a nonempty random subset of cells
+        cells = {
+            vid: sorted(
+                rng.choice(n_cells, size=rng.integers(1, n_cells + 1), replace=False)
+                .astype(int)
+                .tolist()
+            )
+            for vid in range(n)
+        }
+        order = rng.permutation(n).tolist()
+        splits = sorted(rng.integers(0, n + 1, size=n_batches - 1).tolist())
+        batches = [order[a:b] for a, b in zip([0] + splits, splits + [n])]
+
+        update = _lsh_index_update(
+            lambda vid, emb, oid, ovec: (min(vid, oid), max(vid, oid)),
+            ["a", "b"],
+        )
+        states = {c: _FakeState() for c in range(n_cells)}
+        emitted = []
+        for batch in batches:
+            if not batch:
+                continue
+            for c in range(n_cells):
+                rows = [v for v in batch if c in cells[v]]
+                if not rows:
+                    continue
+                pdf = pd.DataFrame(
+                    {
+                        "vec_id": rows,
+                        "embedding": [[float(v)] for v in rows],
+                        "cells": [list(cells[v]) for v in rows],
+                    }
+                )
+                for out in update((c,), iter([pdf]), states[c]):
+                    emitted.extend(map(tuple, out.itertuples(index=False)))
+
+        want = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if set(cells[a]) & set(cells[b])
+        }
+        assert sorted(emitted) == sorted(want), (cells, batches)
+
+    check()
+
+
 def test_streaming_semantic_dedup_equals_batch_multibatch(spark, sf_dir):
     """r13 (VERDICT r12 item 7): the streaming hybrid semantic dedup —
     IVF cell assignments under the corpus-trained quantizer plus LSH
