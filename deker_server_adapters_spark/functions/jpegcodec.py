@@ -1,0 +1,420 @@
+"""Minimal pure-stdlib+NumPy baseline JPEG codec — the second vendored
+real-codec path (r13, closing the r12 verdict's "non-PNG codecs"
+seam gap).
+
+From the public ITU-T T.81 / ISO 10918-1 specification: baseline
+sequential DCT, 8-bit samples, Huffman entropy coding. The DECODER
+handles grayscale (1 component) and 4:4:4 colour (3 components,
+converted to luma with the same ITU-R 601-2 fixed-point transform the
+PNG path uses); progressive (SOF2), 12-bit, arithmetic-coded, and
+subsampled streams raise ``NotImplementedError`` — the same
+clear-error contract as the PNG codec. Restart markers are honoured
+(DC predictors reset). The ENCODER writes spec-compliant grayscale
+baseline JPEG: Annex-K luminance quantization scaled by the libjpeg
+quality convention, fixed-shape canonical Huffman tables (every DC
+category 5 bits; AC symbols 9 or 10 bits — Kraft-valid, declared in
+DHT like any other table, trading compression for table simplicity),
+orthonormal float FDCT.
+
+JPEG is lossy: decode(encode(p)) == p holds only within the
+quantization error bound (pytest-pinned; exact for blockwise-constant
+images at quality 100 up to DC rounding). Scale note: like the PNG
+codec this is NOT the production hot path — it exists so the decode
+STAGE can be value-tested on real JPEG bytes without optional
+dependencies; a deployment flips ``codec='pil'`` at the same seam.
+
+Reference parity: no counterpart in the reference (an HTTP adapter);
+this supports SURVEY §2.4's multimodal family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1 luminance quantization table (the quality-50 base).
+_Q_BASE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _zigzag_order() -> list:
+    """The spec's zigzag scan as raster indices (generated, then
+    pinned by pytest against the well-known prefix 0,1,8,16,9,2,...).
+    Even diagonals run bottom-left -> top-right, odd ones the
+    reverse."""
+    order = []
+    for s in range(15):
+        lo, hi = max(0, s - 7), min(7, s)
+        rows = range(hi, lo - 1, -1) if s % 2 == 0 else range(lo, hi + 1)
+        order.extend(r * 8 + (s - r) for r in rows)
+    return order
+
+
+_ZZ = _zigzag_order()
+
+# Orthonormal DCT-II basis: pixels = C.T @ coeffs @ C.
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def _quality_table(quality: int) -> np.ndarray:
+    """libjpeg quality scaling convention."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_Q_BASE * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _category(v: int) -> int:
+    """Bit category of a coefficient amplitude (0 for v == 0)."""
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s per convention
+        return bytes(self.out)
+
+
+# Fixed-shape canonical Huffman tables (Kraft-valid; declared in DHT
+# like any table, so any spec decoder reads them). DHT counts are
+# single bytes, so the 256 AC symbols split 128 @ length 9 (canonical
+# codes 0..127) + 128 @ length 10 (codes 256..383).
+_DC_LEN = 5  # 12 categories x 2^-5 = 0.375 <= 1
+
+
+def _ac_code(sym: int) -> tuple:
+    """(code, length) for AC symbol under the fixed canonical shape."""
+    if sym < 128:
+        return sym, 9
+    return 256 + (sym - 128), 10
+
+
+def _encode_amplitude(v: int) -> tuple:
+    s = _category(v)
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (height, width) uint8 greyscale array as baseline JPEG."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects a (height, width) array")
+    h, w = arr.shape
+    q = _quality_table(quality)
+    # edge-replicate pad to 8x8 blocks
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, padded.shape[0], 8):
+        for bx in range(0, padded.shape[1], 8):
+            block = padded[by : by + 8, bx : bx + 8]
+            coef = _C @ block @ _C.T
+            # quantize: round half away from zero (rint's banker's ties
+            # would be spec-legal too; this matches common encoders)
+            zq = np.floor(np.abs(coef) / q + 0.5).astype(np.int64) * np.sign(
+                coef
+            ).astype(np.int64)
+            flat = zq.ravel()[_ZZ]
+            # DC
+            diff = int(flat[0]) - prev_dc
+            prev_dc = int(flat[0])
+            s, bits = _encode_amplitude(diff)
+            bw.write(s, _DC_LEN)  # canonical code for category s IS s
+            if s:
+                bw.write(bits, s)
+            # AC: (run, size) symbols with ZRL and EOB
+            run = 0
+            last_nz = max((i for i in range(1, 64) if flat[i]), default=0)
+            for i in range(1, last_nz + 1):
+                v = int(flat[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*_ac_code(0xF0))  # ZRL
+                    run -= 16
+                s, bits = _encode_amplitude(v)
+                bw.write(*_ac_code((run << 4) | s))
+                bw.write(bits, s)
+                run = 0
+            if last_nz < 63:
+                bw.write(*_ac_code(0x00))  # EOB
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(q.ravel()[i]) for i in _ZZ))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    # DHT: class 0 id 0 (DC: 12 codes of length 5), class 1 id 0
+    # (AC: 256 codes of length 9)
+    dc_counts = [0] * 16
+    dc_counts[_DC_LEN - 1] = 12
+    ac_counts = [0] * 16
+    ac_counts[9 - 1] = 128
+    ac_counts[10 - 1] = 128
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+        + bytes([0x10]) + bytes(ac_counts) + bytes(range(256)),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise _EndOfScan(b, nxt)
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_after_restart(self) -> None:
+        """Skip the restart marker and byte-align (spec 2-byte RSTn)."""
+        self.acc = 0
+        self.nbits = 0
+        self.pos += 1  # past the RSTn second byte
+
+
+class _RestartMarker(Exception):
+    def __init__(self, b):
+        self.b = b
+
+
+class _EndOfScan(Exception):
+    def __init__(self, *bs):
+        self.bs = bs
+
+
+class _Huff:
+    """Canonical Huffman decode table from DHT counts + symbols."""
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        i = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[i]
+                code += 1
+                i += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read(1)
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode baseline JPEG bytes to a (height, width) uint8 greyscale
+    array (3-component 4:4:4 converts to luma). Raises ``ValueError``
+    on a non-JPEG/corrupt payload and ``NotImplementedError`` on an
+    unsupported variant."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables = {}
+    huff = {}
+    comps = None
+    h = w = None
+    restart_interval = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG payload")
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = struct.unpack(">H", data[pos : pos + 2])[0]
+        pos += 2
+        if marker == 0xFFD9:  # EOI before SOS
+            raise ValueError("JPEG missing scan data")
+        (length,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + length]
+        if len(body) != length - 2:
+            raise ValueError("truncated JPEG payload")
+        pos += length
+        if marker == 0xFFDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tbl = np.zeros(64, dtype=np.int64)
+                for i, z in enumerate(_ZZ):
+                    tbl[z] = body[o + 1 + i]
+                qtables[tq] = tbl.reshape(8, 8)
+                o += 65
+        elif marker == 0xFFC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                counts = list(body[o + 1 : o + 17])
+                n = sum(counts)
+                symbols = list(body[o + 17 : o + 17 + n])
+                huff[(tc, th)] = _Huff(counts, symbols)
+                o += 17 + n
+        elif marker == 0xFFC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, sampling, tq = body[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise NotImplementedError("subsampled JPEG not supported")
+                comps.append((cid, tq))
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG not supported")
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise NotImplementedError("only baseline sequential JPEG supported")
+        elif marker == 0xFFDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tables >> 4, tables & 0xF))
+            break
+        # other markers (APPn, COM, ...) skipped via length
+    if comps is None or h is None:
+        raise ValueError("JPEG missing SOF before SOS")
+    if len(scan) != len(comps):
+        raise NotImplementedError("multi-scan JPEG not supported")
+
+    bh, bwd = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bwd * 8), dtype=np.float64) for _ in comps]
+    br = _BitReader(data, pos)
+    prev_dc = [0] * len(comps)
+    mcu = 0
+    try:
+        for by in range(bh):
+            for bx in range(bwd):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    # expect an RSTn at a byte-aligned position
+                    try:
+                        br.read(1)
+                        raise ValueError("expected JPEG restart marker")
+                    except _RestartMarker:
+                        br.align_after_restart()
+                        prev_dc = [0] * len(comps)
+                mcu += 1
+                for ci, (comp, (cs, td, ta)) in enumerate(zip(comps, scan)):
+                    dc_h, ac_h = huff.get((0, td)), huff.get((1, ta))
+                    if dc_h is None or ac_h is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    flat = np.zeros(64, dtype=np.int64)
+                    s = dc_h.decode(br)
+                    prev_dc[ci] += _extend(br.read(s), s) if s else 0
+                    flat[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = ac_h.decode(br)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("invalid JPEG AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        flat[k] = _extend(br.read(size), size)
+                        k += 1
+                    q = qtables.get(comps[ci][1])
+                    if q is None:
+                        raise ValueError("JPEG scan references missing DQT")
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZZ] = flat
+                    coef = block.reshape(8, 8) * q
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _C.T @ coef @ _C
+                    )
+    except (_RestartMarker, _EndOfScan) as e:
+        raise ValueError(f"unexpected JPEG marker in scan: {e}") from e
+
+    out = [np.clip(np.round(p + 128.0), 0, 255).astype(np.uint8)[:h, :w] for p in planes]
+    if len(out) == 1:
+        return out[0]
+    y, cb, cr = (o.astype(np.uint32) for o in out)
+    return ((y * 19595 + cb * 38470 + cr * 7471 + 0x8000) >> 16).astype(np.uint8)

@@ -141,14 +141,17 @@ def _decode_payload(
     ``codec='fake'`` is the deterministic byte-expansion stub (this
     container has no media libs). ``codec='png'`` decodes REAL PNG
     bytes with the vendored pure-stdlib decoder
-    (functions/pngcodec.py — 8-bit grey/RGB, all five filters),
-    nearest-neighbour resampled to the declared geometry and broadcast
-    across frames, so the decode stage is value-checked end to end
-    without any optional dependency. ``codec='pil'`` decodes with
-    Pillow when installed (grayscale, resized to the declared
-    geometry, broadcast across frames) — same signature, same
-    surrounding Spark plumbing, so a real deployment flips the codec
-    string and nothing else. Unknown codecs raise NotImplementedError.
+    (functions/pngcodec.py — 8-bit grey/RGB, all five filters);
+    ``codec='jpeg'`` decodes REAL baseline-JPEG bytes with the
+    vendored decoder (functions/jpegcodec.py — grayscale + 4:4:4
+    colour to luma, r13). Both are nearest-neighbour resampled to the
+    declared geometry and broadcast across frames, so the decode
+    stage is value-checked end to end without any optional
+    dependency. ``codec='pil'`` decodes with Pillow when installed
+    (grayscale, resized to the declared geometry, broadcast across
+    frames) — same signature, same surrounding Spark plumbing, so a
+    real deployment flips the codec string and nothing else. Unknown
+    codecs raise NotImplementedError.
     """
     if codec == "fake":
         return _expand_bytes(payload, n_frames * height * width).reshape(
@@ -161,6 +164,14 @@ def _decode_payload(
         )
 
         frame = decode_png_gray(payload)
+        if frame.shape != (height, width):
+            frame = resample_nearest(frame, height, width)
+        return np.broadcast_to(frame, (n_frames, height, width)).copy()
+    if codec == "jpeg":
+        from deker_server_adapters_spark.functions.jpegcodec import decode_jpeg_gray
+        from deker_server_adapters_spark.functions.pngcodec import resample_nearest
+
+        frame = decode_jpeg_gray(payload)
         if frame.shape != (height, width):
             frame = resample_nearest(frame, height, width)
         return np.broadcast_to(frame, (n_frames, height, width)).copy()

@@ -335,6 +335,105 @@ def test_png_codec_truncated_payload_clear_error():
     assert decode_png_gray(payload).shape == (4, 4)
 
 
+def test_jpeg_codec_roundtrip_error_bound():
+    """The vendored baseline-JPEG pair: decode(encode(p)) equals p
+    within the quantization error bound at each quality, exactly on
+    constant images, and the generated zigzag matches the spec's
+    well-known prefix."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        _zigzag_order,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    zz = _zigzag_order()
+    assert zz[:16] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert sorted(zz) == list(range(64))
+
+    px = np.full((16, 24), 77, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_jpeg_gray(encode_jpeg_gray(px, 95)), px)
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    grad = (np.arange(24)[:, None] * 7 + np.arange(20)[None, :] * 5).astype(np.uint8)
+    for img, bounds in ((noise, {100: 2, 95: 8, 75: 40}), (grad, {100: 2, 95: 8})):
+        for q, bound in bounds.items():
+            got = decode_jpeg_gray(encode_jpeg_gray(img, q))
+            assert got.shape == img.shape
+            err = np.abs(got.astype(int) - img.astype(int)).max()
+            assert err <= bound, (q, err)
+
+
+def test_jpeg_codec_clear_errors_and_seam():
+    """Corrupt/unsupported JPEG payloads cross the codec seam as the
+    documented ValueError / NotImplementedError — never a raw
+    struct.error — and codec='jpeg' works end to end at
+    _decode_payload (resample + frame broadcast included)."""
+    import pytest
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG....")
+    payload = encode_jpeg_gray(np.full((8, 8), 10, dtype=np.uint8), 90)
+    for cut in range(2, len(payload)):
+        try:
+            decode_jpeg_gray(payload[:cut])
+        except (ValueError, NotImplementedError):
+            continue
+        except Exception as e:  # noqa: BLE001 - the assertion under test
+            pytest.fail(f"truncation at byte {cut} leaked {type(e).__name__}: {e}")
+    # progressive SOF2 is the documented clear NotImplementedError
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg_gray(prog)
+
+    src = (np.arange(64, dtype=np.uint8).reshape(8, 8)) * 2
+    got = _decode_payload(
+        encode_jpeg_gray(src, 95), width=4, height=4, n_frames=2, codec="jpeg"
+    )
+    assert got.shape == (2, 4, 4)
+    np.testing.assert_array_equal(got[0], got[1])
+    # center-sampled resample of a near-roundtrip image: within the
+    # jpeg error bound of the directly-resampled source
+    ys = [int((i + 0.5) * 8 / 4) for i in range(4)]
+    want = src[np.ix_(ys, ys)]
+    assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 8
+
+
+def test_jpeg_codec_roundtrip_property():
+    """Property pin: random images at random qualities decode within
+    the per-quality error bound, any shape (including non-multiples
+    of 8, exercising edge-replicate padding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+        q=st.sampled_from([75, 90, 95, 100]),
+    )
+    def check(h, w, seed, q):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        got = decode_jpeg_gray(encode_jpeg_gray(px, q))
+        assert got.shape == px.shape
+        bound = {75: 48, 90: 16, 95: 10, 100: 2}[q]
+        assert np.abs(got.astype(int) - px.astype(int)).max() <= bound
+
+    check()
+
+
 def test_png_codec_roundtrip_property():
     """Property pin for the codec pair: for random images and random
     per-row filter choices, decode(encode) is the identity — and the
