@@ -369,7 +369,10 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         for by in range(bh):
             for bx in range(bwd):
                 if restart_interval and mcu and mcu % restart_interval == 0:
-                    # expect an RSTn at a byte-aligned position
+                    # discard the current byte's padding bits, then the
+                    # next stream byte must be an RSTn
+                    br.acc = 0
+                    br.nbits = 0
                     try:
                         br.read(1)
                         raise ValueError("expected JPEG restart marker")

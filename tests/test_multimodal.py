@@ -404,6 +404,36 @@ def test_jpeg_codec_clear_errors_and_seam():
     assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 8
 
 
+def test_jpeg_restart_markers_reset_dc():
+    """DRI/RSTn support: splice two standalone-encoded blocks with a
+    restart marker between them (each block's DC coded absolute — the
+    predictor-reset a restart demands) and a DRI-1 header; the decode
+    must equal the ordinary two-block encoding of the same image."""
+    import struct
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    a = np.full((8, 8), 50, dtype=np.uint8)
+    b = np.full((8, 8), 200, dtype=np.uint8)
+
+    def split(j):
+        i = j.find(b"\xff\xda")
+        length = struct.unpack(">H", j[i + 2 : i + 4])[0]
+        return j[: i + 2 + length], j[i + 2 + length : -2]
+
+    base = encode_jpeg_gray(np.hstack([a, b]), 95)
+    head, _ = split(base)
+    i = head.find(b"\xff\xda")
+    head = head[:i] + b"\xff\xdd\x00\x04\x00\x01" + head[i:]  # DRI = 1
+    data = head + split(encode_jpeg_gray(a, 95))[1] + b"\xff\xd0" + split(
+        encode_jpeg_gray(b, 95)
+    )[1] + b"\xff\xd9"
+    np.testing.assert_array_equal(decode_jpeg_gray(data), decode_jpeg_gray(base))
+
+
 def test_jpeg_codec_roundtrip_property():
     """Property pin: random images at random qualities decode within
     the per-quality error bound, any shape (including non-multiples
