@@ -404,6 +404,41 @@ def test_jpeg_codec_clear_errors_and_seam():
     assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 8
 
 
+def test_decode_stage_runs_jpeg_codec(spark):
+    """The distributed decode stage over REAL JPEG payloads: per-asset
+    pixel values must equal the seam's direct decode (the mapInPandas
+    stage may not perturb values), same invariant the PNG path pins."""
+    from deker_server_adapters_spark.functions.jpegcodec import encode_jpeg_gray
+    from deker_server_adapters_spark.operators.multimodal import decode_stage
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(6):
+        h, w = 8 * (1 + i % 2), 8 * (1 + (i // 2) % 2)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        rows.append(
+            (
+                i,
+                "image",
+                bytearray(encode_jpeg_gray(px, 95)),
+                {"width": w, "height": h, "n_frames": 1, "sample_rate": 16000},
+            )
+        )
+    assets = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int>",
+    )
+    got = {r["doc_id"]: r for r in decode_stage(assets, codec="jpeg").collect()}
+    for i, _, payload, meta in rows:
+        want = _decode_payload(
+            bytes(payload), meta["width"], meta["height"], 1, codec="jpeg"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got[i]["pixels"]).reshape(want.shape), want
+        )
+
+
 def test_jpeg_restart_markers_reset_dc():
     """DRI/RSTn support: splice two standalone-encoded blocks with a
     restart marker between them (each block's DC coded absolute — the
