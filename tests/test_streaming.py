@@ -775,6 +775,35 @@ def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_streaming_multimodal_features_equal_batch(spark, sf_dir):
+    """r13: the media-ingest stream — the batch pipeline's own decode/
+    sample/resize/feature stages applied to a 3-file asset stream —
+    must produce the batch op's per-asset features exactly after
+    draining (stateless chain: stream == batch is structural)."""
+    from deker_server_adapters_spark.operators.multimodal import multimodal_pipeline
+    from deker_server_adapters_spark.streaming.multimodal_stream import (
+        stream_assets_source,
+        streaming_multimodal_features,
+    )
+
+    src = stream_assets_source(spark, sf_dir, n_files=3)
+    _run_stream(streaming_multimodal_features(src), "t_mm_feats", "append")
+    got = (
+        spark.table("t_mm_feats")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        multimodal_pipeline(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["doc_id"]).any()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
 def test_lsh_index_update_exactly_once_property():
     """Device-level property for the min-shared-key canonical emitter
     (`_lsh_index_update`): for random cell assignments, random arrival
