@@ -22,7 +22,11 @@ from deker_server_adapters_spark.functions.histogram import (
     round_ties_safe,
     round_ties_safe_sql,
 )
-from deker_server_adapters_spark.functions.vectors import cosine_similarity, dot
+from deker_server_adapters_spark.functions.vectors import (
+    centroid_argmax_cell,
+    cosine_similarity,
+    dot,
+)
 from deker_server_adapters_spark.operators import Op
 from deker_server_adapters_spark.sources.tables import load_table
 
@@ -704,41 +708,13 @@ def _sem_assignments(emb: DataFrame, with_sim: bool = False) -> "DataFrame | Non
     cents = sorted(_local_centroids(emb, k).collect(), key=lambda r: r.cell)
     if not cents:
         return None
-    sims = F.array(
-        *[
-            round_ties_safe(
-                cosine_similarity(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(v)) for v in r.ce]),
-                ),
-                9,
-            )
-            for r in cents
-        ]
-    )
-    # Map the argmin POSITION back to the centroid's TRUE cell id:
-    # _ivf_centroids drops cells emptied by the Lloyd step, so the
-    # cents list can have id gaps — the oracle's inv emits the true
-    # ids, and a compacted array index would diverge on the first gap
-    # (r11 self-review find). On an all-NaN sims array (a zero-norm
-    # embedding) Spark SQL's NaN-equality semantics make
-    # array_position MATCH the NaN that array_max returns (NaN = NaN
-    # is true in Spark's ordering-aware equality), so pos lands on the
-    # FIRST NaN — the lowest cell — which is also what the oracle's
-    # ORDER BY sim DESC, cell rank-1 picks: the engines agree with no
-    # help. The greatest(pos, 1) clamp is therefore belt-and-suspenders
-    # only (kept so a future engine whose array_position can't match
-    # NaN degrades to the same lowest-cell verdict instead of
-    # element_at(0) erroring), not the mechanism (r11 advice fix).
-    cell_ids = F.array(*[F.lit(int(r.cell)) for r in cents])
-    pos = F.array_position(sims, F.array_max(sims))
-    cols = [
-        "vec_id",
-        "embedding",
-        F.element_at(cell_ids, F.greatest(pos, F.lit(1)).cast("int")).alias("cell"),
-    ]
+    # The NaN/gap-robust compiled argmin lives in functions/vectors.py
+    # (centroid_argmax_cell) — shared verbatim with the streaming twin
+    # so streamed assignments match the batch op bit for bit.
+    cell, best_sim = centroid_argmax_cell(cents)
+    cols = ["vec_id", "embedding", cell.alias("cell")]
     if with_sim:
-        cols.append(F.array_max(sims).alias("best_sim"))
+        cols.append(best_sim.alias("best_sim"))
     return emb.select(*cols)
 
 

@@ -207,33 +207,15 @@ _SEM_CLUSTER_KEY_BASE = -_CELL_SHIFT  # cluster cells key below every LSH key
 
 
 def _semantic_cell_expr(centroids):
-    """The batch ``_sem_assignments`` argmin (operators/similarity.py),
-    compiled against COLLECTED centroids: tie-safe 1e-9 cosine to every
-    centroid, first-max = lowest cell via array_position — kept
-    expression-identical so streamed cell assignments match the batch
-    op bit for bit (the multi-batch == batch pytest enforces the
-    identity end-to-end on every suite run). Known duplication: the
-    structural fix is extracting this block from ``_sem_assignments``
-    into a shared helper, deferred to the next round because touching
-    that function re-fingerprints three recently-certified batch ops
-    past the driver window's slot budget."""
-    from deker_server_adapters_spark.functions.histogram import round_ties_safe
-    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+    """The batch ``_sem_assignments`` argmin, via the SAME shared
+    helper (``functions/vectors.centroid_argmax_cell``) — one code
+    path, so streamed cell assignments match the batch op bit for bit
+    by construction (the multi-batch == batch pytest still enforces
+    the identity end-to-end on every suite run)."""
+    from deker_server_adapters_spark.functions.vectors import centroid_argmax_cell
 
-    sims = F.array(
-        *[
-            round_ties_safe(
-                cosine_similarity(
-                    F.col("embedding"), F.array(*[F.lit(float(v)) for v in r.ce])
-                ),
-                9,
-            )
-            for r in centroids
-        ]
-    )
-    cell_ids = F.array(*[F.lit(int(r.cell)) for r in centroids])
-    pos = F.array_position(sims, F.array_max(sims))
-    return F.element_at(cell_ids, F.greatest(pos, F.lit(1)).cast("int"))
+    cell, _ = centroid_argmax_cell(centroids)
+    return cell
 
 
 def streaming_semantic_dedup(embs: DataFrame, n_hint: int, ref_emb) -> DataFrame:
