@@ -5,16 +5,21 @@ seam gap).
 From the public ITU-T T.81 / ISO 10918-1 specification: baseline
 sequential DCT, 8-bit samples, Huffman entropy coding. The DECODER
 handles grayscale (1 component) and 4:4:4 colour (3 components,
-converted to luma with the same ITU-R 601-2 fixed-point transform the
-PNG path uses); progressive (SOF2), 12-bit, arithmetic-coded, and
-subsampled streams raise ``NotImplementedError`` — the same
-clear-error contract as the PNG codec. Restart markers are honoured
-(DC predictors reset). The ENCODER writes spec-compliant grayscale
-baseline JPEG: Annex-K luminance quantization scaled by the libjpeg
-quality convention, fixed-shape canonical Huffman tables (every DC
-category 5 bits; AC symbols 9 or 10 bits — Kraft-valid, declared in
-DHT like any other table, trading compression for table simplicity),
-orthonormal float FDCT.
+converted to luma): per the JFIF/T.871 convention 3-component scan
+data is already YCbCr, so luma is the decoded Y plane; RGB-component
+streams (Adobe APP14 transform=0, or ASCII 'RGB' component ids) get
+the ITU-R 601-2 fixed-point luma transform the PNG path uses.
+Progressive (SOF2), 12-bit, arithmetic-coded, and subsampled streams
+raise ``NotImplementedError`` — the same clear-error contract as the
+PNG codec. Restart markers are honoured (DC predictors reset), and
+optional 0xFF fill bytes / standalone markers in the header are
+tolerated per T.81 B.1.1.2. The ENCODER writes spec-compliant
+baseline JPEG — grayscale (``encode_jpeg_gray``) and 4:4:4 YCbCr
+colour (``encode_jpeg_color``): Annex-K luminance quantization scaled
+by the libjpeg quality convention, fixed-shape canonical Huffman
+tables (every DC category 5 bits; AC symbols 9 or 10 bits —
+Kraft-valid, declared in DHT like any other table, trading
+compression for table simplicity), orthonormal float FDCT.
 
 JPEG is lossy: decode(encode(p)) == p holds only within the
 quantization error bound (pytest-pinned; exact for blockwise-constant
@@ -132,61 +137,74 @@ def _encode_amplitude(v: int) -> tuple:
     return s, bits
 
 
-def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """Encode a (height, width) uint8 greyscale array as baseline JPEG."""
-    arr = np.asarray(pixels, dtype=np.uint8)
-    if arr.ndim != 2:
-        raise ValueError("encode_jpeg_gray expects a (height, width) array")
-    h, w = arr.shape
+def _encode_block(bw: "_BitWriter", block: np.ndarray, q: np.ndarray, prev_dc: int) -> int:
+    """Entropy-encode one level-shifted 8x8 block; returns the new DC
+    predictor for this block's component."""
+    coef = _C @ block @ _C.T
+    # quantize: round half away from zero (rint's banker's ties
+    # would be spec-legal too; this matches common encoders)
+    zq = np.floor(np.abs(coef) / q + 0.5).astype(np.int64) * np.sign(coef).astype(
+        np.int64
+    )
+    flat = zq.ravel()[_ZZ]
+    # DC
+    diff = int(flat[0]) - prev_dc
+    s, bits = _encode_amplitude(diff)
+    bw.write(s, _DC_LEN)  # canonical code for category s IS s
+    if s:
+        bw.write(bits, s)
+    # AC: (run, size) symbols with ZRL and EOB
+    run = 0
+    last_nz = max((i for i in range(1, 64) if flat[i]), default=0)
+    for i in range(1, last_nz + 1):
+        v = int(flat[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*_ac_code(0xF0))  # ZRL
+            run -= 16
+        s, bits = _encode_amplitude(v)
+        bw.write(*_ac_code((run << 4) | s))
+        bw.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        bw.write(*_ac_code(0x00))  # EOB
+    return int(flat[0])
+
+
+def _encode_planes(planes: list, h: int, w: int, quality: int, cids: bytes) -> bytes:
+    """Shared baseline-JPEG writer: 4:4:4 interleaved scan over
+    same-shape uint8 planes (1 = grayscale, 3 = colour), one shared
+    quantization + Huffman table set (spec-legal; trades compression
+    for table simplicity like the rest of this codec)."""
     q = _quality_table(quality)
     # edge-replicate pad to 8x8 blocks
     ph, pw = -h % 8, -w % 8
-    padded = np.pad(arr, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+    padded = [
+        np.pad(p, ((0, ph), (0, pw)), mode="edge").astype(np.float64) - 128.0
+        for p in planes
+    ]
 
     bw = _BitWriter()
-    prev_dc = 0
-    for by in range(0, padded.shape[0], 8):
-        for bx in range(0, padded.shape[1], 8):
-            block = padded[by : by + 8, bx : bx + 8]
-            coef = _C @ block @ _C.T
-            # quantize: round half away from zero (rint's banker's ties
-            # would be spec-legal too; this matches common encoders)
-            zq = np.floor(np.abs(coef) / q + 0.5).astype(np.int64) * np.sign(
-                coef
-            ).astype(np.int64)
-            flat = zq.ravel()[_ZZ]
-            # DC
-            diff = int(flat[0]) - prev_dc
-            prev_dc = int(flat[0])
-            s, bits = _encode_amplitude(diff)
-            bw.write(s, _DC_LEN)  # canonical code for category s IS s
-            if s:
-                bw.write(bits, s)
-            # AC: (run, size) symbols with ZRL and EOB
-            run = 0
-            last_nz = max((i for i in range(1, 64) if flat[i]), default=0)
-            for i in range(1, last_nz + 1):
-                v = int(flat[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.write(*_ac_code(0xF0))  # ZRL
-                    run -= 16
-                s, bits = _encode_amplitude(v)
-                bw.write(*_ac_code((run << 4) | s))
-                bw.write(bits, s)
-                run = 0
-            if last_nz < 63:
-                bw.write(*_ac_code(0x00))  # EOB
+    prev_dc = [0] * len(planes)
+    for by in range(0, h + ph, 8):
+        for bx in range(0, w + pw, 8):
+            # interleaved MCU: one 8x8 block per component, in order
+            for ci, plane in enumerate(padded):
+                prev_dc[ci] = _encode_block(
+                    bw, plane[by : by + 8, bx : bx + 8], q, prev_dc[ci]
+                )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
+    nc = len(planes)
     dqt = seg(0xFFDB, bytes([0]) + bytes(int(q.ravel()[i]) for i in _ZZ))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sof_comps = b"".join(bytes([cids[i], 0x11, 0]) for i in range(nc))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + sof_comps)
     # DHT: class 0 id 0 (DC: 12 codes of length 5), class 1 id 0
-    # (AC: 256 codes of length 9)
+    # (AC: 256 codes split 128 @ 9 bits + 128 @ 10 bits)
     dc_counts = [0] * 16
     dc_counts[_DC_LEN - 1] = 12
     ac_counts = [0] * 16
@@ -197,10 +215,40 @@ def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
         bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
         + bytes([0x10]) + bytes(ac_counts) + bytes(range(256)),
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
-    )
+    sos_comps = b"".join(bytes([cids[i], 0x00]) for i in range(nc))
+    sos = seg(0xFFDA, bytes([nc]) + sos_comps + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (height, width) uint8 greyscale array as baseline JPEG."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects a (height, width) array")
+    h, w = arr.shape
+    return _encode_planes([arr], h, w, quality, bytes([1]))
+
+
+def encode_jpeg_color(pixels: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a (height, width, 3) uint8 RGB array as baseline 4:4:4
+    colour JPEG: full-range BT.601 RGB->YCbCr (the JFIF/T.871
+    convention), component ids 1/2/3, interleaved scan. Exists so the
+    decoder's 3-component path has a real roundtrip under test (r13
+    verdict: the colour path was untested)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_jpeg_color expects a (height, width, 3) array")
+    h, w = arr.shape[:2]
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    planes = [
+        np.clip(np.round(p), 0, 255).astype(np.uint8) for p in (y, cb, cr)
+    ]
+    return _encode_planes(planes, h, w, quality, bytes([1, 2, 3]))
 
 
 class _BitReader:
@@ -285,9 +333,15 @@ def _extend(bits: int, s: int) -> int:
 
 def decode_jpeg_gray(data: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes to a (height, width) uint8 greyscale
-    array (3-component 4:4:4 converts to luma). Raises ``ValueError``
-    on a non-JPEG/corrupt payload and ``NotImplementedError`` on an
-    unsupported variant."""
+    array. 3-component 4:4:4 input converts to luma under the standard
+    colour-model contract: JFIF/T.871 scan data is already YCbCr, so
+    luma IS the decoded Y plane (returned directly — r13 advice fix:
+    reweighting the Y/Cb/Cr planes with RGB luma weights was wrong for
+    every real-world colour JPEG); RGB component streams — declared by
+    an Adobe APP14 transform=0 marker or by ASCII 'R','G','B' component
+    ids — get the ITU-R 601-2 fixed-point luma transform. Raises
+    ``ValueError`` on a non-JPEG/corrupt payload and
+    ``NotImplementedError`` on an unsupported variant."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -296,15 +350,27 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     comps = None
     h = w = None
     restart_interval = 0
+    adobe_transform = None
     while True:
-        if pos + 4 > len(data):
+        if pos >= len(data):
             raise ValueError("truncated JPEG payload")
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # optional 0xFF fill bytes before the marker code are legal
+        # (T.81 B.1.1.2) — skip them so padded-but-valid files parse
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG payload")
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         pos += 2
         if marker == 0xFFD9:  # EOI before SOS
             raise ValueError("JPEG missing scan data")
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD7:
+            # standalone markers (TEM, stray RSTn): no length field
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG payload")
         (length,) = struct.unpack(">H", data[pos : pos + 2])
         body = data[pos + 2 : pos + length]
         if len(body) != length - 2:
@@ -347,6 +413,10 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
             raise NotImplementedError("only baseline sequential JPEG supported")
         elif marker == 0xFFDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xFFEE and body[:5] == b"Adobe" and len(body) >= 12:
+            # APP14: transform byte declares the colour model
+            # (0 = RGB/unknown, 1 = YCbCr, 2 = YCCK)
+            adobe_transform = body[11]
         elif marker == 0xFFDA:  # SOS
             ns = body[0]
             scan = []
@@ -419,5 +489,13 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     out = [np.clip(np.round(p + 128.0), 0, 255).astype(np.uint8)[:h, :w] for p in planes]
     if len(out) == 1:
         return out[0]
-    y, cb, cr = (o.astype(np.uint32) for o in out)
-    return ((y * 19595 + cb * 38470 + cr * 7471 + 0x8000) >> 16).astype(np.uint8)
+    cids = tuple(c[0] for c in comps)
+    is_rgb = adobe_transform == 0 or (
+        adobe_transform is None and cids == (0x52, 0x47, 0x42)  # 'R','G','B'
+    )
+    if not is_rgb:
+        # JFIF/T.871 (and Adobe transform=1): 3-component scan data is
+        # already YCbCr — luma is simply the decoded Y plane.
+        return out[0]
+    r, g, b = (o.astype(np.uint32) for o in out)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)

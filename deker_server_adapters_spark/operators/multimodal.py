@@ -144,7 +144,8 @@ def _decode_payload(
     (functions/pngcodec.py — 8-bit grey/RGB, all five filters);
     ``codec='jpeg'`` decodes REAL baseline-JPEG bytes with the
     vendored decoder (functions/jpegcodec.py — grayscale + 4:4:4
-    colour to luma, r13). Both are nearest-neighbour resampled to the
+    colour to luma; JFIF YCbCr → Y plane, declared-RGB → 601
+    weights, r14). Both are nearest-neighbour resampled to the
     declared geometry and broadcast across frames, so the decode
     stage is value-checked end to end without any optional
     dependency. ``codec='pil'`` decodes with Pillow when installed

@@ -469,6 +469,117 @@ def test_jpeg_restart_markers_reset_dc():
     np.testing.assert_array_equal(decode_jpeg_gray(data), decode_jpeg_gray(base))
 
 
+def test_jpeg_color_ycbcr_returns_y_plane():
+    """The r13 advice fix: 3-component JFIF scan data is already YCbCr,
+    so luma is the decoded Y plane. A uniform Y=100, Cb=Cr=128 image
+    must decode to 100 everywhere — the pre-fix reweighting produced
+    120 (the advice's verified repro)."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        _encode_planes,
+        decode_jpeg_gray,
+    )
+
+    planes = [
+        np.full((16, 16), 100, dtype=np.uint8),
+        np.full((16, 16), 128, dtype=np.uint8),
+        np.full((16, 16), 128, dtype=np.uint8),
+    ]
+    data = _encode_planes(planes, 16, 16, 100, bytes([1, 2, 3]))
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(data), np.full((16, 16), 100, dtype=np.uint8)
+    )
+    # non-neutral chroma must not bleed into luma either
+    planes[1] = np.full((16, 16), 30, dtype=np.uint8)
+    planes[2] = np.full((16, 16), 220, dtype=np.uint8)
+    data = _encode_planes(planes, 16, 16, 100, bytes([1, 2, 3]))
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(data), np.full((16, 16), 100, dtype=np.uint8)
+    )
+
+
+def test_jpeg_color_roundtrip_error_bound():
+    """encode_jpeg_color → decode_jpeg_gray equals the BT.601 luma of
+    the RGB source within the quantization error bound (the 4:4:4
+    interleaved-MCU colour path, roundtripped end to end)."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    luma = np.clip(
+        np.round(
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for q, bound in {100: 3, 95: 10}.items():
+        got = decode_jpeg_gray(encode_jpeg_color(rgb, q))
+        assert got.shape == luma.shape
+        err = np.abs(got.astype(int) - luma.astype(int)).max()
+        assert err <= bound, (q, err)
+
+
+def test_jpeg_rgb_component_stream_uses_luma_weights():
+    """Colour-model declaration: ASCII 'RGB' component ids (or Adobe
+    APP14 transform=0) mean the scan holds RGB planes — luma comes
+    from the ITU-R 601 fixed-point weights; Adobe transform=1 declares
+    YCbCr and overrides the ids."""
+    import struct
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        _encode_planes,
+        decode_jpeg_gray,
+    )
+
+    r, g, b = 200, 100, 40
+    planes = [np.full((8, 8), v, dtype=np.uint8) for v in (r, g, b)]
+    want = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+    data = _encode_planes(planes, 8, 8, 100, b"RGB")
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(data), np.full((8, 8), want, dtype=np.uint8)
+    )
+
+    def with_app14(j, transform):
+        body = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+        return j[:2] + struct.pack(">HH", 0xFFEE, len(body) + 2) + body + j[2:]
+
+    # APP14 transform=0 declares RGB even with 1/2/3 component ids
+    ycc_ids = _encode_planes(planes, 8, 8, 100, bytes([1, 2, 3]))
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(with_app14(ycc_ids, 0)),
+        np.full((8, 8), want, dtype=np.uint8),
+    )
+    # ...and transform=1 declares YCbCr even with 'RGB' ids: Y plane
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(with_app14(data, 1)), np.full((8, 8), r, dtype=np.uint8)
+    )
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    """T.81 B.1.1.2 tolerance (the r13 low advice): optional 0xFF fill
+    bytes before a header marker and length-less standalone markers
+    (TEM) must not derail the parser."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = (np.arange(64, dtype=np.uint8).reshape(8, 8)) * 3
+    clean = encode_jpeg_gray(px, 95)
+    want = decode_jpeg_gray(clean)
+    # fill bytes before the first header marker, and a TEM marker
+    padded = clean[:2] + b"\xff\xff\xff" + b"\xff\x01" + clean[2:]
+    np.testing.assert_array_equal(decode_jpeg_gray(padded), want)
+    # fill bytes immediately before SOS too
+    i = clean.find(b"\xff\xda")
+    padded = clean[:i] + b"\xff\xff" + clean[i:]
+    np.testing.assert_array_equal(decode_jpeg_gray(padded), want)
+
+
 def test_jpeg_codec_roundtrip_property():
     """Property pin: random images at random qualities decode within
     the per-quality error bound, any shape (including non-multiples
