@@ -209,7 +209,9 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates = union of the query's buckets
     across all LSH tables, exact cosine re-rank on the candidate set.
-    (Rows-only check; recall vs brute force asserted in tests.)
+    Fully oracled (r14): the DuckDB twin replays the md5 hyperplane
+    buckets and the tie-safe rank; recall vs brute force additionally
+    asserted in tests and by ``ann_lsh_recall``.
 
     The bucket join replaces the full cross product: per query it
     touches ~L/2^b of the corpus instead of all of it, and the
@@ -342,7 +344,9 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     query's top-``_IVF_PROBES`` cells, exact re-rank inside. The scale
     path for 100 TB: the centroid table is a broadcast of K rows and
     the corpus is scanned once to build the inverted file; queries
-    touch ~probes/K of the data. (Rows-only; recall tested.)"""
+    touch ~probes/K of the data. Fully oracled (r14): the DuckDB twin
+    replays the trainer, inverted file and probes; recall additionally
+    measured by ``ann_ivf_recall``."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _local_centroids(emb)
     # inverted file: cell assignment for every vector (sims rounded to
@@ -401,8 +405,10 @@ def ann_int8_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes-reduction scale path: a 64-dim float32 row shrinks 4x, so
     the broadcast query set, the shuffle, and the scan all move 4x
     fewer bytes (with 100 TB of embeddings, that IS the cost). Exact
-    same join/rank shape as ann_cosine_topk; rows-only check, recall
-    vs the exact baseline asserted in tests."""
+    same join/rank shape as ann_cosine_topk; fully oracled (r14) —
+    the DuckDB twin replays the symmetric quantization — with recall
+    vs the exact baseline additionally measured by
+    ``ann_int8_recall``."""
     from deker_server_adapters_spark.functions.vectors import l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -659,6 +665,81 @@ WITH exact AS ({ANN_TOPK_SQL}),
   ) t WHERE rnk <= {_TOP_K}
 )
 {_RECALL_TAIL_SQL}
+"""
+
+
+# Rank tail shared by the ANN query-path oracles (r14: graduates the
+# LSH/IVF/int8 query ops from rows-only): tie-safe top-k over a
+# ``scored(query_id, neighbor_id, cosine)`` CTE — the same 6-dp
+# cosine + id tiebreak the Spark ops rank by.
+_ANN_TOPK_TAIL_SQL = f"""
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk
+  FROM scored
+) t WHERE rnk <= {_TOP_K}
+"""
+
+
+def _lsh_topk_sql() -> str:
+    """Oracle for ``ann_lsh_cosine``: the recall twin's bucket-replay
+    CTEs (``_duck_lsh_buckets`` — proven bit-exact by the driver-green
+    ``ann_lsh_recall``) plus the tie-safe top-k tail, so the query
+    path's actual output rows hash-match, not just its recall."""
+    return f"""
+WITH b AS (
+{_duck_lsh_buckets()}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM b qb JOIN b nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket
+  WHERE qb.vec_id < {_N_QUERIES} AND qb.vec_id <> nb.vec_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {round_ties_safe_sql("list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6)} AS cosine
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id
+)
+{_ANN_TOPK_TAIL_SQL}
+"""
+
+
+def _ivf_topk_sql() -> str:
+    """Oracle for ``ann_ivf_cosine``: the recall twin's quantizer +
+    inverted-file + probe replay (``_ivf_cand_cte``) plus the tie-safe
+    top-k tail."""
+    return f"""
+WITH {_ivf_cand_cte()}, scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         {round_ties_safe_sql("list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6)} AS cosine
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id
+)
+{_ANN_TOPK_TAIL_SQL}
+"""
+
+
+def _int8_topk_sql() -> str:
+    """Oracle for ``ann_int8_cosine``: the recall twin's quantization
+    replay (per-vector symmetric int8, identical round/clamp) plus the
+    tie-safe top-k tail over the quantized cosines."""
+    return f"""
+WITH qt AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS qv
+  FROM (
+    SELECT vec_id, embedding,
+           127.0 / greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-30) AS scale
+    FROM embeddings
+  )
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {round_ties_safe_sql("list_cosine_similarity(q.qv::DOUBLE[], c.qv::DOUBLE[])", 6)} AS cosine
+  FROM qt q JOIN qt c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+{_ANN_TOPK_TAIL_SQL}
 """
 
 
@@ -1604,6 +1685,63 @@ _PQ_RERANK_TAIL = f"""pqshort AS (
 )"""
 
 
+_PQ_ADC_ALLPAIRS_CTE = f"""pqadc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         {round_ties_safe_sql("sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2)))", 6)} AS adc_cosine
+  FROM pq_codes cd
+  JOIN pqlut l ON l.m = cd.m AND l.c = cd.code
+  JOIN pqqn n ON n.query_id = l.query_id
+  WHERE l.query_id <> cd.vec_id
+  GROUP BY l.query_id, cd.vec_id
+)"""
+
+# _PQ_RERANK_TAIL ends at ``approx`` (membership only — enough for the
+# recall ops). The query-path oracles need the scored rows themselves:
+_PQ_SCORED_TAIL = f"""pqshort AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id) AS rnk
+    FROM pqadc
+  ) t WHERE rnk <= {_PQ_RERANK}
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         {round_ties_safe_sql("list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])", 6)} AS cosine
+  FROM pqshort p
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = p.neighbor_id
+)"""
+
+
+def _pq_topk_sql() -> str:
+    """Oracle for ``ann_pq_cosine`` (r14 graduation): the recall twin's
+    full trainer replay (``_pq_train_cte`` — unrolled Lloyd CTEs) feeds
+    the same ADC scoring, shortlist, exact re-rank, and the tie-safe
+    top-k tail with the op's actual output columns."""
+    return f"""
+WITH {_pq_train_cte()}, {_PQ_ADC_ALLPAIRS_CTE}, {_PQ_SCORED_TAIL}
+{_ANN_TOPK_TAIL_SQL}
+"""
+
+
+def _ivfpq_topk_sql() -> str:
+    """Oracle for ``ann_ivfpq_cosine`` (r14 graduation): IVF candidate
+    replay composed with the PQ trainer replay — ADC over the
+    cell-pruned pairs only, exactly like the op — then shortlist,
+    exact re-rank, tie-safe top-k."""
+    return f"""
+WITH {_ivf_cand_cte()},
+{_pq_train_cte()}, pqadc AS (
+  SELECT c.query_id, c.neighbor_id,
+         {round_ties_safe_sql("sum(l.qdot) / (min(n.qn) * sqrt(sum(l.cnorm2)))", 6)} AS adc_cosine
+  FROM cand c
+  JOIN pq_codes cd ON cd.vec_id = c.neighbor_id
+  JOIN pqlut l ON l.query_id = c.query_id AND l.m = cd.m AND l.c = cd.code
+  JOIN pqqn n ON n.query_id = c.query_id
+  GROUP BY c.query_id, c.neighbor_id
+), {_PQ_SCORED_TAIL}
+{_ANN_TOPK_TAIL_SQL}
+"""
+
+
 def _pq_recall_sql() -> str:
     """recall@k oracle for ``ann_pq_cosine``: replayed codebooks/codes
     feed the same ADC scoring (6-dp rounded, neighbor_id tiebreak),
@@ -1658,7 +1796,8 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the shortlist — the standard two-stage trade (a one-stage
     ADC ranking on THIS corpus of near-orthogonal random vectors
     measures ~0.16 recall@5; the re-rank form's recall is pytest-
-    checked). Rows-only: the trainer is iterative."""
+    checked). Fully oracled (r14): the DuckDB twin replays the Lloyd
+    trainer as unrolled CTEs, then ADC + shortlist + re-rank."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1741,8 +1880,9 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     composed: ``_ivf_centroids`` (cell assignment, 1e-9-rounded sims),
     ``pq_codebooks`` (codes), and the exact re-rank. At 100 TB this is
     the shape that works: cell pruning bounds I/O, code scoring bounds
-    bytes/candidate, the refine bounds the error of both. Rows-only
-    (both trainers iterative); recall pytest-checked."""
+    bytes/candidate, the refine bounds the error of both. Fully
+    oracled (r14): the DuckDB twin replays both trainers; recall
+    additionally pytest-checked."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1837,15 +1977,43 @@ def embeddings_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codebook summary after training: per (subspace, code) cell
     population and mean squared quantization error — the codebook-
     health view (dead cells, lopsided cells, per-subspace distortion).
-    Rows-only (iterative trainer); NumPy parity pytest-pinned."""
+    Fully oracled (r14): the DuckDB twin replays the Lloyd trainer
+    (``_pq_train_cte``'s unrolled CTEs) and the final assignment with
+    its 1e-9-rounded distances; the mean accumulates in DECIMAL so the
+    engines agree independent of summation order. NumPy parity
+    additionally pytest-pinned."""
     emb = load_table(spark, sf_dir, "embeddings")
     codes, _books = pq_codebooks(emb)
     return codes.groupBy("m", "code").agg(
         F.count("*").alias("n_points"),
-        # native-round-ok: rows-only op (no cross-engine oracle);
-        # NumPy-parity pytest pins its values
-        F.round(F.avg("dist"), 6).alias("avg_sq_err"),
+        round_ties_safe(
+            F.sum(F.col("dist").cast("decimal(30,12)")).cast("double") / F.count("*"),
+            6,
+        ).alias("avg_sq_err"),
     )
+
+
+def _pq_summary_sql() -> str:
+    """Oracle for ``embeddings_pq``: the trainer replay plus a final
+    assignment that KEEPS the 1e-9-rounded squared distance
+    (``pq_codes`` drops it), aggregated with the same decimal-mean
+    discipline as the op."""
+    sqdist = round_ties_safe_sql(
+        "list_sum(list_transform(list_zip(s.sv, b.ce), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))", 9
+    )
+    return f"""
+WITH {_pq_train_cte()}, pqfin AS (
+  SELECT vec_id, m, c AS code, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+    FROM (SELECT s.vec_id, s.m, b.c, {sqdist} AS dist
+          FROM pqsv s JOIN pqcb{_PQ_ITERS} b ON b.m = s.m) t0
+  ) t WHERE rn = 1
+)
+SELECT m, code, count(*) AS n_points,
+       {round_ties_safe_sql("CAST(sum(CAST(dist AS DECIMAL(30,12))) AS DOUBLE) / count(*)", 6)} AS avg_sq_err
+FROM pqfin GROUP BY m, code
+"""
 
 
 _PCA_K = 4
@@ -2362,15 +2530,31 @@ OPS = {
             "driver-side (embeddings_pca, NumPy-parity pytest)"
         ),
     ),
-    "ann_lsh_cosine": Op("ann_lsh_cosine", ann_lsh_cosine, None),
-    "ann_ivf_cosine": Op("ann_ivf_cosine", ann_ivf_cosine, None),
+    "ann_lsh_cosine": Op(
+        "ann_lsh_cosine",
+        ann_lsh_cosine,
+        _lsh_topk_sql(),
+        description=(
+            "multi-table LSH top-k (bucket-bounded candidates, exact "
+            "re-rank); oracle replays the md5 hyperplane buckets"
+        ),
+    ),
+    "ann_ivf_cosine": Op(
+        "ann_ivf_cosine",
+        ann_ivf_cosine,
+        _ivf_topk_sql(),
+        description=(
+            "IVF probe-path top-k (coarse quantizer + inverted file); "
+            "oracle replays the Lloyd trainer and probes in SQL"
+        ),
+    ),
     "ann_int8_cosine": Op(
         "ann_int8_cosine",
         ann_int8_cosine,
-        None,
+        _int8_topk_sql(),
         description=(
             "int8 scalar-quantized brute force (4x fewer bytes moved); "
-            "approximate — recall vs exact baseline pytest-checked"
+            "oracle replays the symmetric quantization exactly"
         ),
     ),
     "ann_lsh_recall": Op(
@@ -2423,31 +2607,32 @@ OPS = {
     "ann_ivfpq_cosine": Op(
         "ann_ivfpq_cosine",
         ann_ivfpq_cosine,
-        None,
+        _ivfpq_topk_sql(),
         description=(
             "IVF cell pruning x PQ ADC scoring x exact refine — the "
             "production composition; touches ~probes/cells of the data "
-            "at 8 nibbles/candidate; recall pytest-checked"
+            "at 8 nibbles/candidate; oracle replays both trainers"
         ),
     ),
     "ann_pq_cosine": Op(
         "ann_pq_cosine",
         ann_pq_cosine,
-        None,
+        _pq_topk_sql(),
         description=(
             "PQ asymmetric-distance ANN: corpus scanned as 8 nibbles/"
             "vector against a broadcast query LUT (32x payload shrink); "
-            "approximate by reconstruction, recall pytest-checked"
+            "oracle replays the Lloyd trainer in unrolled SQL"
         ),
     ),
     "embeddings_pq": Op(
         "embeddings_pq",
         embeddings_pq,
-        None,
+        _pq_summary_sql(),
         description=(
             f"product quantization: {_PQ_M} subspaces x {_PQ_K}-centroid "
             "codebooks (64 floats -> 8 nibbles, 32x payload shrink); "
-            "codebooks travel, data never reshuffles; NumPy-parity pytest"
+            "codebooks travel, data never reshuffles; oracle replays "
+            "the trainer"
         ),
     ),
     "embeddings_hard_negatives": Op(
