@@ -320,6 +320,64 @@ def deker_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_datasource_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Warehouse root for the steady-state datasource READ headline,
+    built once per process per ``sf_dir`` (``staged_dir`` cache) so
+    repeated executions time the scan, not the grid build. Chunked on
+    a (6, 2) vgrid — 12 chunk directories — so the slice predicates
+    prune real partitions (a single-chunk grid would make planning-
+    time pruning unobservable)."""
+    from deker_server_adapters_spark.core import DimensionSchema, VArraySchema, Warehouse
+    from deker_server_adapters_spark.sources.scratch import staged_dir
+
+    root, staged = staged_dir("deker_spark_ds_read_", sf_dir)
+    if not staged:
+        wh = Warehouse(spark, root)
+        schema = VArraySchema(
+            dtype="float64",
+            dimensions=(
+                DimensionSchema("day", _N_DAYS),
+                DimensionSchema("hour", _N_HOURS),
+            ),
+            vgrid=(6, 2),
+        )
+        coll = wh.collections.create("events_grid", schema)
+        coll.varrays.create_from_cells(_event_cells(spark, sf_dir))
+    return root
+
+
+def deker_datasource_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state custom-source READ headline (r14): the same
+    pushdown slice-aggregate as ``deker_datasource_scan``, but over a
+    process-staged warehouse — so bench's warm passes time ONLY the
+    ``spark.read.format("deker")`` path (planning-time partition
+    pruning under the pushed dim filters + Arrow cell batches), the
+    number a long-lived cluster actually sees, instead of re-paying
+    the one-time grid build every pass. The pruning is plan-pinned by
+    ``test_plans.py::test_datasource_read_headline_prunes_partitions``
+    on this exact staged warehouse."""
+    from deker_server_adapters_spark.sources.deker_datasource import register
+
+    root = _staged_datasource_warehouse(spark, sf_dir)
+    register(spark)
+    cells = (
+        spark.read.format("deker")
+        .option("path", root)
+        .option("collection", "events_grid")
+        .load()
+    )
+    return (
+        cells.filter((F.col("day") >= 5) & (F.col("day") < 15) & (F.col("hour") < 12))
+        .groupBy("day")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+
+
 def deker_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The slice-aggregate again, but the array is ingested through the
     WRITER half of the custom data source: a dense cell DataFrame goes
@@ -667,6 +725,17 @@ OPS = {
     "array_slice_agg": Op("array_slice_agg", array_slice_agg, ARRAY_SLICE_SQL, headline=True),
     "deker_datasource_scan": Op(
         "deker_datasource_scan", deker_datasource_scan, ARRAY_SLICE_SQL
+    ),
+    "deker_datasource_read": Op(
+        "deker_datasource_read",
+        deker_datasource_read,
+        ARRAY_SLICE_SQL,
+        headline=True,
+        description=(
+            "steady-state spark.read.format('deker') slice-aggregate "
+            "over a process-staged warehouse: bench-tracked custom-"
+            "source read path (pruned partitions + Arrow batches)"
+        ),
     ),
     "deker_write_scan": Op("deker_write_scan", deker_write_scan, ARRAY_SLICE_SQL),
     "deker_dedup_read_scan": Op(

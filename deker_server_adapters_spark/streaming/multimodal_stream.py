@@ -18,6 +18,21 @@ a stream's decode parallelism is per-trigger file count x splits —
 size maxFilesPerTrigger to keep decode workers busy). State: none —
 the whole chain is stateless, so the stream's memory is one
 micro-batch of decoded pixels.
+
+Trigger sizing rule (r14): a FILE-count trigger leaves per-trigger
+decode cost unbounded by BYTES — one trigger can land many large
+assets and stall the micro-batch (decode wall is ~linear in payload
+bytes, and a micro-batch's decoded-pixel memory is bytes-propor-
+tional too). Size the trigger by bytes instead:
+``maxBytesPerTrigger ~= target_trigger_seconds x measured_decode_
+bytes_per_second`` (Spark's file source takes the option natively;
+it admits files until the byte budget is crossed, always at least
+one). ``stream_assets_source(max_bytes_per_trigger=...)`` exposes
+it; the two options are mutually exclusive in Spark, so the byte
+form REPLACES the file form when set. Measured datapoint in
+docs/PERF.md (r14): the sf0.1 asset table's decode stage runs
+~bytes-linear, so a byte budget bounds both trigger latency and
+peak decoded-pixel memory where a file budget bounds neither.
 """
 
 from __future__ import annotations
@@ -53,10 +68,17 @@ ASSET_STREAM_SCHEMA = StructType(
 )
 
 
-def stream_assets_source(spark, sf_dir: str, n_files: int = 3) -> DataFrame:
+def stream_assets_source(
+    spark, sf_dir: str, n_files: int = 3, max_bytes_per_trigger: "int | None" = None
+) -> DataFrame:
     """File-stream over the synthetic PNG asset table (the batch
     pipeline's oracled source), staged as ``n_files`` doc_id-ranged
-    files — one per micro-batch under maxFilesPerTrigger=1."""
+    files — one per micro-batch under maxFilesPerTrigger=1, or
+    byte-budgeted micro-batches under ``max_bytes_per_trigger`` (the
+    module-docstring sizing rule: bytes bound decode wall and decoded-
+    pixel memory; file counts bound neither). The options are mutually
+    exclusive in Spark's file source, so the byte form replaces the
+    file form when set."""
     from deker_server_adapters_spark.operators.multimodal import synth_png_assets
     from deker_server_adapters_spark.sources.scratch import staged_dir
 
@@ -65,11 +87,12 @@ def stream_assets_source(spark, sf_dir: str, n_files: int = 3) -> DataFrame:
         synth_png_assets(spark, sf_dir).repartitionByRange(
             n_files, "doc_id"
         ).write.mode("overwrite").parquet(stream_dir)
-    return (
-        spark.readStream.schema(ASSET_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
+    reader = spark.readStream.schema(ASSET_STREAM_SCHEMA)
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", int(max_bytes_per_trigger))
+    else:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(stream_dir)
 
 
 def streaming_multimodal_features(assets: DataFrame) -> DataFrame:

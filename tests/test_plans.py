@@ -474,6 +474,45 @@ def test_frequent_buyer_semi_joins_and_pruned_branch_scans(spark, sf_dir):
     assert "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>" in plan
 
 
+def test_datasource_read_headline_prunes_partitions(spark, sf_dir):
+    """The r14 bench headline's pushdown, pinned on its EXACT staged
+    warehouse: the dim predicates the op applies (day in [5,15),
+    hour < 12) must be consumed by the reader's pushFilters and prune
+    the planned partitions BELOW the unfiltered count — planning-time
+    pruning, not a post-scan filter — and the headline must answer
+    correctly over the staged grid (staleness guard on the cache)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from deker_server_adapters_spark.operators.arrays import (
+        _staged_datasource_warehouse,
+        deker_datasource_read,
+    )
+    from deker_server_adapters_spark.sources.deker_datasource import (
+        DekerDataSource,
+        DekerReader,
+    )
+
+    root = _staged_datasource_warehouse(spark, sf_dir)
+    ds = DekerDataSource({"path": root, "collection": "events_grid"})
+    all_parts = DekerReader(root, "events_grid", ds.schema()).partitions()
+    pruned = DekerReader(root, "events_grid", ds.schema())
+    leftover = list(
+        pruned.pushFilters(
+            [
+                GreaterThanOrEqual(("day",), 5),
+                LessThan(("day",), 15),
+                LessThan(("hour",), 12),
+            ]
+        )
+    )
+    assert leftover == []  # the op's whole predicate set is consumed
+    assert len(pruned.partitions()) < len(all_parts)
+    # and the staged read path still answers: 10 day-groups, 12 cells each
+    rows = deker_datasource_read(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["n_cells"] == 12 for r in rows)
+
+
 def test_multimodal_pipeline_spreads_before_python_stages(spark, sf_dir):
     """The decode-boundary rule, both stages: the plan must carry the
     explicit hash repartition (REPARTITION_BY_NUM shuffle origin)

@@ -804,6 +804,50 @@ def test_streaming_multimodal_features_equal_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+def test_streaming_multimodal_byte_budget_trigger(spark, sf_dir):
+    """r14: the byte-budgeted trigger (the module docstring's sizing
+    rule) — under a maxBytesPerTrigger below the staged total, the
+    drain must split into multiple micro-batches (bounding per-trigger
+    decode bytes) and still assemble the batch op's features exactly."""
+    import glob
+    import os
+
+    from deker_server_adapters_spark.operators.multimodal import multimodal_pipeline
+    from deker_server_adapters_spark.streaming.multimodal_stream import (
+        stream_assets_source,
+        streaming_multimodal_features,
+    )
+
+    src = stream_assets_source(spark, sf_dir, n_files=3, max_bytes_per_trigger=1)
+    # budget of 1 byte admits exactly one file per trigger (the source
+    # always takes at least one file): 3 files -> 3 micro-batches
+    q = (
+        streaming_multimodal_features(src)
+        .writeStream.format("memory")
+        .queryName("t_mm_bytes")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+    q.stop()
+    assert n_batches >= 3, f"byte budget did not split the drain: {n_batches}"
+    got = (
+        spark.table("t_mm_bytes")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        multimodal_pipeline(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert not got.duplicated(["doc_id"]).any()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
 def test_lsh_index_update_exactly_once_property():
     """Device-level property for the min-shared-key canonical emitter
     (`_lsh_index_update`): for random cell assignments, random arrival
