@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,13 +45,15 @@ def main() -> None:
     # the plan's intrinsic cost; pass count is env-tunable.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, op in ops.items():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(passes):
             t0 = time.perf_counter()
             op.builder(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
 
     # Calibration query (r12, the bench-noise verdict item): fixed
     # CPU-bound work with a trivial plan (sum over a range — no I/O, no
@@ -76,7 +79,9 @@ def main() -> None:
         return time.perf_counter() - t0
 
     calib_run()  # warmup (codegen compile)
-    calib = round(min(calib_run() for _ in range(passes)), 3)
+    calib_samples = [calib_run() for _ in range(passes)]
+    calib = round(min(calib_samples), 3)
+    calib_median = round(statistics.median(calib_samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -88,6 +93,14 @@ def main() -> None:
         "calibration_sec": calib,
         "queries_calibrated": {
             name: round(sec / calib, 2) for name, sec in timings.items()
+        },
+        # Median-of-passes (r13 verdict item 7): cross-round reads should
+        # quote a median, not a single shot — the min stays the standing
+        # comparable column; the median columns carry the robust read.
+        "calibration_median_sec": calib_median,
+        "queries_median": medians,
+        "queries_median_calibrated": {
+            name: round(sec / calib_median, 2) for name, sec in medians.items()
         },
     }
     sys.stdout.write(json.dumps(result) + "\n")
