@@ -1043,11 +1043,32 @@ _HY_TABLES_BASE = _N_TABLES  # == _TJ_TABLES (defined below); 8 at the floor
 _HY_TABLES_STEP = 4
 _HY_MAX_TABLES = 24  # covers nbits up to _TJ_MIN_BITS + 4
 
+# Multi-probe ladder (r14, the frontier measurement's verdict): the
+# tables ladder alone does NOT hold recall past 10x — measured 0.744
+# (nbits=6, 16 tables) -> 0.682 (nbits=7, 20) -> 0.617 (nbits=8, 24,
+# the cap) on the replicated-corpus frontier (tools/hybrid_frontier.py;
+# +4 tables buys ~+0.09 recall while +1 bit costs ~+0.15). So past the
+# 10x regime each vector ALSO probes the Hamming-adjacent buckets of
+# its home bucket (flip bit p, p < nprobes — Lv et al. 2007's
+# multi-probe LSH, public): a true pair is captured when the HIGHER id's
+# probe lands on the lower id's home bucket, i.e. candidate space is
+# "Hamming distance <= 1 within the probed positions" per table — no
+# new pair regime, LSH candidate volume scales by exactly (1+nprobes).
+# nprobes = 0 through nbits 6 (the certified 1x/10x behavior is
+# bit-identical), 1 at nbits 7, 2 from nbits 8 on.
+_HY_MAX_PROBES = 2
+
 
 def _hy_tables_for_bits(b: int) -> int:
     return min(
         _HY_MAX_TABLES, _HY_TABLES_BASE + _HY_TABLES_STEP * (b - _TJ_MIN_BITS)
     )
+
+
+def _hy_probes_for_bits(b: int) -> int:
+    if b <= 6:
+        return 0
+    return 1 if b == 7 else _HY_MAX_PROBES
 
 
 def _hy_tables_ladder_sql(n_expr: str) -> str:
@@ -1062,24 +1083,42 @@ def _hy_tables_ladder_sql(n_expr: str) -> str:
     return f"CASE {' '.join(branches)} ELSE {_hy_tables_for_bits(_TJ_MAX_BITS)} END"
 
 
+def _hy_probes_ladder_sql(n_expr: str) -> str:
+    """CASE ladder for the probe count — same thresholds again, so the
+    oracle replays (nbits, ntables, nprobes) from one count(*)."""
+    branches = []
+    for b in range(_TJ_MIN_BITS, _TJ_MAX_BITS):
+        branches.append(
+            f"WHEN {n_expr} <= {_TJ_TARGET_BUCKET * (1 << b)} THEN {_hy_probes_for_bits(b)}"
+        )
+    return f"CASE {' '.join(branches)} ELSE {_hy_probes_for_bits(_TJ_MAX_BITS)} END"
+
+
 def _hy_nrow(emb: DataFrame) -> DataFrame:
-    """1-row (nbits, ntables) corpus-size ladder read, broadcast into
-    the signature computation — the same eager-scalar device as the
-    threshold join's nbits."""
+    """1-row (nbits, ntables, nprobes) corpus-size ladder read,
+    broadcast into the signature computation — the same eager-scalar
+    device as the threshold join's nbits."""
     return emb.agg(
         F.expr(f"{_tj_bits_ladder_sql('count(*)')}").cast("int").alias("nbits"),
         F.expr(f"{_hy_tables_ladder_sql('count(*)')}").cast("int").alias("ntables"),
+        F.expr(f"{_hy_probes_ladder_sql('count(*)')}").cast("int").alias("nprobes"),
     )
 
 
 def _hy_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) under BOTH ladders: all ``_HY_MAX_TABLES``
-    tables' sign bits compile in (the plane set extends the threshold
-    join's — planes are indexed by (j, d) alone, so tables 0..7 hash
-    identically to the fixed-table form), and rows beyond the corpus's
-    ntables are dropped after the explode."""
+    """(vec_id, tbl, bucket, is_probe) under ALL THREE ladders: all
+    ``_HY_MAX_TABLES`` tables' sign bits compile in (the plane set
+    extends the threshold join's — planes are indexed by (j, d) alone,
+    so tables 0..7 hash identically to the fixed-table form); each
+    table emits its HOME bucket (is_probe=0) plus up to
+    ``_HY_MAX_PROBES`` Hamming-adjacent probe buckets (bit p flipped,
+    is_probe=1) gated on the probes ladder. Probes derive from the
+    home signature by XOR inside the same row pipeline — the dot
+    products compute once per (vector, table) regardless of nprobes.
+    Rows beyond the corpus's ntables/nprobes are dropped after the
+    explode (the -1 sentinel; home buckets are always >= 0)."""
     planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
-    buckets = []
+    entries = []
     for t in range(_HY_MAX_TABLES):
         sig = F.lit(0).cast("long")
         for i in range(_TJ_MAX_BITS):
@@ -1095,24 +1134,49 @@ def _hy_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
         gated = F.when(F.lit(t) < F.col("ntables"), sig).otherwise(
             F.lit(-1).cast("long")
         )
-        buckets.append(F.struct(F.lit(t).alias("tbl"), gated.alias("bucket")))
+        entries.append(
+            F.struct(
+                F.lit(t).alias("tbl"), gated.alias("bucket"), F.lit(0).alias("is_probe")
+            )
+        )
+        for p in range(_HY_MAX_PROBES):
+            probe = F.when(
+                (F.lit(t) < F.col("ntables")) & (F.lit(p) < F.col("nprobes")),
+                sig.bitwiseXOR(F.lit(1 << p)),
+            ).otherwise(F.lit(-1).cast("long"))
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("tbl"), probe.alias("bucket"), F.lit(1).alias("is_probe")
+                )
+            )
     return (
         emb.crossJoin(F.broadcast(nrow))
-        .withColumn("tb", F.explode(F.array(*buckets)))
-        .filter(F.col("tb.tbl") < F.col("ntables"))
-        .select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .withColumn("tb", F.explode(F.array(*entries)))
+        .filter((F.col("tb.tbl") < F.col("ntables")) & (F.col("tb.bucket") >= 0))
+        .select(
+            "vec_id",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+            F.col("tb.is_probe").alias("is_probe"),
+        )
     )
 
 
-def _hybrid_cand_pairs(emb: DataFrame, asg: DataFrame) -> DataFrame:
+def _hybrid_cand_pairs(
+    emb: DataFrame, asg: DataFrame, nrow: "DataFrame | None" = None
+) -> DataFrame:
     """(vec_id, vid_b) lower-id candidate mates for the HYBRID
     semantic-dedup verdict: cluster-mates (the SemDeDup space) UNION
     the LSH threshold-join bucket-mates at the same angle. Both
     generators are bounded — the ladder-k cells and the adaptive-bits
     buckets — so the union's cost is the max of two sub-quadratic
     terms, never a new pair regime. The LSH side runs the r13 TABLES
-    ladder on top of the bits ladder, holding pair recall as the bits
-    step up with corpus size."""
+    ladder on top of the bits ladder, plus the r14 PROBES ladder:
+    the hi side of the bucket join carries home + Hamming-adjacent
+    probe rows, the lo side homes only, so a Hamming-1 pair (within
+    the probed bit positions) is captured exactly once — via the
+    higher id's probe onto the lower id's home (capture is symmetric:
+    sig_hi ^ bit == sig_lo iff sig_lo ^ bit == sig_hi)."""
     ca = asg.select("vec_id", "cell")
     cb = asg.select(F.col("vec_id").alias("vid_b"), "cell")
     cpairs = (
@@ -1120,9 +1184,11 @@ def _hybrid_cand_pairs(emb: DataFrame, asg: DataFrame) -> DataFrame:
         .filter(F.col("vid_b") < F.col("vec_id"))
         .select("vec_id", "vid_b")
     )
-    sigs = _hy_signatures(emb, _hy_nrow(emb))
+    sigs = _hy_signatures(emb, nrow if nrow is not None else _hy_nrow(emb))
     sa = sigs.select(F.col("vec_id").alias("hi"), "tbl", "bucket")
-    sb = sigs.select(F.col("vec_id").alias("lo"), "tbl", "bucket")
+    sb = sigs.filter(F.col("is_probe") == 0).select(
+        F.col("vec_id").alias("lo"), "tbl", "bucket"
+    )
     lpairs = (
         sa.join(sb, ["tbl", "bucket"])
         .filter(F.col("lo") < F.col("hi"))
@@ -1194,14 +1260,15 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_hy_buckets() -> str:
-    """(vec_id, tbl, bucket) in DuckDB mirroring ``_hy_signatures``:
-    same extended plane set, same sign rule, same TWO integer ladders
-    (nbits and ntables from scalar subqueries); tables at or past
-    ntables emit no rows."""
+def _duck_hy_buckets(bits_sql: "str | None" = None, tab_sql: "str | None" = None) -> str:
+    """(vec_id, tbl, bucket) in DuckDB mirroring ``_hy_signatures``'s
+    home rows: same extended plane set, same sign rule, same integer
+    ladders (nbits and ntables from scalar subqueries; tests may force
+    fixed values to exercise regimes a 500-row corpus can't reach);
+    tables at or past ntables emit no rows."""
     planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
-    bits_ladder = _tj_bits_ladder_sql("(SELECT count(*) FROM embeddings)")
-    tab_ladder = _hy_tables_ladder_sql("(SELECT count(*) FROM embeddings)")
+    bits_ladder = bits_sql or _tj_bits_ladder_sql("(SELECT count(*) FROM embeddings)")
+    tab_ladder = tab_sql or _hy_tables_ladder_sql("(SELECT count(*) FROM embeddings)")
     selects = []
     for t in range(_HY_MAX_TABLES):
         bits = []
@@ -1221,19 +1288,38 @@ def _duck_hy_buckets() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _duck_hy_probed(probes_sql: "str | None" = None) -> str:
+    """Home + Hamming-adjacent probe rows over the ``bkt`` home-bucket
+    CTE, mirroring ``_hy_signatures``'s probe emission: bucket with bit
+    p flipped for p < nprobes (the probes ladder as a scalar
+    subquery). Unrolled per probe index like every ladder device."""
+    probes_ladder = probes_sql or _hy_probes_ladder_sql(
+        "(SELECT count(*) FROM embeddings)"
+    )
+    parts = ["  SELECT vec_id, tbl, bucket FROM bkt"]
+    for p in range(_HY_MAX_PROBES):
+        parts.append(
+            f"  SELECT vec_id, tbl, xor(bucket, {1 << p}) AS bucket\n"
+            f"  FROM bkt WHERE {p} < ({probes_ladder})"
+        )
+    return "\n  UNION ALL\n".join(parts)
+
+
 def _semantic_hybrid_sql() -> str:
     return f"""
 WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, invv AS (
   SELECT neighbor_id AS vec_id, cell FROM inv
 ), bkt AS (
 {_duck_hy_buckets()}
+), bktp AS (
+{_duck_hy_probed()}
 ), cand AS (
   SELECT DISTINCT vec_id, vid_b FROM (
     SELECT a.vec_id AS vec_id, b.vec_id AS vid_b
     FROM invv a JOIN invv b ON a.cell = b.cell AND b.vec_id < a.vec_id
     UNION ALL
     SELECT pa.vec_id AS vec_id, pb.vec_id AS vid_b
-    FROM bkt pa JOIN bkt pb
+    FROM bktp pa JOIN bkt pb
       ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket AND pb.vec_id < pa.vec_id
   ) u
 ), scored AS (
@@ -1326,13 +1412,15 @@ WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, asg AS (
   SELECT neighbor_id AS vec_id, cell FROM inv
 ), bkt AS (
 {_duck_hy_buckets()}
+), bktp AS (
+{_duck_hy_probed()}
 ), cand AS (
   SELECT DISTINCT vec_id, vid_b FROM (
     SELECT a.vec_id AS vec_id, b.vec_id AS vid_b
     FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
     UNION ALL
     SELECT pa.vec_id AS vec_id, pb.vec_id AS vid_b
-    FROM bkt pa JOIN bkt pb
+    FROM bktp pa JOIN bkt pb
       ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket AND pb.vec_id < pa.vec_id
   ) u
 ), tp AS (

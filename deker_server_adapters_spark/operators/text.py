@@ -1331,6 +1331,84 @@ FROM per CROSS JOIN tot
 """
 
 
+# --- temperature-scaled source sampling weights (r14) -----------------
+
+_MIX_ALPHA = 0.7  # the multilingual-sampling exponent (mBERT/XLM-R, public)
+
+
+def docs_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights — the standard
+    mixture-rebalancing step of multilingual / multi-source training
+    pipelines (sample source s with probability proportional to
+    ``n_tokens(s)^alpha``, alpha < 1 upweights small sources; the
+    mBERT / XLM-R exponential-smoothing recipe, alpha = 0.7). Emits,
+    per source: exact token counts, the temperature weight, and the
+    EXPECTED EPOCHS over that source if one full token budget is
+    drawn at these weights (weight x total_tokens / n_tokens) — the
+    number a data engineer reads to see how hard a small source gets
+    oversampled (epochs >> 1 flags memorization risk).
+
+    Determinism across engines: ``pow`` runs on exact integer token
+    counts cast to double (bit-identical inputs, same libm class as
+    the entropy ops' ln — the house transcendental convention), its
+    result is tie-safe-rounded to 1e-6 and accumulated in DECIMAL so
+    the normalizing sum is order-independent; weights and epochs are
+    derived from the ROUNDED values only. Scale shape: identical to
+    ``docs_source_token_mix`` — one map-side-combined aggregate over
+    the scan, |sources| rows ever shuffle, the totals ride a 1-row
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.expr(f"size({_TOKENS})").cast("long")).alias("n_tokens"),
+    )
+    pw = round_ties_safe(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)), 6
+    )
+    per = per.withColumn("pw", pw.cast("decimal(38,6)"))
+    tot = per.agg(
+        F.sum("pw").alias("totpw"), F.sum("n_tokens").alias("tottok")
+    )
+    weight = round_ties_safe(
+        F.col("pw").cast("double") / F.col("totpw").cast("double"), 6
+    )
+    joined = per.crossJoin(F.broadcast(tot)).withColumn("sample_weight", weight)
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sample_weight",
+        round_ties_safe(
+            F.col("sample_weight")
+            * F.col("tottok").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("expected_epochs"),
+    )
+
+
+SOURCE_TEMPERATURE_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(CAST(len({_TOKENS_DUCK}) AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), pw AS (
+  SELECT source, n_docs, n_tokens,
+         CAST({round_ties_safe_sql("pow(CAST(n_tokens AS DOUBLE), 0.7)", 6)} AS DECIMAL(38,6)) AS pw
+  FROM per
+), tot AS (
+  SELECT sum(pw) AS totpw, CAST(sum(n_tokens) AS BIGINT) AS tottok FROM pw
+), w AS (
+  SELECT source, n_docs, n_tokens, tottok,
+         {round_ties_safe_sql("CAST(pw AS DOUBLE) / CAST(totpw AS DOUBLE)", 6)} AS sample_weight
+  FROM pw CROSS JOIN tot
+)
+SELECT source, n_docs, n_tokens, sample_weight,
+       {round_ties_safe_sql("sample_weight * CAST(tottok AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS expected_epochs
+FROM w
+"""
+
+
 # --- character-level Shannon entropy (r9) -----------------------------
 
 _LN2 = 0.6931471805599453
@@ -1437,6 +1515,17 @@ OPS = {
     ),
     "docs_source_token_mix": Op(
         "docs_source_token_mix", docs_source_token_mix, SOURCE_MIX_SQL
+    ),
+    "docs_source_temperature_mix": Op(
+        "docs_source_temperature_mix",
+        docs_source_temperature_mix,
+        SOURCE_TEMPERATURE_SQL,
+        description=(
+            "temperature-scaled (alpha=0.7) source sampling weights + "
+            "expected epochs per source — the multilingual mixture "
+            "rebalancing recipe; pow on exact integer counts, rounded "
+            "then decimal-normalized"
+        ),
     ),
     "docs_lm_quality_tiers": Op(
         "docs_lm_quality_tiers", docs_lm_quality_tiers, LM_TIERS_SQL

@@ -3668,6 +3668,198 @@ WHERE rev * (SELECT count(*) FROM per) > (SELECT sum(rev) FROM per)
 """
 
 
+# --- TPC-DS tranche 4 (r14): YoY cross-channel growth + balanced-
+# channel iceberg. Reference query shapes: TPC-DS Q4/Q74 (customers
+# whose growth in one channel outpaces another across a fixed year
+# pair) and Q58 (items whose per-channel revenue is balanced within a
+# band of the three-channel average). Public spec shapes re-expressed
+# on the TPC-H-ish schema: channels from o_orderpriority (the house
+# _channel_col), years fixed so the predicate is data-independent.
+
+_YOY_Y1, _YOY_Y2 = 1996, 1997
+
+
+def customer_channel_yoy_outpace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q4/Q74 shape: customers whose EXPRESS-channel spend grew
+    faster year-over-year than their STANDARD-channel spend, requiring
+    presence in both channels in both years (Q4's "must appear in all
+    four cells"). The growth comparison is EXACT — ``e2·s1 > s2·e1``
+    on DECIMAL(18,6) yearly sums (cross-multiplying positive ratios;
+    the product is DECIMAL(37,12), inside Spark's 38-digit cap) —
+    never a double-ratio threshold; the displayed growth ratios are
+    tie-safe-rounded doubles, derived AFTER the filter. The oracle
+    casts the same sums to DECIMAL(19,6): DuckDB only promotes the
+    multiply to its exact 128-bit path at width 19 (at 18 it stays on
+    the int64 kernel and overflows), while Spark at 19 would exceed
+    38 digits in the product — same values, same boolean, each
+    engine's exact regime.
+
+    Scale shape: one orders scan with the year predicate pushed to
+    parquet, one map-side-combined groupBy(o_custkey) producing four
+    conditional sums, and a row-local filter — no joins, no windows;
+    |customers with 1996+1997 activity| rows ever shuffle. The
+    DECIMAL(18,6) downcast bounds a customer's per-channel-year spend
+    at 1e12 — beyond any real per-customer annual figure."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(_YOY_Y1, _YOY_Y2)
+    )
+    dec = "decimal(18,6)"
+    base = orders.select(
+        "o_custkey",
+        _channel_col().alias("channel"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast(dec).alias("spend"),
+    ).filter(F.col("channel").isin("express", "standard"))
+
+    def cell(ch: str, yr: int):
+        return F.sum(
+            F.when((F.col("channel") == ch) & (F.col("yr") == yr), F.col("spend"))
+        ).cast(dec)
+
+    per = base.groupBy("o_custkey").agg(
+        cell("express", _YOY_Y1).alias("e1"),
+        cell("express", _YOY_Y2).alias("e2"),
+        cell("standard", _YOY_Y1).alias("s1"),
+        cell("standard", _YOY_Y2).alias("s2"),
+    )
+    full = per.filter(
+        F.col("e1").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("s1").isNotNull()
+        & F.col("s2").isNotNull()
+    )
+    kept = full.filter(F.col("e2") * F.col("s1") > F.col("s2") * F.col("e1"))
+    ratio = lambda num, den: round_ties_safe(  # noqa: E731
+        F.col(num).cast("double") / F.col(den).cast("double"), 6
+    )
+    return kept.select(
+        F.col("o_custkey").cast("long").alias("c_custkey"),
+        # native-round-ok: DECIMAL(18,6) sums — exact
+        F.round(F.col("e1"), 2).cast("double").alias("express_y1"),
+        F.round(F.col("e2"), 2).cast("double").alias("express_y2"),
+        F.round(F.col("s1"), 2).cast("double").alias("standard_y1"),
+        F.round(F.col("s2"), 2).cast("double").alias("standard_y2"),
+        ratio("e2", "e1").alias("growth_express"),
+        ratio("s2", "s1").alias("growth_standard"),
+    )
+
+
+YOY_OUTPACE_SQL = f"""
+WITH base AS (
+  SELECT o_custkey, {_CHANNEL_CASE_SQL} AS channel,
+         year(o_orderdate) AS yr,
+         CAST(o_totalprice AS DECIMAL(18,6)) AS spend
+  FROM orders
+  WHERE year(o_orderdate) IN ({_YOY_Y1}, {_YOY_Y2})
+), per AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN channel = 'express'  AND yr = {_YOY_Y1} THEN spend END) AS DECIMAL(19,6)) AS e1,
+         CAST(sum(CASE WHEN channel = 'express'  AND yr = {_YOY_Y2} THEN spend END) AS DECIMAL(19,6)) AS e2,
+         CAST(sum(CASE WHEN channel = 'standard' AND yr = {_YOY_Y1} THEN spend END) AS DECIMAL(19,6)) AS s1,
+         CAST(sum(CASE WHEN channel = 'standard' AND yr = {_YOY_Y2} THEN spend END) AS DECIMAL(19,6)) AS s2
+  FROM base
+  WHERE channel IN ('express', 'standard')
+  GROUP BY o_custkey
+)
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+       CAST(/* native-round-ok: DECIMAL */ round(e1, 2) AS DOUBLE) AS express_y1,
+       CAST(round(e2, 2) AS DOUBLE) AS express_y2,
+       CAST(round(s1, 2) AS DOUBLE) AS standard_y1,
+       CAST(round(s2, 2) AS DOUBLE) AS standard_y2,
+       {round_ties_safe_sql("CAST(e2 AS DOUBLE) / CAST(e1 AS DOUBLE)", 6)} AS growth_express,
+       {round_ties_safe_sql("CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)", 6)} AS growth_standard
+FROM per
+WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+  AND e2 * s1 > s2 * e1
+"""
+
+
+def channel_balanced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q58 shape: parts whose revenue is BALANCED across all
+    three channels — each channel's net revenue within [0.9, 1.1] of
+    the three-channel average. Q58's band predicate is evaluated
+    EXACTLY on decimals via integer cross-multiplication
+    (``min·10 ≥ tot·3`` and ``max·30 ≤ tot·11`` — equivalent to
+    0.9·avg ≤ rev ≤ 1.1·avg for every channel since avg = tot/3),
+    never as a double-ratio threshold.
+
+    Scale shape: one lineitem-orders join (the fact shuffle), one
+    (part, channel) aggregate, then a 3-rows-per-part regroup to a
+    single row carrying min/max/total plus the per-channel pivots —
+    both aggregates map-side combine; no windows, no driver
+    materialization. The DECIMAL(18,6) downcast after the first
+    aggregate bounds per-(part, channel) revenue at 1e12 and keeps
+    every later multiply inside the 38-digit cap."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        _channel_col().alias("channel"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,6)")
+        .alias("net"),
+    )
+    per = (
+        lo.groupBy("l_partkey", "channel")
+        .agg(F.sum("net").alias("rev_wide"))
+        .select("l_partkey", "channel", F.col("rev_wide").cast("decimal(18,6)").alias("rev"))
+    )
+
+    def pivot(ch: str):
+        return F.sum(F.when(F.col("channel") == ch, F.col("rev")))
+
+    agg = per.groupBy("l_partkey").agg(
+        F.count("*").alias("nc"),
+        F.min("rev").alias("mn"),
+        F.max("rev").alias("mx"),
+        F.sum("rev").alias("tot"),
+        pivot("express").alias("express_rev"),
+        pivot("standard").alias("standard_rev"),
+        pivot("economy").alias("economy_rev"),
+    )
+    kept = agg.filter(
+        (F.col("nc") == 3)
+        & (F.col("mn") * 10 >= F.col("tot") * 3)
+        & (F.col("mx") * 30 <= F.col("tot") * 11)
+    )
+    return kept.select(
+        F.col("l_partkey").cast("long").alias("p_partkey"),
+        # native-round-ok: DECIMAL sums — exact
+        F.round(F.col("express_rev"), 2).cast("double").alias("express_rev"),
+        F.round(F.col("standard_rev"), 2).cast("double").alias("standard_rev"),
+        F.round(F.col("economy_rev"), 2).cast("double").alias("economy_rev"),
+        F.round(F.col("tot"), 2).cast("double").alias("total_rev"),
+    )
+
+
+BALANCED_PARTS_SQL = f"""
+WITH lo AS (
+  SELECT l_partkey, {_CHANNEL_CASE_SQL} AS channel,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT l_partkey, channel, CAST(sum(net) AS DECIMAL(19,6)) AS rev
+  FROM lo GROUP BY l_partkey, channel
+), agg AS (
+  SELECT l_partkey, count(*) AS nc, min(rev) AS mn, max(rev) AS mx,
+         sum(rev) AS tot,
+         sum(CASE WHEN channel = 'express'  THEN rev END) AS express_rev,
+         sum(CASE WHEN channel = 'standard' THEN rev END) AS standard_rev,
+         sum(CASE WHEN channel = 'economy'  THEN rev END) AS economy_rev
+  FROM per GROUP BY l_partkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+       CAST(/* native-round-ok: DECIMAL */ round(express_rev, 2) AS DOUBLE) AS express_rev,
+       CAST(round(standard_rev, 2) AS DOUBLE) AS standard_rev,
+       CAST(round(economy_rev, 2) AS DOUBLE) AS economy_rev,
+       CAST(round(tot, 2) AS DOUBLE) AS total_rev
+FROM agg
+WHERE nc = 3 AND mn * 10 >= tot * 3 AND mx * 30 <= tot * 11
+"""
+
+
 OPS = {
     "orders_open_backlog": Op(
         "orders_open_backlog",
@@ -3759,6 +3951,26 @@ OPS = {
             "channels (INTERSECT as count(DISTINCT channel)=3), "
             "keeping (channel, brand) rows above the lattice average "
             "via the exact rev*k > total decimal comparison"
+        ),
+    ),
+    "customer_channel_yoy_outpace": Op(
+        "customer_channel_yoy_outpace",
+        customer_channel_yoy_outpace,
+        YOY_OUTPACE_SQL,
+        description=(
+            "TPC-DS Q4/Q74 shape: customers whose express-channel YoY "
+            "growth outpaces standard-channel growth; the ratio compare "
+            "is the exact e2*s1 > s2*e1 decimal cross-multiplication"
+        ),
+    ),
+    "channel_balanced_parts": Op(
+        "channel_balanced_parts",
+        channel_balanced_parts,
+        BALANCED_PARTS_SQL,
+        description=(
+            "TPC-DS Q58 shape: parts with per-channel revenue inside "
+            "[0.9, 1.1] of the three-channel average; band checked via "
+            "exact integer cross-multiplies on decimals"
         ),
     ),
     "lineitem_quantity_bands": Op(

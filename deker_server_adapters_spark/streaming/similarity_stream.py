@@ -128,7 +128,8 @@ def _seq_cosine(a, b) -> float:
 
 
 _LSH_STATE_SCHEMA = (
-    "ids array<long>, vecs array<array<double>>, cells array<array<long>>"
+    "ids array<long>, vecs array<array<double>>, cells array<array<long>>, "
+    "homes array<array<long>>"
 )
 
 
@@ -137,27 +138,46 @@ def _lsh_index_update(emit, columns):
     (threshold join, semantic dedup): every arrival indexes into the
     cell's state (ids + vectors + full cell lists) AND probes the
     vectors already there; a pair is processed only in the MINIMUM
-    cell the two static cell lists share (the exactly-once canonical
-    emitter — order-independent, so per-Arrow-chunk iteration is safe:
-    whichever of a pair indexes second emits, from the same min cell).
-    ``emit(new_id, new_vec, old_id, old_vec)`` returns an output row
-    or None."""
+    QUALIFYING cell the two static cell lists share (the exactly-once
+    canonical emitter — order-independent, so per-Arrow-chunk iteration
+    is safe: whichever of a pair indexes second emits, from the same
+    min cell). With the r14 multi-probe ladder a vector's index keys
+    (``cells``) may include Hamming-adjacent PROBE cells beyond its
+    ``homes``; a pair QUALIFIES only in a cell where at least one side
+    is at home (probe-probe co-location is Hamming distance 2 — not in
+    the batch op's candidate space), mirroring the batch bucket join's
+    probed-side x home-side shape. Rows without a ``homes`` column
+    (the threshold-join twin, probe-free) treat every cell as home —
+    bit-identical to the pre-probe device. ``emit(new_id, new_vec,
+    old_id, old_vec)`` returns an output row or None."""
     import pandas as pd
 
     def update(key, pdfs, state):
-        ids, vecs, cellsets = state.get if state.exists else ([], [], [])
-        ids, vecs, cellsets = list(ids), list(vecs), list(cellsets)
+        ids, vecs, cellsets, homesets = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        ids, vecs, cellsets, homesets = (
+            list(ids),
+            list(vecs),
+            list(cellsets),
+            list(homesets),
+        )
         cell = key[0]
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-            for vid, emb, cells in zip(pdf["vec_id"], pdf["embedding"], pdf["cells"]):
+            home_col = pdf["homes"] if "homes" in pdf.columns else pdf["cells"]
+            for vid, emb, cells, homes in zip(
+                pdf["vec_id"], pdf["embedding"], pdf["cells"], home_col
+            ):
                 # pure-Python scalars: numpy types in the state tuple
                 # break the JVM-side state unpickler
                 emb = [float(x) for x in emb]
                 cells = set(int(c) for c in cells)
-                for oid, ovec, ocells in zip(ids, vecs, cellsets):
-                    if cell != min(cells.intersection(ocells)):
+                homes = set(int(c) for c in homes)
+                for oid, ovec, ocells, ohomes in zip(ids, vecs, cellsets, homesets):
+                    qualifying = (homes & set(ocells)) | (cells & set(ohomes))
+                    if not qualifying or cell != min(qualifying):
                         continue  # another cell is this pair's canonical
                     row = emit(int(vid), emb, oid, ovec)
                     if row is not None:
@@ -165,7 +185,15 @@ def _lsh_index_update(emit, columns):
                 ids.append(int(vid))
                 vecs.append(emb)
                 cellsets.append(cells)
-        state.update((ids, vecs, [sorted(c) for c in cellsets]))
+                homesets.append(homes)
+        state.update(
+            (
+                ids,
+                vecs,
+                [sorted(c) for c in cellsets],
+                [sorted(h) for h in homesets],
+            )
+        )
         yield pd.DataFrame(rows, columns=columns)
 
     return update
@@ -240,6 +268,7 @@ def streaming_semantic_dedup(embs: DataFrame, n_hint: int, ref_emb) -> DataFrame
     key is the one canonical emitter in whichever batch the pair
     completes."""
     from deker_server_adapters_spark.operators.similarity import (
+        _hy_probes_for_bits,
         _hy_tables_for_bits,
         _local_centroids,
         _sem_k,
@@ -248,11 +277,22 @@ def streaming_semantic_dedup(embs: DataFrame, n_hint: int, ref_emb) -> DataFrame
     cents = sorted(_local_centroids(ref_emb, _sem_k(n_hint)).collect(), key=lambda r: r.cell)
     nbits = _ladder_bits(n_hint, 0)
     tables = _hy_tables_for_bits(nbits)
+    nprobes = _hy_probes_for_bits(nbits)
     cluster_key = _semantic_cell_expr(cents).cast("long") + F.lit(_SEM_CLUSTER_KEY_BASE)
-    cells = F.concat(F.array(cluster_key), _cell_exprs(nbits, tables))
+    lsh_cells = _cell_exprs(nbits, tables)
+    homes = F.concat(F.array(cluster_key), lsh_cells)
+    # Multi-probe index keys (r14, batch parity): Hamming-adjacent
+    # buckets derive from the home keys by XOR on the low bits —
+    # bucket < 2^12 << _CELL_SHIFT, so the flip never leaves the
+    # table's key range; the cluster key (negative) is never probed.
+    probe_arrays = [
+        F.transform(lsh_cells, lambda c, p=p: c.bitwiseXOR(F.lit(1 << p)))
+        for p in range(nprobes)
+    ]
+    cells = F.concat(homes, *probe_arrays) if probe_arrays else homes
     indexed = embs.select(
-        "vec_id", "embedding", cells.alias("cells")
-    ).select("vec_id", "embedding", "cells", F.explode("cells").alias("cell"))
+        "vec_id", "embedding", cells.alias("cells"), homes.alias("homes")
+    ).select("vec_id", "embedding", "cells", "homes", F.explode("cells").alias("cell"))
 
     def emit(vid, emb, oid, ovec):
         cos = _tie_safe_round6(_seq_cosine(emb, ovec))

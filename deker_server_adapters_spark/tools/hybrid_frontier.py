@@ -1,0 +1,196 @@
+"""Hybrid-dedup recall/cost frontier past 10x (VERDICT r13 item 5).
+
+The r13 tables ladder held hybrid pair recall at 0.744 on the 10x
+corpus (nbits=6 -> ntables=16). The ladder's table count is capped at
+``_HY_MAX_TABLES`` (24), which the bits ladder reaches at nbits=8
+(n > 65,536 at the 512-occupancy target); past nbits=8 the cap binds
+and each further bits step is no longer bought back with tables. This
+harness MEASURES that frontier instead of extrapolating it: replicate
+the sf embeddings KX (the stress.py key-shift scheme — identical
+vectors under shifted vec_ids, the dedup workload's natural shape),
+then report per K:
+
+- the ladder point (n, nbits, ntables, sem-k),
+- hybrid and cluster-only pair recall at tau against a brute-force
+  truth pass, and
+- the full ``dedup_semantic_hybrid`` wall-clock plus its per-row cost
+  ratio vs the 1x base (sec_K / (K * sec_1) — the scaling-cliff read).
+
+Truth sampling: a full n^2 truth pass at 80x is ~1.3e10 cosines — too
+much box for a measurement harness. Instead the truth pass keeps only
+pairs whose LOWER id lands in a deterministic hash sample
+(pmod(xxhash64(vec_id), 1000) < permille). Every unordered pair has
+exactly one lower id, the hash is uniform over ids, and whether a pair
+is captured is a fixed property of the pair — so sampled recall is an
+unbiased estimate of true pair recall, with ~1/sqrt(sampled-pairs)
+relative error. permille=1000 reproduces the exact full-truth number
+(the r13 protocol) at small K.
+
+Usage:
+    python -m deker_server_adapters_spark.tools.hybrid_frontier [K ...]
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_FRONTIER_PERMILLE (default 50 = 5% of lower ids).
+Prints one JSON line per K; results recorded in docs/PERF.md (r14).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deker_server_adapters_spark.functions.histogram import round_ties_safe
+from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+from deker_server_adapters_spark.operators.similarity import (
+    _SEM_TAU,
+    _TJ_MAX_BITS,
+    _TJ_MIN_BITS,
+    _TJ_TARGET_BUCKET,
+    _hy_tables_for_bits,
+    _hybrid_cand_pairs,
+    _sem_assignments,
+    _sem_k,
+    dedup_semantic_hybrid,
+)
+from deker_server_adapters_spark.sources.tables import load_table
+
+
+def ladder_point(n: int) -> tuple[int, int]:
+    """(nbits, ntables) the two ladders pick for an n-row corpus —
+    the Python mirror of ``_tj_bits_ladder_sql`` / ``_hy_tables_ladder_sql``."""
+    for b in range(_TJ_MIN_BITS, _TJ_MAX_BITS):
+        if n <= _TJ_TARGET_BUCKET * (1 << b):
+            return b, _hy_tables_for_bits(b)
+    return _TJ_MAX_BITS, _hy_tables_for_bits(_TJ_MAX_BITS)
+
+
+def write_scaled(spark: SparkSession, sf_dir: str, k: int, out_dir: str) -> str:
+    """Replicate embeddings KX with the stress.py vec_id shift into
+    ``out_dir`` (embeddings only — this harness touches no other
+    table) and return the scaled sf_dir."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rep = spark.range(k).select(F.col("id").alias("__rep"))
+    scaled = (
+        emb.crossJoin(rep)
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(10_000_000))
+        .drop("__rep")
+    )
+    path = os.path.join(out_dir, "embeddings.parquet")
+    # real map parallelism for the CPU-bound signature/assignment work
+    scaled.repartition(32).write.mode("overwrite").parquet(path)
+    return out_dir
+
+
+def sampled_recall(
+    spark: SparkSession, sf_dir: str, permille: int
+) -> dict[str, float]:
+    """Cluster-only and hybrid pair recall at ``_SEM_TAU``, truth pass
+    restricted to pairs whose lower id is in the hash sample — the
+    ``dedup_semantic_hybrid_recall`` measurement, sample-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = _sem_assignments(emb)
+    a = emb.filter(F.expr(f"pmod(xxhash64(vec_id), 1000) < {permille}")).select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = round_ties_safe(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    tp = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("va", "vb")
+    )
+    ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
+    cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+    lp = _hybrid_cand_pairs(emb, asg).select(
+        F.col("vid_b").alias("va"),
+        F.col("vec_id").alias("vb"),
+        F.lit(1).alias("cand_hit"),
+    )
+    row = (
+        tp.join(ca, "va")
+        .join(cb, "vb")
+        .join(lp, ["va", "vb"], "left")
+        .agg(
+            F.count("*").alias("n_true_sampled"),
+            F.sum(
+                F.when(F.col("cell_a") == F.col("cell_b"), 1).otherwise(0)
+            ).alias("n_cluster"),
+            F.sum(
+                F.when(
+                    (F.col("cell_a") == F.col("cell_b")) | (F.col("cand_hit") == 1),
+                    1,
+                ).otherwise(0)
+            ).alias("n_hybrid"),
+        )
+        .first()
+    )
+    n_true = row["n_true_sampled"] or 0
+    return {
+        "n_true_sampled": n_true,
+        "recall_cluster": round(row["n_cluster"] / n_true, 4) if n_true else None,
+        "recall_hybrid": round(row["n_hybrid"] / n_true, 4) if n_true else None,
+    }
+
+
+def op_wall(spark: SparkSession, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    dedup_semantic_hybrid(spark, sf_dir).count()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from deker_server_adapters_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    permille = int(os.environ.get("SPARK_GRAFT_FRONTIER_PERMILLE", "50"))
+    ks = [int(x) for x in sys.argv[1:]] or [10, 30, 80]
+
+    spark = get_spark(app_name="hybrid-frontier", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_sec = min(op_wall(spark, sf_dir) for _ in range(2))
+    n_base = load_table(spark, sf_dir, "embeddings").count()
+
+    for k in ks:
+        tmp = tempfile.mkdtemp(prefix=f"hybrid_frontier_{k}x_")
+        try:
+            scaled_dir = write_scaled(spark, sf_dir, k, tmp)
+            n = n_base * k
+            nbits, ntables = ladder_point(n)
+            rec = sampled_recall(spark, scaled_dir, permille)
+            sec = op_wall(spark, scaled_dir)
+            out = {
+                "k": k,
+                "n": n,
+                "nbits": nbits,
+                "ntables": ntables,
+                "sem_k": _sem_k(n),
+                "permille": permille,
+                **rec,
+                "op_sec": round(sec, 2),
+                "base_sec": round(base_sec, 2),
+                "cost_ratio_per_row": round(sec / (k * base_sec), 2),
+            }
+            sys.stdout.write(json.dumps(out) + "\n")
+            sys.stdout.flush()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

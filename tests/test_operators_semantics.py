@@ -2096,3 +2096,73 @@ def test_ngram_novelty_directional_contract(spark, tmp_path):
     assert got[2].novelty_frac == 0.0
     assert got[3].novelty_frac == 1.0
     assert got[1].n_windows == got[2].n_windows == 3
+
+
+def test_hybrid_multiprobe_forced_ladder_matches_duckdb(spark, sf_dir):
+    """The r14 multi-probe candidate space, Spark vs the DuckDB replay
+    at FORCED ladder values (nbits=5, ntables=4, nprobes=2): a 500-row
+    corpus never reaches the probe regime through the real ladder
+    (nprobes stays 0 through nbits 6), so the probed bucket join —
+    home+probe rows on the hi side, homes only on the lo side — is
+    pinned by overriding BOTH engines with the same constants. Also
+    pins that probing strictly widens the candidate set on this corpus
+    (else a silently probe-free plan would pass vacuously) and that
+    every added pair is Hamming distance 1 within the probed bits in
+    at least one live table."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _duck_hy_buckets,
+        _duck_hy_probed,
+        _hybrid_cand_pairs,
+        _ivf_inv_cte,
+        _sem_assignments,
+        _sem_k_sql,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+    from tests.oracle_utils import duckdb_con
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = _sem_assignments(emb)
+    schema = "nbits int, ntables int, nprobes int"
+    probed = spark.createDataFrame([(5, 4, 2)], schema)
+    got = {
+        (r.vec_id, r.vid_b)
+        for r in _hybrid_cand_pairs(emb, asg, nrow=probed).collect()
+    }
+    probe_free = spark.createDataFrame([(5, 4, 0)], schema)
+    base = {
+        (r.vec_id, r.vid_b)
+        for r in _hybrid_cand_pairs(emb, asg, nrow=probe_free).collect()
+    }
+    assert base < got, "probing must strictly widen the candidate set"
+
+    con = duckdb_con(sf_dir)
+    sql = f"""
+WITH {_ivf_inv_cte(limit_sql=_sem_k_sql())}, asg AS (
+  SELECT neighbor_id AS vec_id, cell FROM inv
+), bkt AS (
+{_duck_hy_buckets(bits_sql="5", tab_sql="4")}
+), bktp AS (
+{_duck_hy_probed(probes_sql="2")}
+)
+SELECT DISTINCT vec_id, vid_b FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS vid_b
+  FROM asg a JOIN asg b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  UNION ALL
+  SELECT pa.vec_id AS vec_id, pb.vec_id AS vid_b
+  FROM bktp pa JOIN bkt pb
+    ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket AND pb.vec_id < pa.vec_id
+) u
+"""
+    want = {(r[0], r[1]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+    # every probe-added pair shares a bucket up to one low-bit flip
+    sig_sql = f"SELECT vec_id, tbl, bucket FROM ({_duck_hy_buckets(bits_sql='5', tab_sql='4')}) b"
+    sigs = {}
+    for vid, tbl, bucket in con.execute(sig_sql).fetchall():
+        sigs.setdefault(vid, {})[tbl] = bucket
+    for hi, lo in got - base:
+        ok = any(
+            sigs[hi][t] ^ sigs[lo][t] in (1, 2) for t in sigs[hi]
+        )
+        assert ok, (hi, lo)

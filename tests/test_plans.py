@@ -541,6 +541,8 @@ def test_hybrid_tables_ladder_sql_matches_python(spark):
         _TJ_MAX_BITS,
         _TJ_MIN_BITS,
         _TJ_TARGET_BUCKET,
+        _hy_probes_for_bits,
+        _hy_probes_ladder_sql,
         _hy_tables_for_bits,
         _hy_tables_ladder_sql,
         _tj_bits_ladder_sql,
@@ -557,9 +559,18 @@ def test_hybrid_tables_ladder_sql_matches_python(spark):
             got_tables = con.execute(
                 f"SELECT {_hy_tables_ladder_sql(str(n))}"
             ).fetchone()[0]
+            got_probes = con.execute(
+                f"SELECT {_hy_probes_ladder_sql(str(n))}"
+            ).fetchone()[0]
             want_bits = _ladder_bits(n, 0)
             assert got_bits == want_bits, (n, got_bits, want_bits)
             assert got_tables == _hy_tables_for_bits(want_bits), (n, got_tables)
+            assert got_probes == _hy_probes_for_bits(want_bits), (n, got_probes)
+    # the certified small-corpus regimes stay probe-free; probing
+    # engages one step after the tables ladder starts climbing
+    assert _hy_probes_for_bits(6) == 0
+    assert _hy_probes_for_bits(7) == 1
+    assert _hy_probes_for_bits(12) == 2
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):

@@ -883,12 +883,16 @@ def test_lsh_index_update_exactly_once_property():
         n_cells=st.integers(1, 5),
         seed=st.integers(0, 2**31 - 1),
         n_batches=st.integers(1, 4),
+        with_probes=st.booleans(),
     )
-    def check(n, n_cells, seed, n_batches):
+    def check(n, n_cells, seed, n_batches, with_probes):
         import numpy as np
 
         rng = np.random.default_rng(seed)
-        # each vector gets a nonempty random subset of cells
+        # each vector gets a nonempty random subset of cells; under the
+        # r14 multi-probe device a nonempty random subset of those is
+        # HOME (the rest are probe keys) — a pair qualifies only where
+        # one side is at home
         cells = {
             vid: sorted(
                 rng.choice(n_cells, size=rng.integers(1, n_cells + 1), replace=False)
@@ -896,6 +900,18 @@ def test_lsh_index_update_exactly_once_property():
                 .tolist()
             )
             for vid in range(n)
+        }
+        homes = {
+            vid: (
+                sorted(
+                    rng.choice(cs, size=rng.integers(1, len(cs) + 1), replace=False)
+                    .astype(int)
+                    .tolist()
+                )
+                if with_probes
+                else list(cs)
+            )
+            for vid, cs in cells.items()
         }
         order = rng.permutation(n).tolist()
         splits = sorted(rng.integers(0, n + 1, size=n_batches - 1).tolist())
@@ -914,13 +930,14 @@ def test_lsh_index_update_exactly_once_property():
                 rows = [v for v in batch if c in cells[v]]
                 if not rows:
                     continue
-                pdf = pd.DataFrame(
-                    {
-                        "vec_id": rows,
-                        "embedding": [[float(v)] for v in rows],
-                        "cells": [list(cells[v]) for v in rows],
-                    }
-                )
+                data = {
+                    "vec_id": rows,
+                    "embedding": [[float(v)] for v in rows],
+                    "cells": [list(cells[v]) for v in rows],
+                }
+                if with_probes:
+                    data["homes"] = [list(homes[v]) for v in rows]
+                pdf = pd.DataFrame(data)
                 for out in update((c,), iter([pdf]), states[c]):
                     emitted.extend(map(tuple, out.itertuples(index=False)))
 
@@ -928,9 +945,9 @@ def test_lsh_index_update_exactly_once_property():
             (a, b)
             for a in range(n)
             for b in range(a + 1, n)
-            if set(cells[a]) & set(cells[b])
+            if (set(homes[a]) & set(cells[b])) | (set(cells[a]) & set(homes[b]))
         }
-        assert sorted(emitted) == sorted(want), (cells, batches)
+        assert sorted(emitted) == sorted(want), (cells, homes, batches)
 
     check()
 
