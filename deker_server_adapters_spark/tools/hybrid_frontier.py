@@ -29,7 +29,11 @@ relative error. permille=1000 reproduces the exact full-truth number
 Usage:
     python -m deker_server_adapters_spark.tools.hybrid_frontier [K ...]
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_FRONTIER_PERMILLE (default 50 = 5% of lower ids).
+     SPARK_GRAFT_FRONTIER_PERMILLE (default 50 = 5% of lower ids),
+     SPARK_GRAFT_FRONTIER_RECALL=0 to skip the truth pass (cost-only
+     timing runs — recall is run-invariant, wall-clock is not),
+     SPARK_GRAFT_DRIVER_MEM (single local-mode heap; the 8g default
+     GC-thrashes past ~60x — use 48g for frontier corpora).
 Prints one JSON line per K; results recorded in docs/PERF.md (r14).
 """
 
@@ -172,7 +176,10 @@ def main() -> None:
             scaled_dir = write_scaled(spark, sf_dir, k, tmp)
             n = n_base * k
             nbits, ntables = ladder_point(n)
-            rec = sampled_recall(spark, scaled_dir, permille)
+            if os.environ.get("SPARK_GRAFT_FRONTIER_RECALL", "1") != "0":
+                rec = sampled_recall(spark, scaled_dir, permille)
+            else:
+                rec = {}
             sec = op_wall(spark, scaled_dir)
             out = {
                 "k": k,
