@@ -3860,6 +3860,92 @@ WHERE nc = 3 AND mn * 10 >= tot * 3 AND mx * 30 <= tot * 11
 """
 
 
+def brand_monthly_deviation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47/Q57 shape: per brand, the top-3 months whose sales
+    deviate most from that brand-year's monthly average — the
+    seasonality-outlier scan. The deviation is EXACT decimal
+    arithmetic: ``dev = sales·n_months − year_total`` (equivalent in
+    sign and brand-local ORDER to sales − avg, with no division), so
+    the rank never compares engine-dependent doubles; ties across
+    months break on (yr, mon) in both engines. Only complete
+    brand-years (12 observed months) compete, mirroring Q47's
+    full-year constraint. The displayed ``dev_frac`` (dev/total) is a
+    tie-safe-rounded double derived AFTER ranking.
+
+    Scale shape: the part dim broadcasts into the fact scan, one
+    map-side-combined groupBy to the (brand, yr, mon) lattice — the
+    only fact shuffle — and every window (year totals, month counts,
+    the rank) runs over that tiny lattice: |brands|·|years|·12 rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.year("l_shipdate").alias("yr"),
+        F.month("l_shipdate").alias("mon"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,6)")
+        .alias("net"),
+    )
+    per = base.groupBy("p_brand", "yr", "mon").agg(
+        F.sum("net").alias("s"), F.count("*").alias("n")
+    )
+    wy = Window.partitionBy("p_brand", "yr")
+    d = (
+        per.withColumn("tot", F.sum("s").over(wy))
+        .withColumn("nm", F.count("*").over(wy))
+        .filter(F.col("nm") == 12)
+        .withColumn("dev", F.col("s") * F.col("nm") - F.col("tot"))
+    )
+    wr = Window.partitionBy("p_brand").orderBy(
+        F.abs(F.col("dev")).desc(), F.col("yr"), F.col("mon")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            F.col("yr").cast("int").alias("yr"),
+            F.col("mon").cast("int").alias("mon"),
+            # native-round-ok: DECIMAL sum — exact
+            F.round(F.col("s"), 2).cast("double").alias("sales"),
+            round_ties_safe(
+                F.col("dev").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("dev_frac"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+MONTHLY_DEVIATION_SQL = f"""
+WITH base AS (
+  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate IS NOT NULL
+), per AS (
+  SELECT p_brand, yr, mon, sum(net) AS s, count(*) AS n
+  FROM base GROUP BY p_brand, yr, mon
+), w AS (
+  SELECT p_brand, yr, mon, s,
+         sum(s)  OVER (PARTITION BY p_brand, yr) AS tot,
+         count(*) OVER (PARTITION BY p_brand, yr) AS nm
+  FROM per
+), d AS (
+  SELECT p_brand, yr, mon, s, tot, s * nm - tot AS dev
+  FROM w WHERE nm = 12
+), r AS (
+  SELECT p_brand, yr, mon, s, tot, dev,
+         row_number() OVER (PARTITION BY p_brand ORDER BY abs(dev) DESC, yr, mon) AS rnk
+  FROM d
+)
+SELECT p_brand, CAST(yr AS INT) AS yr, CAST(mon AS INT) AS mon,
+       CAST(/* native-round-ok: DECIMAL */ round(s, 2) AS DOUBLE) AS sales,
+       {round_ties_safe_sql("CAST(dev AS DOUBLE) / CAST(tot AS DOUBLE)", 6)} AS dev_frac,
+       CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 3
+"""
+
+
 OPS = {
     "orders_open_backlog": Op(
         "orders_open_backlog",
@@ -3971,6 +4057,17 @@ OPS = {
             "TPC-DS Q58 shape: parts with per-channel revenue inside "
             "[0.9, 1.1] of the three-channel average; band checked via "
             "exact integer cross-multiplies on decimals"
+        ),
+    ),
+    "brand_monthly_deviation_topk": Op(
+        "brand_monthly_deviation_topk",
+        brand_monthly_deviation_topk,
+        MONTHLY_DEVIATION_SQL,
+        description=(
+            "TPC-DS Q47/Q57 shape: top-3 seasonality-outlier months per "
+            "brand; deviation ranked as the exact decimal "
+            "sales*n_months - year_total (no double compares), "
+            "full-year groups only"
         ),
     ),
     "lineitem_quantity_bands": Op(

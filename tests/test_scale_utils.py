@@ -214,3 +214,31 @@ def test_stress_harness_skew_generators(spark, tmp_path):
     ev_total = ev.count()
     hot = ev.filter(F.col("user_id") == 424242).count()
     assert 0.05 <= hot / ev_total <= 0.15, (hot, ev_total)
+
+
+def test_hybrid_frontier_estimator_anchors_to_registry_recall(spark, sf_dir):
+    """The frontier harness's sampled-truth recall estimator
+    (tools/hybrid_frontier.py) must reproduce the registry recall op
+    EXACTLY with the sample wide open (permille=1000 keeps every lower
+    id — zero estimator error by construction), and its Python ladder
+    mirror must agree with the engine ladders. This is what licenses
+    the ≥30× frontier numbers in docs/PERF.md: the estimator is
+    anchored against the oracled op before being trusted where full
+    truth is unaffordable."""
+    from deker_server_adapters_spark.operators.similarity import (
+        dedup_semantic_hybrid_recall,
+    )
+    from deker_server_adapters_spark.tools.hybrid_frontier import (
+        ladder_point,
+        sampled_recall,
+    )
+
+    want = dedup_semantic_hybrid_recall(spark, sf_dir).first()
+    got = sampled_recall(spark, sf_dir, permille=1000)
+    assert got["n_true_sampled"] == want["n_true_pairs"]
+    assert got["recall_cluster"] == want["recall_cluster"]
+    assert got["recall_hybrid"] == want["recall_hybrid"]
+    # the Python ladder mirror: floor, the r13 10x point, and the cap
+    assert ladder_point(500) == (4, 8)
+    assert ladder_point(20_000) == (6, 16)
+    assert ladder_point(120_000) == (8, 24)
