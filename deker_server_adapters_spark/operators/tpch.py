@@ -3737,6 +3737,7 @@ def customer_channel_yoy_outpace(spark: SparkSession, sf_dir: str) -> DataFrame:
         # native-round-ok: DECIMAL(18,6) sums — exact
         F.round(F.col("e1"), 2).cast("double").alias("express_y1"),
         F.round(F.col("e2"), 2).cast("double").alias("express_y2"),
+        # native-round-ok: DECIMAL(18,6) sums — exact
         F.round(F.col("s1"), 2).cast("double").alias("standard_y1"),
         F.round(F.col("s2"), 2).cast("double").alias("standard_y2"),
         ratio("e2", "e1").alias("growth_express"),
@@ -3763,9 +3764,9 @@ WITH base AS (
 )
 SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
        CAST(/* native-round-ok: DECIMAL */ round(e1, 2) AS DOUBLE) AS express_y1,
-       CAST(round(e2, 2) AS DOUBLE) AS express_y2,
-       CAST(round(s1, 2) AS DOUBLE) AS standard_y1,
-       CAST(round(s2, 2) AS DOUBLE) AS standard_y2,
+       CAST(/* native-round-ok: DECIMAL */ round(e2, 2) AS DOUBLE) AS express_y2,
+       CAST(/* native-round-ok: DECIMAL */ round(s1, 2) AS DOUBLE) AS standard_y1,
+       CAST(/* native-round-ok: DECIMAL */ round(s2, 2) AS DOUBLE) AS standard_y2,
        {round_ties_safe_sql("CAST(e2 AS DOUBLE) / CAST(e1 AS DOUBLE)", 6)} AS growth_express,
        {round_ties_safe_sql("CAST(s2 AS DOUBLE) / CAST(s1 AS DOUBLE)", 6)} AS growth_standard
 FROM per
@@ -3829,6 +3830,7 @@ def channel_balanced_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # native-round-ok: DECIMAL sums — exact
         F.round(F.col("express_rev"), 2).cast("double").alias("express_rev"),
         F.round(F.col("standard_rev"), 2).cast("double").alias("standard_rev"),
+        # native-round-ok: DECIMAL sums — exact
         F.round(F.col("economy_rev"), 2).cast("double").alias("economy_rev"),
         F.round(F.col("tot"), 2).cast("double").alias("total_rev"),
     )
@@ -3852,9 +3854,9 @@ WITH lo AS (
 )
 SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
        CAST(/* native-round-ok: DECIMAL */ round(express_rev, 2) AS DOUBLE) AS express_rev,
-       CAST(round(standard_rev, 2) AS DOUBLE) AS standard_rev,
-       CAST(round(economy_rev, 2) AS DOUBLE) AS economy_rev,
-       CAST(round(tot, 2) AS DOUBLE) AS total_rev
+       CAST(/* native-round-ok: DECIMAL */ round(standard_rev, 2) AS DOUBLE) AS standard_rev,
+       CAST(/* native-round-ok: DECIMAL */ round(economy_rev, 2) AS DOUBLE) AS economy_rev,
+       CAST(/* native-round-ok: DECIMAL */ round(tot, 2) AS DOUBLE) AS total_rev
 FROM agg
 WHERE nc = 3 AND mn * 10 >= tot * 3 AND mx * 30 <= tot * 11
 """

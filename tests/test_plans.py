@@ -412,6 +412,7 @@ _INTENTIONAL_BNLJ = {
     "orders_market_basket",
     "events_user_value_decay",
     "docs_source_token_mix",
+    "docs_source_temperature_mix",
     "docs_tfidf_topk",
     "text_term_pmi",
     "events_hll_distinct",
