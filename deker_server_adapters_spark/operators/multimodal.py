@@ -143,9 +143,9 @@ def _decode_payload(
     bytes with the vendored pure-stdlib decoder
     (functions/pngcodec.py — 8-bit grey/RGB, all five filters);
     ``codec='jpeg'`` decodes REAL baseline-JPEG bytes with the
-    vendored decoder (functions/jpegcodec.py — grayscale + 4:4:4
-    colour to luma; JFIF YCbCr → Y plane, declared-RGB → 601
-    weights, r14). Both are nearest-neighbour resampled to the
+    vendored decoder (functions/jpegcodec.py — grayscale + colour to
+    luma at any integer sampling layout incl. the ubiquitous 4:2:0,
+    r15; JFIF YCbCr → Y plane, declared-RGB → 601 weights, r14). Both are nearest-neighbour resampled to the
     declared geometry and broadcast across frames, so the decode
     stage is value-checked end to end without any optional
     dependency. ``codec='pil'`` decodes with Pillow when installed

@@ -1356,11 +1356,23 @@ def docs_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from the ROUNDED values only. Scale shape: identical to
     ``docs_source_token_mix`` — one map-side-combined aggregate over
     the scan, |sources| rows ever shuffle, the totals ride a 1-row
-    broadcast."""
+    broadcast.
+
+    Degenerate-source contract (ADVICE r14): a source whose docs all
+    have empty token arrays (n_tokens = 0) is EXCLUDED — it cannot be
+    sampled, and keeping it would make expected_epochs 0/0 -> NULL (and
+    an all-empty corpus would zero totpw, nulling every weight). Both
+    engines filter n_tokens > 0 BEFORE the normalizing sum, so the
+    remaining weights still sum to 1; semantics pinned by
+    tests/test_operators_semantics.py (zero-token-source case)."""
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.expr(f"size({_TOKENS})").cast("long")).alias("n_tokens"),
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.expr(f"size({_TOKENS})").cast("long")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
     )
     pw = round_ties_safe(
         F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA)), 6
@@ -1395,7 +1407,7 @@ WITH per AS (
 ), pw AS (
   SELECT source, n_docs, n_tokens,
          CAST({round_ties_safe_sql("pow(CAST(n_tokens AS DOUBLE), 0.7)", 6)} AS DECIMAL(38,6)) AS pw
-  FROM per
+  FROM per WHERE n_tokens > 0
 ), tot AS (
   SELECT sum(pw) AS totpw, CAST(sum(n_tokens) AS BIGINT) AS tottok FROM pw
 ), w AS (

@@ -127,6 +127,12 @@ def _seq_cosine(a, b) -> float:
     return acc / (math.sqrt(na) * math.sqrt(nb))
 
 
+# STATE-SCHEMA VERSION 2 (r14): the ``homes`` field was added for the
+# multi-probe home/probe distinction. applyInPandasWithState pins the
+# state schema into the checkpoint, so a checkpoint written by the v1
+# (3-field) twins CANNOT be resumed against this code — discard old
+# checkpoints (fresh sink + new checkpointLocation) when upgrading.
+# Documented in docs/PERF.md ("Streaming checkpoint compatibility").
 _LSH_STATE_SCHEMA = (
     "ids array<long>, vecs array<array<double>>, cells array<array<long>>, "
     "homes array<array<long>>"

@@ -79,10 +79,15 @@ def write_scaled(spark: SparkSession, sf_dir: str, k: int, out_dir: str) -> str:
     ``out_dir`` (embeddings only — this harness touches no other
     table) and return the scaled sf_dir."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # Replica shift must clear the observed id range or replicas collide
+    # silently, corrupting every recall/cost number downstream (ADVICE
+    # r14): derive the shift from max(vec_id), never assume < 10M.
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0] or 0
+    shift = max(10_000_000, int(max_id) + 1)
     rep = spark.range(k).select(F.col("id").alias("__rep"))
     scaled = (
         emb.crossJoin(rep)
-        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(10_000_000))
+        .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * F.lit(shift))
         .drop("__rep")
     )
     path = os.path.join(out_dir, "embeddings.parquet")

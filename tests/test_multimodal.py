@@ -757,3 +757,98 @@ def test_frame_plan_planted_schedule(spark, tmp_path):
         idxs = [fi for _, fi, _, nf in sorted(plan[did])]
         nf = plan[did][0][3]
         assert idxs[0] == 0 and idxs[-1] == nf - 1
+
+
+def test_jpeg_420_decode_real_subsampled_stream():
+    """r15 (r14 verdict item 2): a REAL 4:2:0 stream — four Y blocks +
+    one Cb + one Cr per MCU, written by the spec encoder — decodes
+    through the general interleaved-MCU loop, and the JFIF luma
+    contract (Y plane, full resolution by construction) holds to the
+    same error bound as 4:4:4. Odd dimensions exercise the MCU-grid
+    crop (16-pixel tiles vs a 37x53 image)."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            (xx * 255 // (w - 1)).astype(np.uint8),
+            (yy * 255 // (h - 1)).astype(np.uint8),
+            ((xx + yy) * 255 // (w + h - 2)).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    y_true = np.clip(
+        np.round(0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]),
+        0,
+        255,
+    )
+    got = decode_jpeg_gray(encode_jpeg_color(rgb, quality=95, subsampling="4:2:0"))
+    assert got.shape == (h, w)
+    assert np.abs(got.astype(int) - y_true).max() <= 10
+
+    # blockwise-constant chroma at q100: luma exact up to DC rounding
+    const = np.full((32, 48, 3), [10, 200, 60], dtype=np.uint8)
+    d = decode_jpeg_gray(encode_jpeg_color(const, 100, "4:2:0"))
+    ytc = round(0.299 * 10 + 0.587 * 200 + 0.114 * 60)
+    assert np.abs(d.astype(int) - ytc).max() <= 1
+
+
+def test_jpeg_422_and_440_layouts_decode():
+    """The MCU loop is layout-general, not 4:2:0-special-cased: 4:2:2
+    (chroma halved horizontally) and 4:4:0 (halved vertically) streams
+    built with _encode_planes decode to the Y plane within the quality
+    bound."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        _encode_planes,
+        decode_jpeg_gray,
+    )
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = ((xx * 5 + yy * 3) % 256).astype(np.uint8)
+    cb = np.full((h, w), 90.0)
+    cr = np.full((h, w), 160.0)
+    for samp, ch_shape in (
+        ([(2, 1), (1, 1), (1, 1)], (h, w // 2)),  # 4:2:2
+        ([(1, 2), (1, 1), (1, 1)], (h // 2, w)),  # 4:4:0
+    ):
+        planes = [
+            y,
+            np.full(ch_shape, 90, dtype=np.uint8),
+            np.full(ch_shape, 160, dtype=np.uint8),
+        ]
+        data = _encode_planes(planes, h, w, 95, bytes([1, 2, 3]), samp=samp)
+        got = decode_jpeg_gray(data)
+        assert got.shape == (h, w)
+        assert np.abs(got.astype(int) - y.astype(int)).max() <= 10
+
+
+def test_jpeg_gray_declared_sampling_factors_ignored():
+    """A single-component scan is non-interleaved, so declared
+    sampling factors do not apply (T.81 A.2.2): a grayscale stream
+    whose SOF claims 2x2 sampling must decode identically to the 1x1
+    declaration instead of raising (pre-r15 behavior) or misreading
+    the MCU geometry."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    px = (np.arange(16 * 24, dtype=np.uint8).reshape(16, 24)) % 251
+    data = encode_jpeg_gray(px, 95)
+    base = decode_jpeg_gray(data)
+    # patch the SOF component sampling byte 0x11 -> 0x22: SOF0 body is
+    # [prec, h16, w16, nc, cid, sampling, tq]; find the marker
+    # (match the full marker+length+precision prefix: a bare FF C0
+    # byte pair can occur inside table payloads)
+    i = data.index(b"\xff\xc0\x00\x0b\x08")
+    patched = bytearray(data)
+    # layout: FF C0 len16 prec h16 w16 nc cid SAMPLING tq
+    assert patched[i + 10] == 0x01 and patched[i + 11] == 0x11
+    patched[i + 11] = 0x22
+    got = decode_jpeg_gray(bytes(patched))
+    np.testing.assert_array_equal(got, base)

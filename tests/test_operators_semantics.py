@@ -2166,3 +2166,175 @@ SELECT DISTINCT vec_id, vid_b FROM (
             sigs[hi][t] ^ sigs[lo][t] in (1, 2) for t in sigs[hi]
         )
         assert ok, (hi, lo)
+
+
+def test_temperature_mix_excludes_zero_token_sources(spark, tmp_path):
+    """ADVICE r14 guard: a source whose docs carry no tokens (NULL
+    text -> NULL token count; the only way this corpus shape yields a
+    non-positive count) must be EXCLUDED in BOTH engines — not emitted
+    with a NULL expected_epochs — and the surviving weights must still
+    normalize to 1 because the filter runs BEFORE the normalizing sum."""
+    import os
+
+    from deker_server_adapters_spark.operators.text import (
+        SOURCE_TEMPERATURE_SQL,
+        docs_source_temperature_mix,
+    )
+    from tests.oracle_utils import compare
+
+    rows = [
+        (1, "alpha bravo charlie delta", "en", "web"),
+        (2, "echo foxtrot", "en", "web"),
+        (3, "golf", "en", "books"),
+        (4, None, "en", "ghost"),  # zero-token source: must vanish
+        (5, None, "en", "ghost"),
+    ]
+    d = str(tmp_path / "temp_mix_sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = docs_source_temperature_mix(spark, d)
+    recs = {r.source: r for r in got.collect()}
+    assert set(recs) == {"web", "books"}  # ghost excluded, no NULL rows
+    assert abs(sum(r.sample_weight for r in recs.values()) - 1.0) < 1e-5
+    for r in recs.values():
+        assert r.expected_epochs is not None
+    # small source oversampled: alpha<1 gives books epochs > web epochs
+    assert recs["books"].expected_epochs > recs["web"].expected_epochs
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(d, 'documents.parquet', '*.parquet')}')"
+    )
+    duck = con.execute(SOURCE_TEMPERATURE_SQL).df()
+    ok, msg = compare(got, duck)
+    assert ok, msg
+
+
+def test_balanced_parts_band_boundaries_inclusive(spark, tmp_path):
+    """Q58 band semantics pinned independently of the oracle (ADVICE
+    r14): a part sitting EXACTLY on both band edges (channel revenues
+    0.9·avg / avg / 1.1·avg) is KEPT — the >=/<= are inclusive — while
+    a part one unit below the low edge or above the high edge drops,
+    and a part in only two channels drops on the nc=3 rule."""
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import channel_balanced_parts
+
+    dt = datetime(1995, 6, 1)
+    orders = [
+        (1, 1, dt, "1-URGENT"),   # express
+        (2, 1, dt, "3-MEDIUM"),   # standard
+        (3, 1, dt, "5-LOW"),      # economy
+    ]
+    li = [
+        # part 100: 90/100/110, avg=100 -> exactly on BOTH edges: kept
+        (1, 100, 1, 90.0, 0.0), (2, 100, 1, 100.0, 0.0), (3, 100, 1, 110.0, 0.0),
+        # part 200: min 89 < 0.9*100: dropped
+        (1, 200, 1, 89.0, 0.0), (2, 200, 1, 101.0, 0.0), (3, 200, 1, 110.0, 0.0),
+        # part 300: max 111 > 1.1*100: dropped
+        (1, 300, 1, 91.0, 0.0), (2, 300, 1, 98.0, 0.0), (3, 300, 1, 111.0, 0.0),
+        # part 400: only two channels: dropped by nc = 3
+        (1, 400, 1, 100.0, 0.0), (2, 400, 1, 100.0, 0.0),
+    ]
+    d = _write_mini_star(tmp_path, spark, orders=orders, lineitem=li)
+    rows = channel_balanced_parts(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.p_partkey, r.express_rev, r.standard_rev, r.economy_rev, r.total_rev) == (
+        100, 90.0, 100.0, 110.0, 300.0
+    )
+
+
+def test_yoy_outpace_four_cells_and_strict_inequality(spark, tmp_path):
+    """Q4/Q74 semantics pinned independently (ADVICE r14): the filter
+    needs ALL FOUR (channel, year) cells present, and the growth
+    comparison is STRICT — equal growth ratios (e2·s1 == s2·e1) do not
+    qualify."""
+    import os
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        customer_channel_yoy_outpace,
+    )
+
+    y1, y2 = datetime(1996, 6, 1), datetime(1997, 6, 1)
+    EXPR, STD = "1-URGENT", "3-MEDIUM"
+    rows, ok = [], [1]
+
+    def order(cust, dt, prio, price):
+        rows.append((len(rows) + 1, cust, dt, prio, price))
+
+    # c1: express 100 -> 200 (2.0) outpaces standard 100 -> 150 (1.5): kept
+    order(1, y1, EXPR, 100.0); order(1, y2, EXPR, 200.0)
+    order(1, y1, STD, 100.0);  order(1, y2, STD, 150.0)
+    # c2: equal growth both channels (1.5): e2*s1 == s2*e1 -> dropped (strict >)
+    order(2, y1, EXPR, 100.0); order(2, y2, EXPR, 150.0)
+    order(2, y1, STD, 100.0);  order(2, y2, STD, 150.0)
+    # c3: missing the standard-y2 cell -> dropped despite huge express growth
+    order(3, y1, EXPR, 100.0); order(3, y2, EXPR, 900.0)
+    order(3, y1, STD, 100.0)
+    # c4: express grows slower than standard -> dropped
+    order(4, y1, EXPR, 100.0); order(4, y2, EXPR, 110.0)
+    order(4, y1, STD, 100.0);  order(4, y2, STD, 150.0)
+
+    d = str(tmp_path / "yoy_star")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string, o_totalprice double",
+    ).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+
+    out = customer_channel_yoy_outpace(spark, d).collect()
+    assert [r.c_custkey for r in out] == ok
+    r = out[0]
+    assert (r.express_y1, r.express_y2, r.standard_y1, r.standard_y2) == (
+        100.0, 200.0, 100.0, 150.0
+    )
+    assert (r.growth_express, r.growth_standard) == (2.0, 1.5)
+
+
+def test_monthly_deviation_complete_year_and_tiebreak(spark, tmp_path):
+    """Q47/Q57 semantics pinned independently (ADVICE r14): only
+    complete 12-month brand-years compete (11 months -> brand absent),
+    rank orders by |dev| with ties broken on (yr, mon), and the
+    decimal dev formula ranks a below-average month by the same |dev|
+    yardstick as an above-average one."""
+    import os
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        brand_monthly_deviation_topk,
+    )
+
+    li = []
+    # Brand#A part 100: months 1..12 of 1995; m1=40 (big dip), m6=220
+    # (big spike), others 100 -> tot 1260; dev: m6 +1380, m1 -780,
+    # rest -60 each (ten-way tie -> mon ascending picks m2 at rnk 3)
+    for m in range(1, 13):
+        price = {1: 40.0, 6: 220.0}.get(m, 100.0)
+        li.append((100, datetime(1995, m, 15), price, 0.0))
+    # Brand#B part 200: only 11 months -> whole brand-year excluded
+    for m in range(1, 12):
+        li.append((200, datetime(1995, m, 15), 500.0, 0.0))
+    part = [(100, "Brand#A"), (200, "Brand#B")]
+
+    d = str(tmp_path / "dev_star")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        li, "l_partkey long, l_shipdate timestamp, l_extendedprice double, l_discount double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(part, "p_partkey long, p_brand string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "part.parquet"))
+
+    rows = brand_monthly_deviation_topk(spark, d).collect()
+    assert {r.p_brand for r in rows} == {"Brand#A"}
+    got = [(r.rnk, r.mon, r.sales) for r in sorted(rows, key=lambda r: r.rnk)]
+    assert got == [(1, 6, 220.0), (2, 1, 40.0), (3, 2, 100.0)]
