@@ -55,6 +55,35 @@ def main() -> None:
         timings[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
 
+    # Materialization-honest column (r14 verdict item 5): count() lets
+    # Catalyst prune unprojected columns and their producing work — the
+    # historical columns above keep that protocol for cross-round
+    # comparability, while this column forces EVERY output column to be
+    # computed via a hash-all-columns aggregate (xxhash64 over the full
+    # row, summed to one row — so driver-side row materialization still
+    # stays out of the timing). A query whose two numbers diverge
+    # meaningfully does real work count() was pruning; docs/PERF.md
+    # reads the divergence per round.
+    from pyspark.sql import functions as F
+
+    materialized: dict[str, float] = {}
+
+    def mat_run(op) -> float:
+        # time from builder invocation, exactly like the count()
+        # column: iterative ops (connected components, trainers) do
+        # driver-side rounds INSIDE the builder, which an action-only
+        # timer would silently exclude
+        t0 = time.perf_counter()
+        df = op.builder(spark, sf_dir)
+        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        # bit_xor: overflow-free fold (sum of longs trips ANSI mode)
+        df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()
+        return time.perf_counter() - t0
+
+    for name, op in ops.items():
+        mat_run(op)  # separate warmup: distinct plan from count()
+        materialized[name] = round(min(mat_run(op) for _ in range(passes)), 3)
+
     # Calibration query (r12, the bench-noise verdict item): fixed
     # CPU-bound work with a trivial plan (sum over a range — no I/O, no
     # shuffle, no data dependence), same warmup + min-of-passes
@@ -101,6 +130,11 @@ def main() -> None:
         "queries_median": medians,
         "queries_median_calibrated": {
             name: round(sec / calib_median, 2) for name, sec in medians.items()
+        },
+        # min-of-passes under the hash-all-columns action (see above)
+        "queries_materialized": materialized,
+        "queries_materialized_calibrated": {
+            name: round(sec / calib, 2) for name, sec in materialized.items()
         },
     }
     sys.stdout.write(json.dumps(result) + "\n")

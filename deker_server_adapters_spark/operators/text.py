@@ -1421,6 +1421,63 @@ FROM w
 """
 
 
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mix as an actual training corpus
+    (r14 verdict item 6): each doc is kept with probability
+    min(1, expected_epochs(source)) — the α=0.7 weights of
+    ``docs_source_temperature_mix`` applied as deterministic per-doc
+    hash gates (the ``docs_weighted_sample`` md5 device, keyed by the
+    broadcast per-source weight table). Downweighted (large) sources
+    are Bernoulli-thinned to their temperature share; oversampled
+    (small) sources cap at p = 1 — a SAMPLE can only repeat docs at
+    training time, so their >1 epochs ride along in ``p_bps`` /
+    ``expected_epochs`` for the dataloader to apply, and every row
+    carries its inclusion probability for Horvitz-Thompson
+    reweighting.
+
+    Determinism across engines: the gate is a pure integer function
+    of doc_id (md5 hex -> int, basis points), and p_bps derives from
+    the tie-safe-rounded expected_epochs by one more tie-safe round
+    at 0 decimals — integers end to end once past the shared
+    temperature arithmetic. Scale shape: the |sources|-row weight
+    table (one map-side-combined agg) broadcasts onto the documents
+    scan; the gate is row-local — the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    weights = docs_source_temperature_mix(spark, sf_dir).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            round_ties_safe(F.col("expected_epochs") * 10000, 0).cast("long"),
+        ).alias("p_bps"),
+        "expected_epochs",
+    )
+    gate = (
+        "CAST(conv(substr(md5(concat('tsample:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+        " AS BIGINT) % 10000"
+    )
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .filter(F.expr(gate) < F.col("p_bps"))
+        .select("doc_id", "source", "p_bps", "expected_epochs")
+    )
+
+
+TEMPERATURE_SAMPLE_SQL = f"""
+WITH mix AS ({SOURCE_TEMPERATURE_SQL}),
+w AS (
+  SELECT source,
+         least(CAST(10000 AS BIGINT),
+               CAST({round_ties_safe_sql("expected_epochs * 10000", 0)} AS BIGINT)) AS p_bps,
+         expected_epochs
+  FROM mix
+)
+SELECT doc_id, d.source AS source, p_bps, expected_epochs
+FROM documents d JOIN w ON d.source = w.source
+WHERE CAST(CAST('0x' || substr(md5('tsample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT) % 10000
+      < p_bps
+"""
+
+
 # --- character-level Shannon entropy (r9) -----------------------------
 
 _LN2 = 0.6931471805599453
@@ -1537,6 +1594,16 @@ OPS = {
             "expected epochs per source — the multilingual mixture "
             "rebalancing recipe; pow on exact integer counts, rounded "
             "then decimal-normalized"
+        ),
+    ),
+    "docs_temperature_sample": Op(
+        "docs_temperature_sample",
+        docs_temperature_sample,
+        TEMPERATURE_SAMPLE_SQL,
+        description=(
+            "the temperature mix materialized as a corpus: per-source "
+            "p = min(1, expected_epochs) applied as a deterministic "
+            "per-doc md5 gate, Horvitz-Thompson p_bps riding along"
         ),
     ),
     "docs_lm_quality_tiers": Op(

@@ -3948,6 +3948,241 @@ FROM r WHERE rnk <= 3
 """
 
 
+# --- TPC-DS tranche 5 (r15): inventory/date-window shapes ------------
+
+
+def part_fulfillment_lag_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q72 shape: the notorious multi-join whose selective
+    predicate is a DATE-OFFSET INEQUALITY between two fact-side dates
+    (Q72: inventory week vs sale date + 5 days; here: ship date more
+    than 75 days past the order date — the promise-window miss), with
+    three dimensions resolved alongside. Emits, per (nation, brand):
+    line count, late-line count, late fraction, and late revenue.
+
+    Spark-first plan: the inequality is a row-local predicate of the
+    single lineitem-orders equi-join — Catalyst evaluates it inside
+    the join stage, so unlike Q72's literal inventory self-join no
+    second fact shuffle ever exists. part / supplier / nation all
+    broadcast into the fact scan; the only shuffle is the final
+    (nation, brand) aggregate over a ~|nations|x|brands| lattice.
+    Late revenue is decimal-accumulated (dsum); late_frac divides
+    exact integer counts, tie-safe rounded."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    late = F.datediff("l_shipdate", "o_orderdate") > 75
+    net = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name", "p_brand", late.alias("late"), net.alias("net")
+        )
+    )
+    agg = base.groupBy("n_name", "p_brand").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("n_late"),
+        F.round(
+            F.sum(F.when(F.col("late"), F.col("net")).otherwise(F.lit(0).cast("decimal(30,6)"))),
+            2,
+        ).cast("double").alias("late_revenue"),
+    )
+    return agg.select(
+        "n_name",
+        "p_brand",
+        "n_lines",
+        "n_late",
+        round_ties_safe(
+            F.col("n_late").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("late_frac"),
+        "late_revenue",
+    ).filter(F.col("n_late") > 0)
+
+
+FULFILLMENT_LAG_SQL = f"""
+WITH base AS (
+  SELECT n_name, p_brand,
+         date_diff('day', o_orderdate, l_shipdate) > 75 AS late,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+), agg AS (
+  SELECT n_name, p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         CAST(/* native-round-ok: DECIMAL */ round(sum(CASE WHEN late THEN net ELSE CAST(0 AS DECIMAL(30,6)) END), 2) AS DOUBLE) AS late_revenue
+  FROM base GROUP BY n_name, p_brand
+)
+SELECT n_name, p_brand, n_lines, n_late,
+       {round_ties_safe_sql("CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)", 6)} AS late_frac,
+       late_revenue
+FROM agg WHERE n_late > 0
+"""
+
+
+def multi_supplier_return_orders_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q95 shape: orders that BOTH span at least two distinct
+    suppliers across their lines (Q95's ws1/ws2 different-warehouse
+    EXISTS self-join) AND contain a returned line (Q95's web_returns
+    EXISTS) — rolled up per order month: qualifying-order count and
+    their total price.
+
+    Spark-first plan: Q95's two EXISTS over a self-joined fact
+    re-express as ONE map-side-combined aggregate over lineitem
+    (count distinct suppliers + any-return flag per order) — the
+    well-known rewrite that deletes both self-join shuffles; the
+    only remaining shuffles are the per-order aggregate and the
+    order-month rollup. The ORACLE deliberately keeps the literal
+    double-EXISTS self-join form, so the driver pins the rewrite's
+    equivalence, not a shared formula. Total price is
+    decimal-accumulated."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_ret"),
+    )
+    qual = per_order.filter((F.col("n_supp") >= 2) & (F.col("has_ret") == 1))
+    return (
+        orders.join(qual, orders.o_orderkey == qual.l_orderkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.month("o_orderdate").cast("int").alias("mon"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+MULTI_SUPPLIER_RETURN_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mon,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(/* native-round-ok: DECIMAL */ round(sum(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price
+FROM orders o
+WHERE EXISTS (
+        SELECT 1 FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_suppkey <> l2.l_suppkey
+        WHERE l1.l_orderkey = o.o_orderkey)
+  AND EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = o.o_orderkey AND l3.l_returnflag = 'R')
+GROUP BY yr, mon
+"""
+
+
+def customer_channel_spend_ratio_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q78 shape: the cross-channel per-customer ratio rollup —
+    per (customer, year) net revenue in the express vs standard
+    channel, customers ACTIVE IN BOTH, kept when express spend is at
+    least twice standard spend. The threshold is EXACT decimal
+    arithmetic (``e >= s·2`` on DECIMAL(18,6) sums — never a double
+    ratio); the top-5 per year rank orders by the tie-safe-rounded
+    ratio (identical in both engines by the house rounding contract)
+    with c_custkey breaking residual ties.
+
+    Scale shape: one lineitem-orders equi-join (the fact shuffle), one
+    map-side-combined (custkey, yr) aggregate with conditional sums,
+    a row-local filter, and a rank window over the few survivors per
+    year. The DECIMAL(18,6) downcast bounds per-(customer, channel,
+    year) revenue at 1e12."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        _channel_col().alias("channel"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(30,6)")
+        .alias("net"),
+    )
+    per = (
+        base.filter(F.col("channel").isin("express", "standard"))
+        .groupBy("o_custkey", "yr")
+        .agg(
+            F.sum(F.when(F.col("channel") == "express", F.col("net")))
+            .cast("decimal(18,6)")
+            .alias("e"),
+            F.sum(F.when(F.col("channel") == "standard", F.col("net")))
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+        .filter(F.col("e").isNotNull() & F.col("s").isNotNull())
+        .filter(F.col("e") >= F.col("s") * 2)
+    )
+    ratio = round_ties_safe(
+        F.col("e").cast("double") / F.col("s").cast("double"), 6
+    )
+    ranked = per.withColumn("ratio", ratio).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("yr").orderBy(
+                F.col("ratio").desc(), F.col("o_custkey")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        F.col("yr").cast("int").alias("yr"),
+        F.col("o_custkey").cast("long").alias("c_custkey"),
+        # native-round-ok: DECIMAL(18,6) sums — exact
+        F.round(F.col("e"), 2).cast("double").alias("express_spend"),
+        F.round(F.col("s"), 2).cast("double").alias("standard_spend"),
+        "ratio",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+CHANNEL_SPEND_RATIO_SQL = f"""
+WITH base AS (
+  SELECT o_custkey, year(o_orderdate) AS yr, {_CHANNEL_CASE_SQL} AS channel,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT o_custkey, yr,
+         CAST(sum(CASE WHEN channel = 'express'  THEN net END) AS DECIMAL(19,6)) AS e,
+         CAST(sum(CASE WHEN channel = 'standard' THEN net END) AS DECIMAL(19,6)) AS s
+  FROM base WHERE channel IN ('express', 'standard')
+  GROUP BY o_custkey, yr
+), kept AS (
+  SELECT o_custkey, yr, e, s,
+         {round_ties_safe_sql("CAST(e AS DOUBLE) / CAST(s AS DOUBLE)", 6)} AS ratio
+  FROM per
+  WHERE e IS NOT NULL AND s IS NOT NULL AND e >= s * 2
+), ranked AS (
+  SELECT yr, o_custkey, e, s, ratio,
+         row_number() OVER (PARTITION BY yr ORDER BY ratio DESC, o_custkey) AS rnk
+  FROM kept
+)
+SELECT CAST(yr AS INT) AS yr, CAST(o_custkey AS BIGINT) AS c_custkey,
+       CAST(/* native-round-ok: DECIMAL */ round(e, 2) AS DOUBLE) AS express_spend,
+       CAST(/* native-round-ok: DECIMAL */ round(s, 2) AS DOUBLE) AS standard_spend,
+       ratio, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 OPS = {
     "orders_open_backlog": Op(
         "orders_open_backlog",
@@ -4342,6 +4577,36 @@ OPS = {
             "global revenue-ordered cumsum via log2-magnitude buckets + "
             "broadcast prefix offsets — no SinglePartition window; "
             "decimal-exact accumulation"
+        ),
+    ),
+    "part_fulfillment_lag_q72": Op(
+        "part_fulfillment_lag_q72",
+        part_fulfillment_lag_q72,
+        FULFILLMENT_LAG_SQL,
+        description=(
+            "TPC-DS Q72 shape: multi-join with a cross-table "
+            "date-offset inequality (ship > order + 75d), dims "
+            "broadcast, one fact shuffle"
+        ),
+    ),
+    "multi_supplier_return_orders_q95": Op(
+        "multi_supplier_return_orders_q95",
+        multi_supplier_return_orders_q95,
+        MULTI_SUPPLIER_RETURN_SQL,
+        description=(
+            "TPC-DS Q95 shape: double EXISTS over self-joined fact "
+            "rewritten as one per-order aggregate; oracle keeps the "
+            "literal EXISTS form to pin the rewrite"
+        ),
+    ),
+    "customer_channel_spend_ratio_q78": Op(
+        "customer_channel_spend_ratio_q78",
+        customer_channel_spend_ratio_q78,
+        CHANNEL_SPEND_RATIO_SQL,
+        description=(
+            "TPC-DS Q78 shape: per-customer cross-channel spend ratio, "
+            "exact-decimal threshold (e >= 2s), top-5 per year on the "
+            "tie-safe-rounded ratio"
         ),
     ),
 }

@@ -410,7 +410,21 @@ class DekerReader(DataSourceReader):
     set — so a batch read racing writers/compaction is READ-COMMITTED
     per chunk partition, not a planning-time snapshot (a file committed
     after planning can appear in the result). Quiescent stores read
-    exactly the planned snapshot."""
+    exactly the planned snapshot.
+
+    Column-pruning boundary (r14 verdict): this reader materializes the
+    FULL cell schema regardless of the query's projection — the Python
+    DataSource API (as of Spark 4.x) offers ``pushFilters`` but no
+    projection-pushdown hook, so Spark prunes columns ABOVE the scan.
+    Currently harmless: the cell schema is array_id + one int64 per
+    dimension + value (plus opt-in label/ts columns only when
+    ``labels=true`` is set), the expensive inputs (parquet run files)
+    are read column-complete anyway because every run column
+    participates in cell expansion, and the per-cell emit cost is a few
+    fixed Arrow arrays. If the schema ever widens (e.g. per-cell
+    attribute columns), revisit: ``read_cols`` (consumed by
+    ``_chunk_cell_batches``) is already the single seam — populating it
+    from a pruned schema is the only change the emit path needs."""
 
     def __init__(
         self,
@@ -427,7 +441,9 @@ class DekerReader(DataSourceReader):
         self.dim_names = [d["name"] for d in meta["schema"]["dimensions"]]
         self.dim_meta = _dim_meta(meta)
         self.shape, self.chunk_shape = _grid_geometry(meta)
-        self.read_cols = [f.name for f in schema.fields]  # column pruning
+        # full source schema: the Python DS API has no projection
+        # pushdown (see class docstring, column-pruning boundary)
+        self.read_cols = [f.name for f in schema.fields]
         self.array_ids: set[str] | None = None  # None = all arrays
         # per-dim [lo, hi) bounds, tightened by pushed filters
         self.bounds = [[0, s] for s in self.shape]

@@ -2338,3 +2338,195 @@ def test_monthly_deviation_complete_year_and_tiebreak(spark, tmp_path):
     assert {r.p_brand for r in rows} == {"Brand#A"}
     got = [(r.rnk, r.mon, r.sales) for r in sorted(rows, key=lambda r: r.rnk)]
     assert got == [(1, 6, 220.0), (2, 1, 40.0), (3, 2, 100.0)]
+
+
+def _write_tables(tmp_path, spark, name, tables):
+    """Write ad-hoc tables (dict name -> (rows, schema)) for planted
+    tests whose ops need columns _write_mini_star doesn't carry."""
+    import os
+
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    for t, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    return d
+
+
+def test_fulfillment_lag_boundary_strict(spark, tmp_path):
+    """Q72 shape pinned independently (tranche-5): the date-offset
+    inequality is STRICT — a line shipped exactly 75 days after the
+    order is on time; 76 days is late — and only the late line's net
+    revenue accumulates."""
+    from datetime import datetime, timedelta
+
+    from deker_server_adapters_spark.operators.tpch import part_fulfillment_lag_q72
+
+    d0 = datetime(1995, 1, 1)
+    orders = [(1, 1, d0, "1-URGENT")]
+    li = [
+        # (orderkey, partkey, suppkey, shipdate, price, discount)
+        (1, 100, 10, d0 + timedelta(days=76), 200.0, 0.5),  # late: net 100
+        (1, 100, 10, d0 + timedelta(days=75), 999.0, 0.0),  # boundary: on time
+        (1, 100, 10, d0 + timedelta(days=1), 999.0, 0.0),   # on time
+    ]
+    d = _write_tables(
+        tmp_path,
+        spark,
+        "q72_star",
+        {
+            "orders": (orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderpriority string"),
+            "lineitem": (li, "l_orderkey long, l_partkey long, l_suppkey long, l_shipdate timestamp, l_extendedprice double, l_discount double"),
+            "part": ([(100, "Brand#A")], "p_partkey long, p_brand string"),
+            "supplier": ([(10, 3)], "s_suppkey long, s_nationkey int"),
+            "nation": ([(3, "FRANCE")], "n_nationkey int, n_name string"),
+        },
+    )
+    rows = part_fulfillment_lag_q72(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_name, r.p_brand, r.n_lines, r.n_late, r.late_revenue) == (
+        "FRANCE", "Brand#A", 3, 1, 100.0
+    )
+    assert abs(r.late_frac - 0.333333) < 1e-9
+
+
+def test_multi_supplier_return_both_exists_required(spark, tmp_path):
+    """Q95 shape pinned independently (tranche-5): an order qualifies
+    only with BOTH >=2 distinct suppliers AND a returned line — each
+    condition alone is insufficient, so the per-order-aggregate
+    rewrite must not weaken either EXISTS."""
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        multi_supplier_return_orders_q95,
+    )
+
+    dt = datetime(1996, 3, 1)
+    orders = [
+        (1, 100.0, dt),  # 2 suppliers + return: qualifies
+        (2, 100.0, dt),  # 1 supplier + return: no
+        (3, 100.0, dt),  # 2 suppliers, no return: no
+        (4, 100.0, dt),  # 1 supplier, no return: no
+    ]
+    li = [
+        (1, 10, "R"), (1, 20, "N"),
+        (2, 10, "R"), (2, 10, "R"),
+        (3, 10, "N"), (3, 20, "N"),
+        (4, 10, "N"),
+    ]
+    d = _write_tables(
+        tmp_path,
+        spark,
+        "q95_star",
+        {
+            "orders": (orders, "o_orderkey long, o_totalprice double, o_orderdate timestamp"),
+            "lineitem": (li, "l_orderkey long, l_suppkey long, l_returnflag string"),
+        },
+    )
+    rows = multi_supplier_return_orders_q95(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.yr, r.mon, r.n_orders, r.total_price) == (1996, 3, 1, 100.0)
+
+
+def test_channel_spend_ratio_threshold_inclusive_and_tiebreak(spark, tmp_path):
+    """Q78 shape pinned independently (tranche-5): the e >= 2s
+    threshold is INCLUSIVE and exact on decimals (e == 2s survives; a
+    cent less does not), both channels must be present, and equal
+    rounded ratios rank by ascending custkey."""
+    from datetime import datetime
+
+    from deker_server_adapters_spark.operators.tpch import (
+        customer_channel_spend_ratio_q78,
+    )
+
+    dt = datetime(1995, 6, 1)
+    EXPR, STD = "1-URGENT", "3-MEDIUM"
+    orders, li = [], []
+
+    def sale(cust, prio, price):
+        ok = len(orders) + 1
+        orders.append((ok, cust, dt, prio))
+        li.append((ok, price, 0.0))
+
+    # c1: e=200, s=100 -> ratio exactly 2.0: kept (inclusive boundary)
+    sale(1, EXPR, 200.0); sale(1, STD, 100.0)
+    # c2: e=199.99, s=100 -> below 2s by a cent: dropped
+    sale(2, EXPR, 199.99); sale(2, STD, 100.0)
+    # c3: e=200, s=100 -> same ratio as c1: tie -> custkey ascending
+    sale(3, EXPR, 200.0); sale(3, STD, 100.0)
+    # c4: express only: dropped (both channels required)
+    sale(4, EXPR, 500.0)
+
+    d = _write_tables(
+        tmp_path,
+        spark,
+        "q78_star",
+        {
+            "orders": (orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_orderpriority string"),
+            "lineitem": (li, "l_orderkey long, l_extendedprice double, l_discount double"),
+        },
+    )
+    rows = sorted(
+        customer_channel_spend_ratio_q78(spark, d).collect(), key=lambda r: r.rnk
+    )
+    assert [(r.rnk, r.c_custkey, r.ratio) for r in rows] == [
+        (1, 1, 2.0), (2, 3, 2.0)
+    ]
+
+
+def test_temperature_sample_planted_rates(spark, tmp_path):
+    """docs_temperature_sample pinned independently: membership is the
+    pure-Python md5 gate (no engine involved) at p_bps derived from
+    the planted token counts, the oversampled small source caps at
+    p_bps = 10000 (every doc kept, epochs > 1 riding along), and the
+    big source thins to its temperature share."""
+    import hashlib
+    import os
+
+    from deker_server_adapters_spark.operators.text import docs_temperature_sample
+
+    # big source: 400 docs x 10 tokens; small: 4 docs x 10 tokens
+    rows = []
+    for i in range(400):
+        rows.append((i, "tok " * 9 + "tok", "en", "big"))
+    for i in range(400, 404):
+        rows.append((i, "tok " * 9 + "tok", "en", "small"))
+    d = str(tmp_path / "tsamp_sf")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.doc_id: r for r in docs_temperature_sample(spark, d).collect()}
+
+    # independent Python replica of the arithmetic + gate
+    tok = {"big": 4000, "small": 40}
+    pw = {s: round(n**0.7, 6) for s, n in tok.items()}
+    totpw, tottok = sum(pw.values()), sum(tok.values())
+    p_bps = {}
+    for s in tok:
+        w = round(pw[s] / totpw, 6)
+        epochs = round(w * tottok / tok[s], 6)
+        p_bps[s] = min(10000, round(epochs * 10000))
+    assert p_bps["small"] == 10000  # oversampled source caps at 1
+
+    def gate(doc_id: int) -> int:
+        h = hashlib.md5(f"tsample:{doc_id}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10000
+
+    want = {
+        i: s
+        for i, _, _, s in [(r[0], r[1], r[2], r[3]) for r in rows]
+        if gate(i) < p_bps[s]
+    }
+    assert set(got) == set(want)
+    assert all(got[i].source == s for i, s in want.items())
+    assert all(got[i].p_bps == p_bps[got[i].source] for i in got)
+    # every small-source doc survives; the big source actually thinned
+    assert {400, 401, 402, 403} <= set(got)
+    n_big = sum(1 for i in got if got[i].source == "big")
+    assert 0 < n_big < 400
+    assert abs(n_big / 400 - p_bps["big"] / 10000) < 0.08

@@ -413,6 +413,7 @@ _INTENTIONAL_BNLJ = {
     "events_user_value_decay",
     "docs_source_token_mix",
     "docs_source_temperature_mix",
+    "docs_temperature_sample",  # inherits the mix's 1-row totals ride
     "docs_tfidf_topk",
     "text_term_pmi",
     "events_hll_distinct",
@@ -633,3 +634,26 @@ def test_graph_family_reuses_exchanges_and_takeordered(spark, sf_dir):
         assert "ReusedExchange" in plan
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+def test_q72_dims_broadcast_single_agg_shuffle(spark, sf_dir):
+    """Tranche-5 Q72 shape: part/supplier/nation broadcast into the
+    fact scan (the date-offset inequality rides the equi-join as a
+    row-local predicate — no second fact shuffle), and the only hash
+    exchange is the final (nation, brand) aggregate."""
+    plan = physical_plan(_plan(spark, sf_dir, "part_fulfillment_lag_q72"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q95_rewrite_is_aggregate_not_self_join(spark, sf_dir):
+    """Tranche-5 Q95 shape: the double-EXISTS self-join is rewritten
+    as ONE per-order aggregate — lineitem appears in the plan exactly
+    once, and no join carries an inequality condition."""
+    plan = physical_plan(_plan(spark, sf_dir, "multi_supplier_return_orders_q95"))
+    # one lineitem scan only: the rewrite never self-joins the fact
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
