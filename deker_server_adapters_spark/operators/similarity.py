@@ -1056,7 +1056,17 @@ _HY_MAX_TABLES = 24  # covers nbits up to _TJ_MIN_BITS + 4
 # new pair regime, LSH candidate volume scales by exactly (1+nprobes).
 # nprobes = 0 through nbits 6 (the certified 1x/10x behavior is
 # bit-identical), 1 at nbits 7, 2 from nbits 8 on.
-_HY_MAX_PROBES = 2
+#
+# _HY_LADDER_MAX_PROBES is what the LADDER ever emits (the production
+# contract, unchanged since r14). _HY_MAX_PROBES is the COMPILED probe
+# capacity of the signature explode and the DuckDB twin's unroll — one
+# entry above the ladder cap (r15) so tools/hybrid_frontier.py can
+# FORCE nprobes=3 and measure whether a 4th probe volume buys recall
+# at ~100x before the shard-above-n contract takes over; every
+# above-ladder entry is gated `p < nprobes` in both engines, so with
+# the ladder in charge the extra branch is dead code on every corpus.
+_HY_LADDER_MAX_PROBES = 2
+_HY_MAX_PROBES = 3
 
 
 def _hy_tables_for_bits(b: int) -> int:
@@ -1068,7 +1078,7 @@ def _hy_tables_for_bits(b: int) -> int:
 def _hy_probes_for_bits(b: int) -> int:
     if b <= 6:
         return 0
-    return 1 if b == 7 else _HY_MAX_PROBES
+    return 1 if b == 7 else _HY_LADDER_MAX_PROBES
 
 
 def _hy_tables_ladder_sql(n_expr: str) -> str:

@@ -33,8 +33,13 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_FRONTIER_RECALL=0 to skip the truth pass (cost-only
      timing runs — recall is run-invariant, wall-clock is not),
      SPARK_GRAFT_DRIVER_MEM (single local-mode heap; the 8g default
-     GC-thrashes past ~60x — use 48g for frontier corpora).
-Prints one JSON line per K; results recorded in docs/PERF.md (r14).
+     GC-thrashes past ~60x — use 48g for frontier corpora),
+     SPARK_GRAFT_FRONTIER_FORCE="b,t,p[;b,t,p...]" (r15): per K, ALSO
+     measure recall + LSH candidate volume + candidate-generation wall
+     at FORCED (nbits, ntables, nprobes) — the knob the r14 verdict's
+     "nprobes=3 vs shard" question needs (nprobes up to the compiled
+     _HY_MAX_PROBES=3; the production ladder still caps at 2).
+Prints one JSON line per K; results recorded in docs/PERF.md (r14/r15).
 """
 
 from __future__ import annotations
@@ -97,11 +102,13 @@ def write_scaled(spark: SparkSession, sf_dir: str, k: int, out_dir: str) -> str:
 
 
 def sampled_recall(
-    spark: SparkSession, sf_dir: str, permille: int
+    spark: SparkSession, sf_dir: str, permille: int, nrow: "DataFrame | None" = None
 ) -> dict[str, float]:
     """Cluster-only and hybrid pair recall at ``_SEM_TAU``, truth pass
     restricted to pairs whose lower id is in the hash sample — the
-    ``dedup_semantic_hybrid_recall`` measurement, sample-bounded."""
+    ``dedup_semantic_hybrid_recall`` measurement, sample-bounded.
+    ``nrow`` (1-row nbits/ntables/nprobes DF) overrides the ladders —
+    the forced-configuration probe the r15 frontier point uses."""
     emb = load_table(spark, sf_dir, "embeddings")
     asg = _sem_assignments(emb)
     a = emb.filter(F.expr(f"pmod(xxhash64(vec_id), 1000) < {permille}")).select(
@@ -125,7 +132,7 @@ def sampled_recall(
     )
     ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
     cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
-    lp = _hybrid_cand_pairs(emb, asg).select(
+    lp = _hybrid_cand_pairs(emb, asg, nrow=nrow).select(
         F.col("vid_b").alias("va"),
         F.col("vec_id").alias("vb"),
         F.lit(1).alias("cand_hit"),
@@ -200,6 +207,29 @@ def main() -> None:
             }
             sys.stdout.write(json.dumps(out) + "\n")
             sys.stdout.flush()
+            # r15: forced-configuration points (nprobes=3 vs shard)
+            for spec in filter(
+                None, os.environ.get("SPARK_GRAFT_FRONTIER_FORCE", "").split(";")
+            ):
+                fb, ft, fp = (int(x) for x in spec.split(","))
+                nrow = spark.createDataFrame(
+                    [(fb, ft, fp)], "nbits int, ntables int, nprobes int"
+                )
+                emb = load_table(spark, scaled_dir, "embeddings")
+                asg = _sem_assignments(emb)
+                t0 = time.perf_counter()
+                n_cand = _hybrid_cand_pairs(emb, asg, nrow=nrow).count()
+                cand_sec = time.perf_counter() - t0
+                frec = sampled_recall(spark, scaled_dir, permille, nrow=nrow)
+                fout = {
+                    "k": k,
+                    "forced": {"nbits": fb, "ntables": ft, "nprobes": fp},
+                    "n_cand_pairs": n_cand,
+                    "cand_sec": round(cand_sec, 2),
+                    **frec,
+                }
+                sys.stdout.write(json.dumps(fout) + "\n")
+                sys.stdout.flush()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
