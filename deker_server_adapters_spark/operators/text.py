@@ -1478,6 +1478,59 @@ WHERE CAST(CAST('0x' || substr(md5('tsample:' || CAST(doc_id AS VARCHAR)), 1, 8)
 """
 
 
+# --- JSONL ingest parity (r15): the crawl-interchange source format ---
+
+
+def _staged_jsonl_documents(spark: SparkSession, sf_dir: str) -> str:
+    """Documents staged once per process as JSON Lines — the
+    interchange format crawl/annotation pipelines actually deliver —
+    so repeated executions time the READ path, not the staging write
+    (the ``deker_datasource_read`` staging discipline)."""
+    import os
+
+    from deker_server_adapters_spark.sources.scratch import staged_dir
+
+    root, staged = staged_dir("deker_spark_jsonl_", sf_dir)
+    path = os.path.join(root, "documents.jsonl")
+    if not staged:
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+    return path
+
+
+def docs_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source-format parity: documents round-trip through JSON
+    Lines (write once per process, then ``spark.read.schema(...).json``
+    — schema PINNED, never inferSchema, which at 100 TB is a second
+    full pass over the data), then aggregate per source: doc count,
+    exact total text length, and an order-free md5 text checksum.
+    The ORACLE computes the same aggregate from the original PARQUET
+    table — so any drift in the JSON path (escaping of quotes /
+    newlines / unicode, column mix-ups, lossy types) is a value-hash
+    mismatch, not a silent corruption. Scale shape: one JSONL scan,
+    one map-side-combined aggregate; |sources| rows shuffle."""
+    jsonl = _staged_jsonl_documents(spark, sf_dir)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(jsonl)
+    text_h = (
+        "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.expr(f"bit_xor({text_h})").alias("text_checksum"),
+    )
+
+
+JSONL_INGEST_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       bit_xor(CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS BIGINT)) AS text_checksum
+FROM documents
+GROUP BY source
+"""
+
+
 # --- character-level Shannon entropy (r9) -----------------------------
 
 _LN2 = 0.6931471805599453
@@ -1604,6 +1657,17 @@ OPS = {
             "the temperature mix materialized as a corpus: per-source "
             "p = min(1, expected_epochs) applied as a deterministic "
             "per-doc md5 gate, Horvitz-Thompson p_bps riding along"
+        ),
+    ),
+    "docs_jsonl_ingest": Op(
+        "docs_jsonl_ingest",
+        docs_jsonl_ingest,
+        JSONL_INGEST_SQL,
+        description=(
+            "JSONL source-format roundtrip: documents staged as JSON "
+            "Lines, read back with a pinned schema, per-source "
+            "count/length/md5-checksum aggregate replayed by the "
+            "oracle from parquet — escaping or type drift hash-fails"
         ),
     ),
     "docs_lm_quality_tiers": Op(

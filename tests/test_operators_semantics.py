@@ -2530,3 +2530,49 @@ def test_temperature_sample_planted_rates(spark, tmp_path):
     n_big = sum(1 for i in got if got[i].source == "big")
     assert 0 < n_big < 400
     assert abs(n_big / 400 - p_bps["big"] / 10000) < 0.08
+
+
+def test_jsonl_ingest_survives_hostile_text(spark, tmp_path):
+    """The JSONL roundtrip aggregate must be computed on EXACTLY the
+    original text — pinned on a corpus built to break naive JSON
+    handling: embedded newlines (the JSON-Lines killer), double
+    quotes, backslashes, tabs, and non-ASCII — by comparing the
+    per-source checksum from the JSONL read against the same
+    aggregate computed directly on the parquet."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.operators.text import docs_jsonl_ingest
+
+    rows = [
+        (1, 'line one\nline two\r\nwindows', "en", "hostile"),
+        (2, 'she said "quoted" and \\backslash\\ and\ttab', "en", "hostile"),
+        (3, "café 中文 emoji \U0001f600", "en", "hostile"),
+        (4, "plain ascii", "en", "plain"),
+    ]
+    d = str(tmp_path / "jsonl_sf")
+    os.makedirs(d, exist_ok=True)
+    src = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    src.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r.source: r for r in docs_jsonl_ingest(spark, d).collect()}
+    text_h = "CAST(conv(substr(md5(text), 1, 8), 16, 10) AS BIGINT)"
+    want = {
+        r.source: r
+        for r in spark.read.parquet(os.path.join(d, "documents.parquet"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.expr(f"bit_xor({text_h})").alias("text_checksum"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) == {"hostile", "plain"}
+    for s in got:
+        assert (got[s].n_docs, got[s].total_chars, got[s].text_checksum) == (
+            want[s].n_docs, want[s].total_chars, want[s].text_checksum
+        ), s
