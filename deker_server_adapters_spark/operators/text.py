@@ -1421,6 +1421,42 @@ FROM w
 """
 
 
+# deterministic per-doc inclusion gate in basis points — a pure
+# integer function of doc_id, shared by the batch op and the streaming
+# twin (same device as docs_weighted_sample, distinct salt)
+_TSAMPLE_GATE = (
+    "CAST(conv(substr(md5(concat('tsample:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) % 10000"
+)
+
+
+def temperature_weight_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The |sources|-row temperature weight table with integer-bps
+    inclusion probabilities — computed BATCH-side (the production
+    cadence: weights derive from yesterday's corpus mix and apply to
+    today's traffic), broadcastable into any doc scan or stream."""
+    return docs_source_temperature_mix(spark, sf_dir).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            round_ties_safe(F.col("expected_epochs") * 10000, 0).cast("long"),
+        ).alias("p_bps"),
+        "expected_epochs",
+    )
+
+
+def apply_temperature_gate(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Row-local sampling gate against a broadcast weight table —
+    STATELESS, so it applies identically to a batch scan and a
+    readStream (the streaming twin is this same function; pinned
+    batch == stream in tests/test_streaming.py)."""
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .filter(F.expr(_TSAMPLE_GATE) < F.col("p_bps"))
+        .select("doc_id", "source", "p_bps", "expected_epochs")
+    )
+
+
 def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the temperature mix as an actual training corpus
     (r14 verdict item 6): each doc is kept with probability
@@ -1443,23 +1479,8 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (one map-side-combined agg) broadcasts onto the documents
     scan; the gate is row-local — the corpus never shuffles."""
     docs = load_table(spark, sf_dir, "documents")
-    weights = docs_source_temperature_mix(spark, sf_dir).select(
-        "source",
-        F.least(
-            F.lit(10000).cast("long"),
-            round_ties_safe(F.col("expected_epochs") * 10000, 0).cast("long"),
-        ).alias("p_bps"),
-        "expected_epochs",
-    )
-    gate = (
-        "CAST(conv(substr(md5(concat('tsample:', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
-        " AS BIGINT) % 10000"
-    )
-    return (
-        docs.join(F.broadcast(weights), "source")
-        .filter(F.expr(gate) < F.col("p_bps"))
-        .select("doc_id", "source", "p_bps", "expected_epochs")
-    )
+    weights = temperature_weight_table(spark, sf_dir)
+    return apply_temperature_gate(docs, weights)
 
 
 TEMPERATURE_SAMPLE_SQL = f"""

@@ -1035,3 +1035,56 @@ def test_streaming_incremental_dedup_equals_batch_multibatch(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_streaming_temperature_sample_equals_batch(spark, sf_dir):
+    """The temperature-sampling gate is stateless and weight-table
+    driven, so the production composition — weights computed BATCH-side
+    from the standing corpus, gate applied to a document readStream —
+    must emit exactly the batch op's rows across multiple micro-batches
+    (no dedup, no state: a doc's membership is a pure function of
+    doc_id and its source's p_bps)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deker_server_adapters_spark.operators.text import (
+        apply_temperature_gate,
+        docs_temperature_sample,
+        temperature_weight_table,
+    )
+    from deker_server_adapters_spark.sources.scratch import scratch_dir, staged_dir
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    stream_dir, staged = staged_dir("deker_docs_tsample_stream_", sf_dir)
+    if not staged:
+        tmp = scratch_dir("deker_docs_tsample_build_")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        ).repartitionByRange(3, "doc_id").write.mode("overwrite").parquet(tmp)
+        base = 1_000_000_000
+        for i, src in enumerate(sorted(glob.glob(tmp + "/part-*.parquet"))):
+            dst = os.path.join(stream_dir, f"{i:04d}.parquet")
+            shutil.copyfile(src, dst)
+            os.utime(dst, (base + 60 * i, base + 60 * i))
+
+    weights = temperature_weight_table(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    _run_stream(apply_temperature_gate(stream, weights), "t_tsample", "append")
+    got = spark.table("t_tsample").toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        docs_temperature_sample(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
