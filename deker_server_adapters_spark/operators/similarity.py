@@ -1055,17 +1055,25 @@ _HY_MAX_TABLES = 24  # covers nbits up to _TJ_MIN_BITS + 4
 # "Hamming distance <= 1 within the probed positions" per table — no
 # new pair regime, LSH candidate volume scales by exactly (1+nprobes).
 # nprobes = 0 through nbits 6 (the certified 1x/10x behavior is
-# bit-identical), 1 at nbits 7, 2 from nbits 8 on.
+# bit-identical), 1 at nbits 7, 2 at nbits 8, 3 from nbits 9 (r15).
 #
-# _HY_LADDER_MAX_PROBES is what the LADDER ever emits (the production
-# contract, unchanged since r14). _HY_MAX_PROBES is the COMPILED probe
-# capacity of the signature explode and the DuckDB twin's unroll — one
-# entry above the ladder cap (r15) so tools/hybrid_frontier.py can
-# FORCE nprobes=3 and measure whether a 4th probe volume buys recall
-# at ~100x before the shard-above-n contract takes over; every
-# above-ladder entry is gated `p < nprobes` in both engines, so with
-# the ladder in charge the extra branch is dead code on every corpus.
-_HY_LADDER_MAX_PROBES = 2
+# The nbits=9 step (nprobes 3) is MEASURED, not extrapolated (r14
+# verdict item 3, tools/hybrid_frontier.py at 100x = 200k vectors, the
+# first corpus to reach the regime): with 2 probes recall fell to
+# 0.694 — under the 0.70 bar for the first time — and the forced 3rd
+# probe bought it back to 0.756 at 1.27x the LSH candidate volume
+# (3.04e9 -> 3.87e9 pairs on the replicated frontier corpus). The
+# decay trend (+1 bit ~ -0.12 recall, +1 probe ~ +0.06) says probing
+# CANNOT keep paying past this regime: at nbits >= 10 (n > 262,144 =
+# the nbits=9 ceiling), SHARD instead — run the op per <= 262k-vector
+# shard at the certified ladder points and merge verdicts
+# (docs/PERF.md, r15 frontier section, states the recommendation).
+#
+# _HY_MAX_PROBES is both the ladder max and the COMPILED probe
+# capacity of the signature explode / DuckDB twin unroll; every entry
+# is gated `p < nprobes` in both engines, and the frontier harness can
+# force above-ladder values only after raising the capacity (how the
+# r15 measurement was taken at capacity 3, ladder-capped 2).
 _HY_MAX_PROBES = 3
 
 
@@ -1078,7 +1086,7 @@ def _hy_tables_for_bits(b: int) -> int:
 def _hy_probes_for_bits(b: int) -> int:
     if b <= 6:
         return 0
-    return 1 if b == 7 else _HY_LADDER_MAX_PROBES
+    return min(b - 6, _HY_MAX_PROBES)
 
 
 def _hy_tables_ladder_sql(n_expr: str) -> str:
