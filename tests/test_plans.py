@@ -569,10 +569,13 @@ def test_hybrid_tables_ladder_sql_matches_python(spark):
             assert got_tables == _hy_tables_for_bits(want_bits), (n, got_tables)
             assert got_probes == _hy_probes_for_bits(want_bits), (n, got_probes)
     # the certified small-corpus regimes stay probe-free; probing
-    # engages one step after the tables ladder starts climbing
+    # engages one step after the tables ladder starts climbing and
+    # caps at 3 from nbits 9 (the r15 100x-measured extension)
     assert _hy_probes_for_bits(6) == 0
     assert _hy_probes_for_bits(7) == 1
-    assert _hy_probes_for_bits(12) == 2
+    assert _hy_probes_for_bits(8) == 2
+    assert _hy_probes_for_bits(9) == 3
+    assert _hy_probes_for_bits(12) == 3
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
