@@ -68,6 +68,15 @@ def main() -> None:
 
     materialized: dict[str, float] = {}
 
+    def _hashable(df, c):
+        # xxhash64 rejects MapType (and map-bearing nests) with an
+        # AnalysisException — route those through to_json so a future
+        # map-emitting headline op degrades to a still-total hash
+        # instead of crashing the whole bench run (r15 advice)
+        t = df.schema[c].dataType.simpleString()
+        col = F.col(c)
+        return F.to_json(col) if "map<" in t else col
+
     def mat_run(op) -> float:
         # time from builder invocation, exactly like the count()
         # column: iterative ops (connected components, trainers) do
@@ -75,7 +84,7 @@ def main() -> None:
         # timer would silently exclude
         t0 = time.perf_counter()
         df = op.builder(spark, sf_dir)
-        h = F.xxhash64(*[F.col(c) for c in df.columns])
+        h = F.xxhash64(*[_hashable(df, c) for c in df.columns])
         # bit_xor: overflow-free fold (sum of longs trips ANSI mode)
         df.select(h.alias("h")).agg(F.expr("bit_xor(h)")).collect()
         return time.perf_counter() - t0

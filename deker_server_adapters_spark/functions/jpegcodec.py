@@ -480,6 +480,23 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF before SOS")
     if len(scan) != len(comps):
         raise NotImplementedError("multi-scan JPEG not supported")
+    # Match each SOS entry to its SOF component by component-selector
+    # id, NOT positionally (r15 advice): a payload whose SOS lists
+    # components in a different order than SOF would otherwise decode
+    # with swapped quant tables and wrong per-component geometry —
+    # garbage pixels with no error. The MCU interleave order is the
+    # SCAN order (T.81 A.2.3); planes/prev_dc stay indexed by the SOF
+    # component index so the colour-model logic below is unaffected.
+    by_cid = {c[0]: i for i, c in enumerate(comps)}
+    if len(by_cid) != len(comps):
+        raise ValueError("duplicate JPEG component ids in SOF")
+    scan_order = []
+    for cs, td, ta in scan:
+        if cs not in by_cid:
+            raise ValueError("JPEG scan references unknown component")
+        scan_order.append((by_cid[cs], td, ta))
+    if sorted(ci for ci, _, _ in scan_order) != list(range(len(comps))):
+        raise ValueError("duplicate JPEG component selector in scan")
 
     # Interleaved MCU geometry (T.81 A.2.3): an MCU covers an
     # (8·Vmax x 8·Hmax) pixel tile; component i contributes Vi x Hi
@@ -511,9 +528,8 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                         br.align_after_restart()
                         prev_dc = [0] * len(comps)
                 mcu += 1
-                for ci, ((comp, hi, vi, tq), (cs, td, ta)) in enumerate(
-                    zip(comps, scan)
-                ):
+                for ci, td, ta in scan_order:
+                    comp, hi, vi, tq = comps[ci]
                     dc_h, ac_h = huff.get((0, td)), huff.get((1, ta))
                     if dc_h is None or ac_h is None:
                         raise ValueError("JPEG scan references missing DHT")

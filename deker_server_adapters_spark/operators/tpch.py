@@ -4094,7 +4094,7 @@ def customer_channel_spend_ratio_q78(spark: SparkSession, sf_dir: str) -> DataFr
     per (customer, year) net revenue in the express vs standard
     channel, customers ACTIVE IN BOTH, kept when express spend is at
     least twice standard spend. The threshold is EXACT decimal
-    arithmetic (``e >= s·2`` on DECIMAL(18,6) sums — never a double
+    arithmetic (``e >= s·2`` on DECIMAL(19,6) sums — never a double
     ratio); the top-5 per year rank orders by the tie-safe-rounded
     ratio (identical in both engines by the house rounding contract)
     with c_custkey breaking residual ties.
@@ -4102,8 +4102,13 @@ def customer_channel_spend_ratio_q78(spark: SparkSession, sf_dir: str) -> DataFr
     Scale shape: one lineitem-orders equi-join (the fact shuffle), one
     map-side-combined (custkey, yr) aggregate with conditional sums,
     a row-local filter, and a rank window over the few survivors per
-    year. The DECIMAL(18,6) downcast bounds per-(customer, channel,
-    year) revenue at 1e12."""
+    year. The DECIMAL(19,6) downcast bounds per-(customer, channel,
+    year) revenue at 1e13 — the SAME precision in BOTH engines (r15
+    advice: an 18-vs-19 mismatch made overflow a silent cross-engine
+    divergence inside the comparable range; with the bounds aligned,
+    past-bound behavior is a NULL-dropped row under non-ANSI Spark and
+    a loud cast error in the DuckDB oracle — divergence can no longer
+    hide inside in-bounds data)."""
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
     )
@@ -4123,10 +4128,10 @@ def customer_channel_spend_ratio_q78(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("o_custkey", "yr")
         .agg(
             F.sum(F.when(F.col("channel") == "express", F.col("net")))
-            .cast("decimal(18,6)")
+            .cast("decimal(19,6)")
             .alias("e"),
             F.sum(F.when(F.col("channel") == "standard", F.col("net")))
-            .cast("decimal(18,6)")
+            .cast("decimal(19,6)")
             .alias("s"),
         )
         .filter(F.col("e").isNotNull() & F.col("s").isNotNull())

@@ -580,6 +580,53 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     np.testing.assert_array_equal(decode_jpeg_gray(padded), want)
 
 
+def test_jpeg_sos_selector_matched_by_cid_not_position():
+    """r15 advice: SOS scan entries must bind to the SOF component
+    whose cid equals the component selector — not positionally. An
+    unknown selector or a duplicated selector is a loud ValueError
+    (previously the selector byte was ignored entirely), and a file
+    whose component id is any legal value (re-id'd consistently in
+    SOF + SOS) decodes identically."""
+    import pytest
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    px = (np.arange(64, dtype=np.uint8).reshape(8, 8)) * 3
+    clean = encode_jpeg_gray(px, 95)
+    want = decode_jpeg_gray(clean)
+
+    # selector that names no SOF component -> ValueError, not garbage
+    i = clean.find(b"\xff\xda")
+    bad = bytearray(clean)
+    assert bad[i + 5] == 1  # the encoder's grayscale cid
+    bad[i + 5] = 9
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg_gray(bytes(bad))
+
+    # consistent re-id (cid 1 -> 7 in BOTH SOF and SOS) decodes the
+    # same pixels — the binding is by id, with no positional residue
+    j = clean.find(b"\xff\xc0")
+    reid = bytearray(clean)
+    assert reid[j + 10] == 1  # SOF cid
+    reid[j + 10] = 7
+    reid[i + 5] = 7
+    np.testing.assert_array_equal(decode_jpeg_gray(bytes(reid)), want)
+
+    # duplicated selector in a 3-component scan -> ValueError
+    rgb = np.dstack([px, px.T, 255 - px])
+    color = encode_jpeg_color(rgb, 95)
+    k = color.find(b"\xff\xda")
+    dup = bytearray(color)
+    assert dup[k + 5] == 1 and dup[k + 7] == 2 and dup[k + 9] == 3
+    dup[k + 7] = 1
+    with pytest.raises(ValueError, match="duplicate"):
+        decode_jpeg_gray(bytes(dup))
+
+
 def test_jpeg_codec_roundtrip_property():
     """Property pin: random images at random qualities decode within
     the per-quality error bound, any shape (including non-multiples

@@ -2484,6 +2484,7 @@ def test_temperature_sample_planted_rates(spark, tmp_path):
     p_bps = 10000 (every doc kept, epochs > 1 riding along), and the
     big source thins to its temperature share."""
     import hashlib
+    import math
     import os
 
     from deker_server_adapters_spark.operators.text import docs_temperature_sample
@@ -2510,7 +2511,10 @@ def test_temperature_sample_planted_rates(spark, tmp_path):
     for s in tok:
         w = round(pw[s] / totpw, 6)
         epochs = round(w * tottok / tok[s], 6)
-        p_bps[s] = min(10000, round(epochs * 10000))
+        # floor(x + 0.5) mirrors round_ties_safe (half toward +inf) —
+        # Python's built-in round() banker's-rounds .5 ties and would
+        # diverge from BOTH engines on an exact tie (r15 advice)
+        p_bps[s] = min(10000, math.floor(epochs * 10000 + 0.5))
     assert p_bps["small"] == 10000  # oversampled source caps at 1
 
     def gate(doc_id: int) -> int:
