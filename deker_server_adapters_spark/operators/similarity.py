@@ -1466,6 +1466,865 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# Sharded hybrid semantic dedup (r16 — the VERDICT r15 item-1 composition).
+#
+# The measured ladder frontier (docs/PERF.md r15): per-bit recall decay
+# (+1 bit ~ -0.12) outpaces per-probe buyback (+1 probe ~ +0.06 at
+# +27% candidate volume), so the certified single-corpus ladder ENDS at
+# nbits=9 — n = _TJ_TARGET_BUCKET·2^9 = 262,144 vectors. Past that
+# ceiling the production contract is SHARD, not probe deeper:
+# hash-partition vec_ids into shards that each sit at a certified
+# ladder point, run the full hybrid pipeline PER SHARD (per-shard
+# ladder read, per-shard IVF trainer, per-shard LSH tables), then
+# catch cross-shard near-duplicates with a second, LSH-only pass over
+# the per-shard SURVIVORS (standard SemDeDup-at-scale practice; the
+# pass is global because LSH buckets span shards while IVF cells are
+# shard-local by construction).
+#
+# Everything is keyed by the shard column — NO driver-side loop over
+# shards: the trainer becomes (shard, cell)-grouped aggregation, seed
+# selection a per-shard window, assignment a per-shard join + max_by
+# argmax, and the bucket joins gain `shard` as a leading key. At 100 TB
+# (~250k shards) the only driver-side scalar is nshards; per-shard
+# ladder metadata is an nshards-row broadcast table. The assignment
+# trades the unsharded op's compiled-argmin device for an n x k_shard
+# shuffle-joined argmax (a per-shard expression can't compile when the
+# shard count is unbounded) — the cost term the SemDeDup ladder already
+# balances.
+# ---------------------------------------------------------------------------
+
+# One shard holds at most the nbits=9 ladder ceiling. The floor of 2
+# keeps the shard machinery (per-shard ladders, merge, survivor pass)
+# exercised — and oracled — at every scale instead of degenerating to
+# the unsharded op below the ceiling; sub-ceiling corpora that want the
+# single-corpus form use dedup_semantic_hybrid.
+_SHARD_NBITS_CEIL = 9
+
+
+def _sh_cap() -> int:
+    # == 262,144 (the _TJ_* constants are defined further down-module;
+    # a module-level product here would run before they exist)
+    return _TJ_TARGET_BUCKET << _SHARD_NBITS_CEIL
+
+
+def _sh_nshards(n: int) -> int:
+    return max(2, -(-n // _sh_cap()))
+
+
+def _sem_k_case(n_expr: str) -> str:
+    """The ``_SEM_K_LADDER`` as a CASE over an arbitrary count
+    expression (``_sem_k_sql`` hardcodes the whole-corpus scalar)."""
+    cases = " ".join(
+        f"WHEN {n_expr} <= {bound} THEN {k}" for bound, k in _SEM_K_LADDER
+    )
+    return f"CASE {cases} ELSE {_SEM_K_MAX} END"
+
+
+def _sh_sharded(emb: DataFrame, nshards: int) -> DataFrame:
+    """embeddings + a deterministic shard id: md5-hash vec_id modulo
+    nshards ('shard'-seeded so shard placement is independent of every
+    other h32 use). Hash sharding balances shard sizes, so every shard
+    sits within one ladder step of n/nshards."""
+    from deker_server_adapters_spark.functions.hashing import h32
+
+    return emb.withColumn(
+        "shard", (h32(F.col("vec_id"), seed="shard") % F.lit(nshards)).cast("int")
+    )
+
+
+def _sh_meta(emb2: DataFrame) -> DataFrame:
+    """Per-shard ladder reads — one row per shard: count, sem-k, and
+    the (nbits, ntables, nprobes) triple, each via the SAME integer
+    CASE ladders the unsharded op reads over the whole corpus. Small
+    (nshards rows) and broadcast into every per-shard stage."""
+    return emb2.groupBy("shard").agg(
+        F.count("*").alias("nsh"),
+        F.expr(_sem_k_case("count(*)")).cast("int").alias("ksh"),
+        F.expr(_tj_bits_ladder_sql("count(*)")).cast("int").alias("nbits"),
+        F.expr(_hy_tables_ladder_sql("count(*)")).cast("int").alias("ntables"),
+        F.expr(_hy_probes_ladder_sql("count(*)")).cast("int").alias("nprobes"),
+    )
+
+
+def _sh_assignments(emb2: DataFrame, meta: DataFrame) -> DataFrame:
+    """(shard, vec_id, cell) under a PER-SHARD md5-seeded k-means-lite
+    (k_shard seeds = the ksh smallest h32(vec_id) per shard, one Lloyd
+    refinement) — the ``_ivf_centroids`` trainer re-expressed with
+    ``shard`` in every group key so ALL shards train in one distributed
+    pass. Assignment argmax is ``max_by(cell, struct(sim, -cell))``:
+    max sim, ties to the LOWEST cell — exactly the oracle's
+    ``row_number() OVER (ORDER BY sim DESC, cell)`` rank-1 (struct
+    ordering treats NaN as largest and NaN = NaN, so zero-norm
+    embeddings resolve to the lowest cell in both engines — the
+    ``centroid_argmax_cell`` NaN contract)."""
+    from deker_server_adapters_spark.functions.hashing import h32
+
+    w_seed = Window.partitionBy("shard").orderBy("hk", "vec_id")
+    w_cell = Window.partitionBy("shard").orderBy("vec_id")
+    seeds = (
+        emb2.join(F.broadcast(meta.select("shard", "ksh")), "shard")
+        .withColumn("hk", h32(F.col("vec_id")))
+        .withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= F.col("ksh"))
+        .select(
+            "shard",
+            (F.row_number().over(w_cell) - 1).cast("int").alias("cell"),
+            F.col("embedding").alias("ce"),
+        )
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = emb2.join(cents, "shard").withColumn(
+            "sim",
+            round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9),
+        )
+        return scored.groupBy("shard", "vec_id").agg(
+            F.expr("max_by(cell, struct(sim, -cell))").alias("cell")
+        )
+
+    asg0 = assign(seeds)
+    cent = (
+        asg0.join(emb2.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "shard",
+            "cell",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"),
+        )
+        .groupBy("shard", "cell", "d")
+        .agg(
+            round_ties_safe(
+                F.sum(F.col("v").cast("decimal(30,12)")).cast("double") / F.count("v"),
+                9,
+            ).alias("cv")
+        )
+        .groupBy("shard", "cell")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cv"))).alias("pairs"))
+        .select("shard", "cell", F.expr("transform(pairs, p -> p.cv)").alias("ce"))
+    )
+    return assign(cent)
+
+
+def _sh_signatures(emb2: DataFrame, meta: DataFrame) -> DataFrame:
+    """(vec_id, shard, tbl, bucket, is_probe) — ``_hy_signatures``'s
+    compiled home+probe emission with the three ladder values joined in
+    PER SHARD (broadcast meta) instead of one corpus-wide row; the
+    plane set and gating are byte-identical, so each shard hashes
+    exactly as a standalone corpus of its size would."""
+    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
+    entries = []
+    for t in range(_HY_MAX_TABLES):
+        sig = F.lit(0).cast("long")
+        for i in range(_TJ_MAX_BITS):
+            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
+            sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        gated = F.when(F.lit(t) < F.col("ntables"), sig).otherwise(
+            F.lit(-1).cast("long")
+        )
+        entries.append(
+            F.struct(
+                F.lit(t).alias("tbl"), gated.alias("bucket"), F.lit(0).alias("is_probe")
+            )
+        )
+        for p in range(_HY_MAX_PROBES):
+            probe = F.when(
+                (F.lit(t) < F.col("ntables")) & (F.lit(p) < F.col("nprobes")),
+                sig.bitwiseXOR(F.lit(1 << p)),
+            ).otherwise(F.lit(-1).cast("long"))
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("tbl"), probe.alias("bucket"), F.lit(1).alias("is_probe")
+                )
+            )
+    return (
+        emb2.join(
+            F.broadcast(meta.select("shard", "nbits", "ntables", "nprobes")), "shard"
+        )
+        .withColumn("tb", F.explode(F.array(*entries)))
+        .filter((F.col("tb.tbl") < F.col("ntables")) & (F.col("tb.bucket") >= 0))
+        .select(
+            "vec_id",
+            "shard",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+            F.col("tb.is_probe").alias("is_probe"),
+        )
+    )
+
+
+def _sh_score(pairs: DataFrame, emb: DataFrame) -> DataFrame:
+    """(vec_id, vid_b, cos) — tie-safe 6-dp cosine per candidate pair."""
+    ea = emb.select("vec_id", F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(ea, "vec_id")
+        .join(eb, "vid_b")
+        .select(
+            "vec_id",
+            "vid_b",
+            round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
+    )
+
+
+def _sh_context(emb: DataFrame) -> "dict | None":
+    """The shared lazy pipeline behind the sharded op and its recall
+    eval: shard assignment, per-shard candidate pairs, shard-pass
+    scores, survivors, and the survivor-pass pairs. None on an empty
+    corpus.
+
+    Lineage discipline (the ``components_from_pairs`` device): the
+    giant compiled signature expression and the trainer feed FOUR
+    downstream consumers (scoring, survivor filter, anti-join, final
+    verdict join); left lazy, each consumer re-instantiates them in
+    the logical plan and Catalyst pays the ~100k-node analysis cost —
+    and at scale the cluster pays the recompute — once per consumer.
+    Two eager ``localCheckpoint`` cuts at the NARROW waists fix both:
+    ``asg`` (vec_id, shard, cell — one row per vector) after the
+    trainer, and ``scored_shard`` (vec_id, vid_b, cos — the bounded
+    candidate set) after the one signature+scoring pass. Their RDD
+    storage stays referenced by the returned DataFrames (the
+    ``dedup_components`` precedent: a lineage cut the result rests on
+    cannot be freed inside the builder)."""
+    n = emb.count()
+    if n == 0:
+        return None
+    emb2 = _sh_sharded(emb, _sh_nshards(n))
+    meta = _sh_meta(emb2)
+    asg = _sh_assignments(emb2, meta).localCheckpoint(eager=True)
+    ca = asg.select("shard", "cell", "vec_id")
+    cb = asg.select("shard", "cell", F.col("vec_id").alias("vid_b"))
+    cpairs = (
+        ca.join(cb, ["shard", "cell"])
+        .filter(F.col("vid_b") < F.col("vec_id"))
+        .select("vec_id", "vid_b")
+    )
+    sigs = _sh_signatures(emb2, meta)
+    sa = sigs.select(F.col("vec_id").alias("hi"), "shard", "tbl", "bucket")
+    sb = sigs.filter(F.col("is_probe") == 0).select(
+        F.col("vec_id").alias("lo"), "shard", "tbl", "bucket"
+    )
+    lpairs = (
+        sa.join(sb, ["shard", "tbl", "bucket"])
+        .filter(F.col("lo") < F.col("hi"))
+        .select(F.col("hi").alias("vec_id"), F.col("lo").alias("vid_b"))
+    )
+    pairs_shard = cpairs.unionByName(lpairs).distinct()
+    scored_shard = _sh_score(pairs_shard, emb).localCheckpoint(eager=True)
+    # the checkpointed scores carry the exact pair keys (inner joins
+    # against embeddings), so downstream pair-set consumers read them
+    # from the cut instead of re-deriving the bucket joins
+    pairs_shard = scored_shard.select("vec_id", "vid_b")
+    agg_shard = scored_shard.groupBy("vec_id").agg(
+        F.count("*").alias("n_cand_sh"),
+        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_sh"),
+        F.max("cos").alias("max_sim_sh"),
+    )
+    # Survivor pass: per-shard keepers, global LSH at the survivor
+    # count's own ladder point (cells are shard-local so only the LSH
+    # generator can span shards). Fully lazy — the ladder triple rides
+    # in as a broadcast 1-row aggregate, no second eager count.
+    surv = (
+        asg.join(agg_shard, "vec_id", "left")
+        .filter(F.coalesce(F.col("n_dup_sh"), F.lit(0)) == 0)
+        .select("vec_id")
+    )
+    emb_s = emb.join(surv, "vec_id")
+    sigs_s = _hy_signatures(emb_s, _hy_nrow(emb_s))
+    ga = sigs_s.select(F.col("vec_id").alias("hi"), "tbl", "bucket")
+    gb = sigs_s.filter(F.col("is_probe") == 0).select(
+        F.col("vec_id").alias("lo"), "tbl", "bucket"
+    )
+    pairs_surv = (
+        ga.join(gb, ["tbl", "bucket"])
+        .filter(F.col("lo") < F.col("hi"))
+        .select(F.col("hi").alias("vec_id"), F.col("lo").alias("vid_b"))
+        .distinct()
+    )
+    pairs_new = pairs_surv.join(pairs_shard, ["vec_id", "vid_b"], "left_anti")
+    return {
+        "emb": emb,
+        "asg": asg,
+        "pairs_shard": pairs_shard,
+        "scored_shard": scored_shard,
+        "agg_shard": agg_shard,
+        "pairs_new": pairs_new,
+    }
+
+
+def _sh_verdict(ctx: dict) -> DataFrame:
+    """The merged per-vector verdict over the deduped pair union
+    (shard-pass scores ∪ newly-scored survivor pairs) — shared by the
+    sharded op and the verdict-recall columns of its recall eval."""
+    scored_all = ctx["scored_shard"].unionByName(_sh_score(ctx["pairs_new"], ctx["emb"]))
+    agg = scored_all.groupBy("vec_id").agg(
+        F.count("*").alias("n_cand_lower"),
+        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_lower"),
+        F.max("cos").alias("max_sim_lower"),
+    )
+    return (
+        ctx["asg"]
+        .join(ctx["agg_shard"], "vec_id", "left")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            "shard",
+            "cell",
+            F.coalesce(F.col("n_cand_lower"), F.lit(0)).cast("long").alias("n_cand_lower"),
+            F.coalesce(F.col("n_dup_lower"), F.lit(0)).cast("long").alias("n_dup_lower"),
+            "max_sim_lower",
+            (F.coalesce(F.col("n_dup_sh"), F.lit(0)) > 0).alias("is_dup_shard"),
+            (F.coalesce(F.col("n_dup_lower"), F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
+def dedup_semantic_hybrid_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid semantic dedup PAST the single-corpus ladder ceiling
+    (n > 262,144 = _TJ_TARGET_BUCKET·2^9): hash-shard vec_ids into
+    <= 262k-vector shards, run the certified hybrid pipeline per shard
+    (per-shard sem-k/nbits/ntables/nprobes ladder reads, per-shard IVF
+    trainer, per-shard LSH tables — all in ONE distributed pass keyed
+    by the shard column, no driver loop), then catch cross-shard
+    near-duplicates with a global LSH-only pass over the per-shard
+    survivors at the survivor count's own ladder point. Verdict merge:
+    a vector's candidate set is its shard-pass pairs UNION its
+    survivor-pass pairs (deduped; each pair scores ONCE), is_dup at
+    the same tau and min-id-keeper rule as the whole family;
+    ``is_dup_shard`` exposes which stage caught it.
+
+    Scale shape: O(n) total work — each shard sits at a certified
+    ladder point (recall pinned by the r15 frontier measurements,
+    docs/PERF.md), shards are balanced by the md5 hash, and every
+    stage is shard-key-parallel across executors. The survivor pass
+    is one more bounded LSH join over a corpus that shrinks by the
+    within-shard duplicate mass. The min-2-shards floor keeps the
+    shard machinery oracled at every scale; below the ceiling the
+    unsharded ``dedup_semantic_hybrid`` remains the certified default.
+    Recall vs the unsharded form is MEASURED (``_recall`` twin +
+    tools/hybrid_frontier.py --sharded), never assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ctx = _sh_context(emb)
+    if ctx is None:  # empty corpus: typed empty verdict table
+        return (
+            emb.select(
+                "vec_id",
+                F.lit(0).cast("int").alias("shard"),
+                F.lit(0).cast("int").alias("cell"),
+                F.lit(0).cast("long").alias("n_cand_lower"),
+                F.lit(0).cast("long").alias("n_dup_lower"),
+                F.lit(None).cast("double").alias("max_sim_lower"),
+                F.lit(False).alias("is_dup_shard"),
+                F.lit(False).alias("is_dup"),
+            ).limit(0)
+        )
+    return _sh_verdict(ctx)
+
+
+def dedup_semantic_hybrid_sharded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall eval for the SHARDED composition vs brute-force truth
+    (eval-only, the family precedent), one row, at TWO levels:
+
+    - PAIR capture (recall_shard / recall_sharded): of all exact
+      cosine >= tau pairs, how many the shard pass alone vs shard ∪
+      survivor passes generate. Penalizes pairs whose endpoint was
+      already dropped in-shard — an intentionally pessimistic bound.
+    - VERDICT recall (recall_verdict): of all vectors with SOME
+      lower-id true near-dup (the should-drop set), how many the op
+      flags is_dup — the number a dedup consumer actually experiences
+      (a vector needs ONE captured mate to be dropped, not all of
+      them). False positives are structurally zero: every candidate
+      is exact-rescored before the tau test.
+
+    The gap between the levels is the chain-semantics price of
+    sharding: a survivor whose only lower-id mates were dropped
+    inside THEIR shards is never re-tested against them."""
+    from deker_server_adapters_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ctx = _sh_context(emb)
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    cos = round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    tp = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("va", "vb")
+    )
+    should_drop = tp.select(F.col("vb").alias("vec_id")).distinct()
+    if ctx is not None:
+        as_hit = lambda df, name: df.select(  # noqa: E731
+            F.col("vid_b").alias("va"), F.col("vec_id").alias("vb"), F.lit(1).alias(name)
+        )
+        joined = tp.join(as_hit(ctx["pairs_shard"], "hit_sh"), ["va", "vb"], "left").join(
+            as_hit(ctx["pairs_new"], "hit_nw"), ["va", "vb"], "left"
+        )
+        flags = should_drop.join(
+            _sh_verdict(ctx).select("vec_id", "is_dup"), "vec_id", "left"
+        )
+    else:
+        joined = tp.withColumn("hit_sh", F.lit(None).cast("int")).withColumn(
+            "hit_nw", F.lit(None).cast("int")
+        )
+        flags = should_drop.withColumn("is_dup", F.lit(False))
+    n_sh = F.sum(F.when(F.col("hit_sh") == 1, 1).otherwise(0))
+    n_tot = F.sum(
+        F.when((F.col("hit_sh") == 1) | (F.col("hit_nw") == 1), 1).otherwise(0)
+    )
+    pair_row = joined.agg(
+        F.count("*").cast("long").alias("n_true_pairs"),
+        F.coalesce(n_sh, F.lit(0)).cast("long").alias("n_shard"),
+        F.coalesce(n_tot, F.lit(0)).cast("long").alias("n_sharded"),
+        F.when(
+            F.count("*") > 0, round_ties_safe(n_sh.cast("double") / F.count("*"), 4)
+        ).alias("recall_shard"),
+        F.when(
+            F.count("*") > 0, round_ties_safe(n_tot.cast("double") / F.count("*"), 4)
+        ).alias("recall_sharded"),
+    )
+    n_fl = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    verdict_row = flags.agg(
+        F.count("*").cast("long").alias("n_should_drop"),
+        F.coalesce(n_fl, F.lit(0)).cast("long").alias("n_flagged"),
+        F.when(
+            F.count("*") > 0, round_ties_safe(n_fl.cast("double") / F.count("*"), 4)
+        ).alias("recall_verdict"),
+    )
+    return pair_row.crossJoin(verdict_row)
+
+
+def _duck_buckets_over(src: str, meta_join: str, nbits: str, ntables: str) -> str:
+    """Unrolled per-table home buckets over ``src`` (a CTE with
+    vec_id/embedding and, when ``meta_join`` is set, shard) — the
+    ``_duck_hy_buckets`` device parameterized on source and ladder
+    expressions, shared by the sharded and incremental oracles."""
+    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
+    shard_col = ", s.shard" if meta_join else ""
+    selects = []
+    for t in range(_HY_MAX_TABLES):
+        bits = []
+        for i in range(_TJ_MAX_BITS):
+            p = planes[t * _TJ_MAX_BITS + i]
+            dot_sql = " + ".join(
+                f"s.embedding[{k + 1}]::DOUBLE * {w}" for k, w in enumerate(p)
+            )
+            bits.append(
+                f"(CASE WHEN {i} < {nbits} AND ({dot_sql}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT s.vec_id{shard_col}, {t} AS tbl, CAST({' + '.join(bits)} AS BIGINT) AS bucket\n"
+            f"FROM {src} s{meta_join}\n"
+            f"WHERE {t} < {ntables}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def _duck_sh_prelude() -> str:
+    """Shared CTE chain replaying the sharded pipeline through the
+    candidate-pair sets: shard assignment (md5 % nshards), per-shard
+    ladder meta, per-shard trainer + assignment, per-shard home+probe
+    buckets, the shard-pass pairs/scores/survivors, and the survivor
+    pass's global-ladder buckets and NEW pairs. Both sharded oracles
+    append their own tails."""
+    from deker_server_adapters_spark.functions.hashing import h32_sql
+
+    rts9 = lambda s: round_ties_safe_sql(s, 9)  # noqa: E731
+
+    sh_bkt = _duck_buckets_over("sh", " JOIN meta m USING (shard)", "m.nbits", "m.ntables")
+    sv_bkt = _duck_buckets_over(
+        "sem", "", "(SELECT nbits FROM smeta)", "(SELECT ntables FROM smeta)"
+    )
+    sh_probes = "\n  UNION ALL\n".join(
+        [" SELECT vec_id, shard, tbl, bucket FROM bkt"]
+        + [
+            f" SELECT b.vec_id, b.shard, b.tbl, xor(b.bucket, {1 << p}) AS bucket\n"
+            f" FROM bkt b JOIN meta m USING (shard) WHERE {p} < m.nprobes"
+            for p in range(_HY_MAX_PROBES)
+        ]
+    )
+    sv_probes = "\n  UNION ALL\n".join(
+        [" SELECT vec_id, tbl, bucket FROM sbkt"]
+        + [
+            f" SELECT vec_id, tbl, xor(bucket, {1 << p}) AS bucket\n"
+            f" FROM sbkt WHERE {p} < (SELECT nprobes FROM smeta)"
+            for p in range(_HY_MAX_PROBES)
+        ]
+    )
+    # AS MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
+    # plain CTEs per reference, and this chain references sh/meta/bkt/
+    # sbkt from up to 24 unrolled branches each — unmaterialized, the
+    # expansion is effectively exponential (the first run exhausted the
+    # process fd limit on re-opened parquet scans before finishing)
+    return f"""
+nsh AS MATERIALIZED (
+  SELECT GREATEST(2, (count(*) + {_sh_cap() - 1}) // {_sh_cap()}) AS n FROM embeddings
+), sh AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST({h32_sql("vec_id", "shard")} % (SELECT n FROM nsh) AS INT) AS shard
+  FROM embeddings
+), meta AS MATERIALIZED (
+  SELECT shard, count(*) AS nsh_n,
+         ({_sem_k_case("count(*)")}) AS ksh,
+         ({_tj_bits_ladder_sql("count(*)")}) AS nbits,
+         ({_hy_tables_ladder_sql("count(*)")}) AS ntables,
+         ({_hy_probes_ladder_sql("count(*)")}) AS nprobes
+  FROM sh GROUP BY shard
+), sranked AS (
+  SELECT s.shard, s.vec_id, s.embedding,
+         row_number() OVER (
+             PARTITION BY s.shard ORDER BY {h32_sql("s.vec_id")}, s.vec_id) AS rn
+  FROM sh s
+), seeds AS (
+  SELECT r.shard, r.embedding AS ce,
+         CAST(row_number() OVER (PARTITION BY r.shard ORDER BY r.vec_id) AS INT) - 1 AS cell
+  FROM sranked r JOIN meta m USING (shard) WHERE r.rn <= m.ksh
+), a0 AS (
+  SELECT e.shard, e.vec_id, e.embedding, s.cell,
+         {rts9("list_cosine_similarity(e.embedding::DOUBLE[], s.ce::DOUBLE[])")} AS sim
+  FROM sh e JOIN seeds s ON e.shard = s.shard
+), asg0 AS (
+  SELECT shard, vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a0
+  ) t WHERE rn = 1
+), cent AS (
+  SELECT shard, cell, CAST(u.i - 1 AS INT) AS d,
+         {rts9("CAST(sum(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / count(*)")} AS cv
+  FROM asg0, UNNEST(range(1, len(embedding) + 1)) u(i)
+  GROUP BY shard, cell, d
+), cents AS (
+  SELECT shard, cell, list(cv ORDER BY d) AS ce FROM cent GROUP BY shard, cell
+), a1 AS (
+  SELECT e.shard, e.vec_id, c.cell,
+         {rts9("list_cosine_similarity(e.embedding::DOUBLE[], c.ce)")} AS sim
+  FROM sh e JOIN cents c ON e.shard = c.shard
+), asg AS MATERIALIZED (
+  SELECT shard, vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a1
+  ) t WHERE rn = 1
+), bkt AS MATERIALIZED (
+{sh_bkt}
+), bktp AS (
+{sh_probes}
+), psh AS MATERIALIZED (
+  SELECT DISTINCT vec_id, vid_b FROM (
+    SELECT a.vec_id AS vec_id, b.vec_id AS vid_b
+    FROM asg a JOIN asg b
+      ON a.shard = b.shard AND a.cell = b.cell AND b.vec_id < a.vec_id
+    UNION ALL
+    SELECT pa.vec_id AS vec_id, pb.vec_id AS vid_b
+    FROM bktp pa JOIN bkt pb
+      ON pa.shard = pb.shard AND pa.tbl = pb.tbl AND pa.bucket = pb.bucket
+     AND pb.vec_id < pa.vec_id
+  ) u
+), ssh AS MATERIALIZED (
+  SELECT c.vec_id, c.vid_b,
+         {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 6)} AS cos
+  FROM psh c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.vid_b
+), aggsh AS MATERIALIZED (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand_sh,
+         CAST(sum(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sh,
+         max(cos) AS max_sim_sh
+  FROM ssh GROUP BY vec_id
+), sem AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+  LEFT JOIN aggsh g ON g.vec_id = e.vec_id
+  WHERE COALESCE(g.n_dup_sh, 0) = 0
+), smeta AS MATERIALIZED (
+  SELECT ({_tj_bits_ladder_sql("cnt")}) AS nbits,
+         ({_hy_tables_ladder_sql("cnt")}) AS ntables,
+         ({_hy_probes_ladder_sql("cnt")}) AS nprobes
+  FROM (SELECT count(*) AS cnt FROM sem)
+), sbkt AS MATERIALIZED (
+{sv_bkt}
+), sbktp AS (
+{sv_probes}
+), pnew AS MATERIALIZED (
+  SELECT DISTINCT pa.vec_id, pb.vec_id AS vid_b
+  FROM sbktp pa JOIN sbkt pb
+    ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket AND pb.vec_id < pa.vec_id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM psh q WHERE q.vec_id = pa.vec_id AND q.vid_b = pb.vec_id
+  )
+), snew AS (
+  SELECT c.vec_id, c.vid_b,
+         {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 6)} AS cos
+  FROM pnew c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.vid_b
+), agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand_lower,
+         CAST(sum(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lower,
+         max(cos) AS max_sim_lower
+  FROM (SELECT * FROM ssh UNION ALL SELECT * FROM snew) u GROUP BY vec_id
+), vout AS MATERIALIZED (
+  SELECT a.vec_id AS vec_id, a.shard AS shard, a.cell AS cell,
+         COALESCE(g.n_cand_lower, 0) AS n_cand_lower,
+         COALESCE(g.n_dup_lower, 0) AS n_dup_lower,
+         g.max_sim_lower AS max_sim_lower,
+         COALESCE(gs.n_dup_sh, 0) > 0 AS is_dup_shard,
+         COALESCE(g.n_dup_lower, 0) > 0 AS is_dup
+  FROM asg a
+  LEFT JOIN agg g ON g.vec_id = a.vec_id
+  LEFT JOIN aggsh gs ON gs.vec_id = a.vec_id
+)"""
+
+
+def _sharded_hybrid_sql() -> str:
+    return f"""
+WITH {_duck_sh_prelude()}
+SELECT vec_id, shard, cell, n_cand_lower, n_dup_lower, max_sim_lower,
+       is_dup_shard, is_dup
+FROM vout
+"""
+
+
+def _sharded_hybrid_recall_sql() -> str:
+    cos = round_ties_safe_sql(
+        "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 6
+    )
+    return f"""
+WITH {_duck_sh_prelude()}, tp AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {_SEM_TAU}
+), j AS (
+  SELECT tp.va, tp.vb,
+         CASE WHEN s.vec_id IS NOT NULL THEN 1 END AS hit_sh,
+         CASE WHEN n.vec_id IS NOT NULL THEN 1 END AS hit_nw
+  FROM tp
+  LEFT JOIN psh s ON s.vid_b = tp.va AND s.vec_id = tp.vb
+  LEFT JOIN pnew n ON n.vid_b = tp.va AND n.vec_id = tp.vb
+), pair_row AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+         CAST(COALESCE(sum(CASE WHEN hit_sh = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shard,
+         CAST(COALESCE(sum(CASE WHEN hit_sh = 1 OR hit_nw = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_sharded,
+         CASE WHEN count(*) = 0 THEN NULL
+              ELSE {round_ties_safe_sql("CAST(sum(CASE WHEN hit_sh = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)}
+         END AS recall_shard,
+         CASE WHEN count(*) = 0 THEN NULL
+              ELSE {round_ties_safe_sql("CAST(sum(CASE WHEN hit_sh = 1 OR hit_nw = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)}
+         END AS recall_sharded
+  FROM j
+), flags AS (
+  SELECT sd.vec_id, v.is_dup
+  FROM (SELECT DISTINCT vb AS vec_id FROM tp) sd
+  LEFT JOIN vout v ON v.vec_id = sd.vec_id
+), verdict_row AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_should_drop,
+         CAST(COALESCE(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+         CASE WHEN count(*) = 0 THEN NULL
+              ELSE {round_ties_safe_sql("CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)}
+         END AS recall_verdict
+  FROM flags
+)
+SELECT * FROM pair_row CROSS JOIN verdict_row
+"""
+
+
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-batch) SEMANTIC dedup — the
+    ``docs_incremental_dedup`` production shape for the embedding
+    tier: yesterday's corpus is already deduped, so each NEW vector
+    (deterministic split: vec_id % 5 == 4, ~20%) verdicts against the
+    EXISTING corpus's structures ONLY — no old-vs-old and no
+    new-vs-new pair work. The existing side defines everything: the
+    IVF cells are trained on OLD vectors at the OLD count's sem-k
+    ladder point, and the LSH (nbits, ntables, nprobes) ladder reads
+    the OLD count — new vectors are assigned into those cells
+    (compiled argmin, the streaming twin's `_semantic_cell_expr`
+    device as batch) and hashed into those tables (new side carries
+    home + Hamming probes, old side homes only — the hybrid op's
+    capture scheme with new/old in place of hi/lo). One row per NEW
+    vector: cell, candidate/duplicate counts against old mates, max
+    cosine, the min-old-id duplicate anchor, and the verdict.
+
+    Scale shape: the delta is small next to the corpus, so the cell
+    and bucket joins are delta-broadcastable in production; the old
+    side's inverted file and bucket table are exactly what a curation
+    pipeline keeps bucketed on disk between runs (the
+    ``docs_incremental_dedup`` docstring contract, embedding tier).
+    Candidate volume is bounded by the same ladder occupancy targets
+    as the batch hybrid op. Fully oracled: DuckDB replays the
+    old-side trainer, both assignments, and both bucket sides."""
+    from deker_server_adapters_spark.functions.vectors import centroid_argmax_cell as _argmax
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    new_pred = (F.col("vec_id") % 5) == 4
+    old = emb.filter(~new_pred)
+    new = emb.filter(new_pred)
+    k = _sem_k(old.count())
+    cents = sorted(_local_centroids(old, k).collect(), key=lambda r: r.cell)
+    if not cents:  # empty existing corpus: every new vector is unique
+        return new.select(
+            "vec_id",
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(0).cast("long").alias("n_cand"),
+            F.lit(0).cast("long").alias("n_dup"),
+            F.lit(None).cast("double").alias("max_sim"),
+            F.lit(None).cast("long").alias("dup_of"),
+            F.lit(False).alias("is_dup"),
+        )
+    cell_expr, _ = _argmax(cents)
+    old_asg = old.select(F.col("vec_id").alias("old_id"), cell_expr.alias("cell"))
+    new_asg = new.select("vec_id", cell_expr.alias("cell"))
+    cand_cell = new_asg.join(old_asg, "cell").select("vec_id", "old_id")
+    nrow = _hy_nrow(old)  # ladders from the EXISTING corpus's count
+    sig_new = _hy_signatures(new, nrow).select("vec_id", "tbl", "bucket")
+    sig_old = (
+        _hy_signatures(old, nrow)
+        .filter(F.col("is_probe") == 0)
+        .select(F.col("vec_id").alias("old_id"), "tbl", "bucket")
+    )
+    cand_lsh = sig_new.join(sig_old, ["tbl", "bucket"]).select("vec_id", "old_id")
+    cand = cand_cell.unionByName(cand_lsh).distinct()
+    ea = new.select("vec_id", F.col("embedding").alias("ea"))
+    eb = old.select(F.col("vec_id").alias("old_id"), F.col("embedding").alias("eb"))
+    scored = (
+        cand.join(ea, "vec_id")
+        .join(eb, "old_id")
+        .withColumn(
+            "cos", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        )
+    )
+    agg = scored.groupBy("vec_id").agg(
+        F.count("*").alias("n_cand"),
+        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup"),
+        F.max("cos").alias("max_sim"),
+        F.min(F.when(F.col("cos") >= _SEM_TAU, F.col("old_id"))).alias("dup_of"),
+    )
+    return (
+        new_asg.join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            "max_sim",
+            F.col("dup_of").cast("long").alias("dup_of"),
+            (F.coalesce(F.col("n_dup"), F.lit(0)) > 0).alias("is_dup"),
+        )
+    )
+
+
+def _semantic_incremental_sql() -> str:
+    from deker_server_adapters_spark.functions.hashing import h32_sql
+
+    rts9 = lambda s: round_ties_safe_sql(s, 9)  # noqa: E731
+    old_bits = _tj_bits_ladder_sql("(SELECT count(*) FROM oldv)")
+    old_tabs = _hy_tables_ladder_sql("(SELECT count(*) FROM oldv)")
+    old_probes = _hy_probes_ladder_sql("(SELECT count(*) FROM oldv)")
+    nbkt = _duck_buckets_over(
+        "newv", "", "(SELECT nbits FROM lmeta)", "(SELECT ntables FROM lmeta)"
+    )
+    obkt = _duck_buckets_over(
+        "oldv", "", "(SELECT nbits FROM lmeta)", "(SELECT ntables FROM lmeta)"
+    )
+    nprobed = "\n  UNION ALL\n".join(
+        [" SELECT vec_id, tbl, bucket FROM nbkt"]
+        + [
+            f" SELECT vec_id, tbl, xor(bucket, {1 << p}) AS bucket\n"
+            f" FROM nbkt WHERE {p} < (SELECT nprobes FROM lmeta)"
+            for p in range(_HY_MAX_PROBES)
+        ]
+    )
+    return f"""
+WITH oldv AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 4
+), newv AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 4
+), lmeta AS MATERIALIZED (
+  SELECT ({old_bits}) AS nbits, ({old_tabs}) AS ntables, ({old_probes}) AS nprobes
+), seeds AS (
+  SELECT vec_id, embedding,
+         CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
+  FROM (SELECT vec_id, embedding FROM oldv
+        ORDER BY {h32_sql("vec_id")}
+        LIMIT (SELECT {_sem_k_case("count(*)")} FROM oldv))
+), a0 AS (
+  SELECT e.vec_id, e.embedding, s.cell,
+         {rts9("list_cosine_similarity(e.embedding::DOUBLE[], s.embedding::DOUBLE[])")} AS sim
+  FROM oldv e CROSS JOIN seeds s
+), asg0 AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn FROM a0
+  ) t WHERE rn = 1
+), cent AS (
+  SELECT cell, CAST(u.i - 1 AS INT) AS d,
+         {rts9("CAST(sum(CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / count(*)")} AS cv
+  FROM asg0, UNNEST(range(1, len(embedding) + 1)) u(i)
+  GROUP BY cell, d
+), cents AS MATERIALIZED (
+  SELECT cell, list(cv ORDER BY d) AS ce FROM cent GROUP BY cell
+), oasg AS MATERIALIZED (
+  SELECT vec_id AS old_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {rts9("list_cosine_similarity(e.embedding::DOUBLE[], c.ce)")} DESC, c.cell
+           ) AS rn
+    FROM oldv e CROSS JOIN cents c
+  ) t WHERE rn = 1
+), nasg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {rts9("list_cosine_similarity(e.embedding::DOUBLE[], c.ce)")} DESC, c.cell
+           ) AS rn
+    FROM newv e CROSS JOIN cents c
+  ) t WHERE rn = 1
+), nbkt AS MATERIALIZED (
+{nbkt}
+), obkt AS MATERIALIZED (
+{obkt}
+), nbktp AS (
+{nprobed}
+), cand AS (
+  SELECT DISTINCT vec_id, old_id FROM (
+    SELECT n.vec_id, o.old_id
+    FROM nasg n JOIN oasg o ON n.cell = o.cell
+    UNION ALL
+    SELECT pn.vec_id, po.vec_id AS old_id
+    FROM nbktp pn JOIN obkt po ON pn.tbl = po.tbl AND pn.bucket = po.bucket
+  ) u
+), scored AS (
+  SELECT c.vec_id, c.old_id,
+         {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 6)} AS cos
+  FROM cand c
+  JOIN newv ea ON ea.vec_id = c.vec_id
+  JOIN oldv eb ON eb.vec_id = c.old_id
+), agg AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(sum(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         max(cos) AS max_sim,
+         CAST(min(CASE WHEN cos >= {_SEM_TAU} THEN old_id END) AS BIGINT) AS dup_of
+  FROM scored GROUP BY vec_id
+)
+SELECT n.vec_id AS vec_id, CAST(n.cell AS INT) AS cell,
+       COALESCE(a.n_cand, 0) AS n_cand,
+       COALESCE(a.n_dup, 0) AS n_dup,
+       a.max_sim AS max_sim,
+       a.dup_of AS dup_of,
+       COALESCE(a.n_dup, 0) > 0 AS is_dup
+FROM nasg n LEFT JOIN agg a ON a.vec_id = n.vec_id
+"""
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 5
 
@@ -2801,6 +3660,41 @@ OPS = {
         description=(
             "cluster vs hybrid pair recall at tau in one row (uplift "
             "measured, not assumed); brute-force side eval-only"
+        ),
+    ),
+    "dedup_semantic_incremental": Op(
+        "dedup_semantic_incremental",
+        dedup_semantic_incremental,
+        _semantic_incremental_sql(),
+        description=(
+            "incremental (daily-batch) semantic dedup: new vectors "
+            "(vec_id%5==4) verdict against the EXISTING corpus's IVF "
+            "cells and LSH buckets only — old-side-trained structures, "
+            "no old-old/new-new pair work; min-old-id duplicate anchor "
+            f"at tau={_SEM_TAU}"
+        ),
+    ),
+    "dedup_semantic_hybrid_sharded": Op(
+        "dedup_semantic_hybrid_sharded",
+        dedup_semantic_hybrid_sharded,
+        _sharded_hybrid_sql(),
+        description=(
+            "hybrid semantic dedup past the nbits=9 ladder ceiling "
+            "(n > 262,144): hash-sharded <= 262k-vector shards each at a "
+            "certified ladder point (per-shard trainer + LSH, one "
+            "distributed pass, no driver loop), cross-shard near-dups "
+            "caught by a global LSH pass over per-shard survivors; "
+            "verdicts merged over the deduped pair union"
+        ),
+    ),
+    "dedup_semantic_hybrid_sharded_recall": Op(
+        "dedup_semantic_hybrid_sharded_recall",
+        dedup_semantic_hybrid_sharded_recall,
+        _sharded_hybrid_recall_sql(),
+        description=(
+            "shard-pass vs shard+survivor pair recall at tau in one row "
+            "(the 100-TB shard contract measured, not assumed); "
+            "brute-force side eval-only"
         ),
     ),
     "embeddings_kmeans": Op(

@@ -2580,3 +2580,112 @@ def test_jsonl_ingest_survives_hostile_text(spark, tmp_path):
         assert (got[s].n_docs, got[s].total_chars, got[s].text_checksum) == (
             want[s].n_docs, want[s].total_chars, want[s].text_checksum
         ), s
+
+
+def _shard_of(vec_id: int, nshards: int = 2) -> int:
+    """Python mirror of the sharded-dedup shard assignment
+    (h32('shard:'||vec_id) % nshards)."""
+    import hashlib
+
+    return int(hashlib.md5(f"shard:{vec_id}".encode()).hexdigest()[:8], 16) % nshards
+
+
+def test_sharded_hybrid_planted_cross_and_same_shard_dups(spark, tmp_path):
+    """dedup_semantic_hybrid_sharded on a planted corpus: a same-shard
+    near-identical pair is caught by the SHARD pass (is_dup_shard),
+    a cross-shard pair by the SURVIVOR pass only (is_dup without
+    is_dup_shard), and min-id keepers stay kept."""
+    import os
+
+    from deker_server_adapters_spark.operators.similarity import (
+        dedup_semantic_hybrid_sharded,
+    )
+
+    # deterministic id picks per the shard hash (2 shards at this n)
+    s0 = [i for i in range(200) if _shard_of(i) == 0]
+    s1 = [i for i in range(200) if _shard_of(i) == 1]
+    a, b = s0[0], next(i for i in s1 if i > s0[0])  # cross-shard pair
+    c, d = [i for i in s0 if i not in (a, b)][:2]  # same-shard pair
+    assert c < d
+    filler = [i for i in range(200) if i not in (a, b, c, d)][:36]
+
+    rng = np.random.RandomState(11)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    base1, base2 = rng.randn(64), rng.randn(64)
+    rows = [
+        (a, unit(base1), 0),
+        (b, unit(base1 + 1e-3 * rng.randn(64)), 0),  # cosine ~1 with a
+        (c, unit(base2), 0),
+        (d, unit(base2 + 1e-3 * rng.randn(64)), 0),  # cosine ~1 with c
+    ] + [(i, unit(rng.randn(64)), 1) for i in filler]
+    dirp = str(tmp_path / "shard_sf")
+    os.makedirs(dirp, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dirp, "embeddings.parquet")
+    )
+
+    got = {r.vec_id: r for r in dedup_semantic_hybrid_sharded(spark, dirp).collect()}
+    assert set(got) == {r[0] for r in rows}
+    # same-shard duplicate: the shard pass itself flags the higher id
+    assert got[d].is_dup_shard and got[d].is_dup
+    assert got[d].max_sim_lower >= 0.99
+    # cross-shard duplicate: invisible to the shard pass (different
+    # shards by construction), caught by the survivor pass
+    assert got[b].is_dup and not got[b].is_dup_shard
+    assert got[b].max_sim_lower >= 0.99
+    # min-id keepers of both planted groups stay kept
+    assert not got[a].is_dup and not got[c].is_dup
+    # shard column matches the hash contract
+    for vid, r in got.items():
+        assert r.shard == _shard_of(vid)
+
+
+def test_semantic_incremental_planted_verdicts(spark, tmp_path):
+    """dedup_semantic_incremental on a planted corpus: a new vector
+    near an OLD one is flagged with the MIN old id as anchor; a new
+    vector whose only near-mate is another NEW vector stays unique
+    (no new-vs-new work by design); output covers exactly the new
+    split (vec_id % 5 == 4)."""
+    import os
+
+    from deker_server_adapters_spark.operators.similarity import (
+        dedup_semantic_incremental,
+    )
+
+    rng = np.random.RandomState(13)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    base, nn = rng.randn(64), rng.randn(64)
+    rows = []
+    # old side (ids not = 4 mod 5): ids 1 and 2 are a near-identical
+    # pair -> a new vector near both must anchor to min old id 1
+    rows.append((1, unit(base), 0))
+    rows.append((2, unit(base + 1e-3 * rng.randn(64)), 0))
+    old_filler = [i for i in range(3, 120) if i % 5 != 4][:30]
+    rows += [(i, unit(rng.randn(64)), 1) for i in old_filler]
+    # new side (ids = 4 mod 5)
+    rows.append((4, unit(base + 1e-3 * rng.randn(64)), 0))  # dup of old 1/2
+    rows.append((9, unit(rng.randn(64)), 1))  # unique
+    rows.append((14, unit(nn), 1))  # new-new pair: must stay unique
+    rows.append((19, unit(nn + 1e-3 * rng.randn(64)), 1))
+    dirp = str(tmp_path / "incr_sf")
+    os.makedirs(dirp, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(dirp, "embeddings.parquet")
+    )
+
+    got = {r.vec_id: r for r in dedup_semantic_incremental(spark, dirp).collect()}
+    assert set(got) == {i for i, _, _ in rows if i % 5 == 4}
+    assert got[4].is_dup and got[4].dup_of == 1 and got[4].max_sim >= 0.99
+    assert not got[9].is_dup and got[9].dup_of is None
+    # the 14/19 near-pair is new-vs-new: by design NOT flagged
+    assert not got[14].is_dup and not got[19].is_dup
