@@ -46,6 +46,21 @@ _THUMB = 8  # resize target (8x8 block-mean)
 # decoded bytes without a codec
 _PX_A, _PX_B, _PX_C = 131, 17, 29
 
+# Dead-letter corpus (r16): deterministic planted failure classes over
+# the PNG asset table — doc_id % 13 picks the class, so the oracle can
+# replay membership and the codecs' deterministic messages by
+# arithmetic. Class 3: payload magic zeroed (undecodable garbage —
+# sniff dispatch finds no known format). Class 7: a spec-legal but
+# UNSUPPORTED 12-bit-precision JPEG header (the codec's documented
+# NotImplementedError seam; chosen over progressive, which the codec
+# now decodes).
+_DL_BAD_MAGIC_MOD = 3
+_DL_UNSUPPORTED_MOD = 7
+# FFD8 + SOF0(len 11, precision 12, 8x8, 1 component (id 1, 1x1, q0))
+_DL_JPEG12_STUB = bytes.fromhex("ffd8ffc0000b0c0008000801011100")
+_DL_ERR_BAD_MAGIC = "unknown payload format"
+_DL_ERR_UNSUPPORTED = "only 8-bit JPEG supported"
+
 
 def synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A deterministic binary-asset table derived from documents:
@@ -176,6 +191,15 @@ def _decode_payload(
         if frame.shape != (height, width):
             frame = resample_nearest(frame, height, width)
         return np.broadcast_to(frame, (n_frames, height, width)).copy()
+    if codec == "sniff":
+        # production shape: dispatch on the payload's magic bytes —
+        # mixed-format corpora are the norm, the asset table rarely
+        # carries a trustworthy format column
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_payload(payload, width, height, n_frames, "png")
+        if payload[:2] == b"\xff\xd8":
+            return _decode_payload(payload, width, height, n_frames, "jpeg")
+        raise ValueError("unknown payload format")
     if codec == "pil":
         try:
             import io
@@ -191,14 +215,26 @@ def _decode_payload(
     raise NotImplementedError(f"unknown codec {codec!r}")
 
 
-def decode_stage(assets: DataFrame, codec: str = "fake") -> DataFrame:
+def decode_stage(
+    assets: DataFrame, codec: str = "fake", dead_letter: bool = False
+) -> DataFrame:
     """binary payload -> frames (flattened pixels ride as array<int>).
 
     Per-asset decode is inherently row-wise (variable geometry per
     row), but the batch loop walks plain NumPy column arrays — no
     pandas row objects (`iterrows` materializes a Series per row and
     was the slowest possible iteration here).
-    """
+
+    ``dead_letter=True`` (r16, the quarantine contract): a corrupt or
+    unsupported payload must not fail the JOB — one bad asset in a
+    billion-row scan would otherwise kill hours of work. Each asset's
+    decode is individually guarded; failures emit their row with
+    empty pixels, ``status='declined'`` and the codec's error message
+    in ``error`` (the codecs raise deterministic messages, so the
+    quarantine column is oracle-able); successes carry
+    ``status='ok'``. Only ValueError/NotImplementedError — the
+    codecs' documented contract for bad payloads — are caught:
+    anything else is a real bug and still fails loudly."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,12 +244,39 @@ def decode_stage(assets: DataFrame, codec: str = "fake") -> DataFrame:
             declared = np.asarray([m["n_frames"] for m in metas], dtype=np.int64)
             media = pdf["media_type"].to_numpy()
             frames = np.where(media == "image", 1, declared)
-            pixels = [
-                _decode_payload(bytes(p), int(w), int(h), int(n), codec)
-                .ravel()
-                .astype(np.int32)
-                for p, w, h, n in zip(pdf["payload"], widths, heights, frames)
-            ]
+            if not dead_letter:
+                pixels = [
+                    _decode_payload(bytes(p), int(w), int(h), int(n), codec)
+                    .ravel()
+                    .astype(np.int32)
+                    for p, w, h, n in zip(pdf["payload"], widths, heights, frames)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "media_type": media,
+                        "width": widths.astype(np.int32),
+                        "height": heights.astype(np.int32),
+                        "n_frames": frames.astype(np.int32),
+                        "pixels": pixels,
+                    }
+                )
+                continue
+            pixels, status, error = [], [], []
+            for p, w, h, n in zip(pdf["payload"], widths, heights, frames):
+                try:
+                    px = (
+                        _decode_payload(bytes(p), int(w), int(h), int(n), codec)
+                        .ravel()
+                        .astype(np.int32)
+                    )
+                    pixels.append(px)
+                    status.append("ok")
+                    error.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    pixels.append(np.zeros(0, dtype=np.int32))
+                    status.append("declined")
+                    error.append(str(e))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
@@ -222,13 +285,15 @@ def decode_stage(assets: DataFrame, codec: str = "fake") -> DataFrame:
                     "height": heights.astype(np.int32),
                     "n_frames": frames.astype(np.int32),
                     "pixels": pixels,
+                    "status": status,
+                    "error": error,
                 }
             )
 
-    return assets.mapInPandas(
-        run,
-        "doc_id long, media_type string, width int, height int, n_frames int, pixels array<int>",
-    )
+    schema = "doc_id long, media_type string, width int, height int, n_frames int, pixels array<int>"
+    if dead_letter:
+        schema += ", status string, error string"
+    return assets.mapInPandas(run, schema)
 
 
 def frame_sample_stage(decoded: DataFrame, every_k: int = 2) -> DataFrame:
@@ -389,7 +454,14 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible and oracle-checked. Scale shape: one
     map-side-combined groupBy on the 16-byte content hash, then a
     3-row rollup; no payload bytes ever shuffle (the hash rides, not
-    the binary)."""
+    the binary).
+
+    r16: + ``declined_frac`` — the fraction of each media type's
+    assets the dead-letter decode pass DECLINES, measured by actually
+    running ``decode_stage(dead_letter=True)`` over the mixed-health
+    corpus (``dl_assets``) — real decode evidence, not metadata
+    arithmetic; the oracle replays the planted class membership the
+    declines deterministically follow."""
     assets = synth_assets(spark, sf_dir)
     # images decode exactly ONE frame (decode_stage clamps them), so
     # their budget is w*h regardless of declared n_frames — budgeting
@@ -410,7 +482,7 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px"
         ),
     )
-    return per.groupBy("media_type").agg(
+    report = per.groupBy("media_type").agg(
         F.sum("n").cast("long").alias("n_assets"),
         F.count("*").cast("long").alias("n_unique"),
         F.sum(F.col("n") - 1).cast("long").alias("n_dup_assets"),
@@ -419,9 +491,25 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n") - 1) * F.col("blob_bytes")).cast("long").alias("wasted_bytes"),
         F.sum("px").cast("long").alias("decode_budget_pixels"),
     )
+    from deker_server_adapters_spark.functions.histogram import round_ties_safe
+
+    declined = (
+        decode_stage(dl_assets(spark, sf_dir), codec="sniff", dead_letter=True)
+        .groupBy("media_type")
+        .agg(
+            round_ties_safe(
+                F.sum(F.when(F.col("status") == "declined", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                4,
+            ).alias("declined_frac")
+        )
+    )
+    return report.join(declined, "media_type", "left")
 
 
-ASSET_STATS_SQL = """
+ASSET_STATS_SQL = f"""
 WITH a AS (
   SELECT doc_id,
          CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
@@ -437,14 +525,123 @@ WITH a AS (
 ), g AS (
   SELECT media_type, ph, count(*) AS n, max(blob_bytes) AS blob_bytes, sum(px) AS px
   FROM a GROUP BY media_type, ph
+), decl AS (
+  -- the dead-letter decode declines exactly the planted classes
+  SELECT media_type,
+         {round_ties_safe_sql(
+             f"CAST(sum(CASE WHEN doc_id % 13 IN ({_DL_BAD_MAGIC_MOD}, {_DL_UNSUPPORTED_MOD}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+             4,
+         )} AS declined_frac
+  FROM a GROUP BY media_type
 )
-SELECT media_type,
+SELECT g.media_type AS media_type,
        CAST(sum(n) AS BIGINT) AS n_assets,
        CAST(count(*) AS BIGINT) AS n_unique,
        CAST(sum(n - 1) AS BIGINT) AS n_dup_assets,
        CAST(sum((n - 1) * blob_bytes) AS BIGINT) AS wasted_bytes,
-       CAST(sum(px) AS BIGINT) AS decode_budget_pixels
-FROM g GROUP BY media_type
+       CAST(sum(px) AS BIGINT) AS decode_budget_pixels,
+       any_value(declined_frac) AS declined_frac
+FROM g JOIN decl ON decl.media_type = g.media_type
+GROUP BY g.media_type
+"""
+
+
+def dl_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``synth_png_assets`` with the planted failure classes applied
+    as pure column surgery (binary substring/concat — no second
+    Python pass): class-3 payloads get their 8 magic bytes zeroed,
+    class-7 payloads become the 12-bit JPEG stub."""
+    assets = synth_png_assets(spark, sf_dir)
+    return assets.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 13 == _DL_BAD_MAGIC_MOD,
+            F.concat(F.lit(b"\x00" * 8), F.expr("substring(payload, 9)")),
+        )
+        .when(F.col("doc_id") % 13 == _DL_UNSUPPORTED_MOD, F.lit(_DL_JPEG12_STUB))
+        .otherwise(F.col("payload")),
+    )
+
+
+def multimodal_pipeline_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode pipeline over a MIXED-health corpus (r16): sniff
+    dispatch + per-asset dead-letter guard, good assets flow through
+    frame-sample -> resize -> features exactly as
+    ``multimodal_pipeline``, corrupt/unsupported assets land in the
+    quarantine rows of the SAME output (status='declined', the
+    codec's deterministic error message, NULL features) instead of
+    failing the job. One row per asset either way — the shape a
+    100-TB media scan needs, where a single bad blob must cost one
+    row, not the job.
+
+    Fully oracled: good-row features replay from the pixel formula
+    (the ``multimodal_pipeline`` device), quarantine membership and
+    messages replay from the doc_id % 13 class arithmetic."""
+    decoded = decode_stage(dl_assets(spark, sf_dir), codec="sniff", dead_letter=True)
+    good = decoded.filter(F.col("status") == "ok").drop("status", "error")
+    feats = feature_stage(resize_stage(frame_sample_stage(good)))
+    ok_rows = feats.select(
+        "doc_id",
+        "media_type",
+        F.lit("ok").alias("status"),
+        F.lit(None).cast("string").alias("error"),
+        "px_mean",
+        "px_std",
+        "px_min",
+        "px_max",
+    )
+    quarantine = decoded.filter(F.col("status") == "declined").select(
+        "doc_id",
+        "media_type",
+        "status",
+        "error",
+        F.lit(None).cast("double").alias("px_mean"),
+        F.lit(None).cast("double").alias("px_std"),
+        F.lit(None).cast("double").alias("px_min"),
+        F.lit(None).cast("double").alias("px_max"),
+    )
+    return ok_rows.unionByName(quarantine)
+
+
+DL_PIPELINE_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 + 1 AS INT) WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS media_type,
+         32 * (1 + doc_id % 2) AS w,
+         32 * (1 + (doc_id % 4) // 2) AS h
+  FROM documents
+), good AS (
+  SELECT * FROM a WHERE doc_id % 13 NOT IN ({_DL_BAD_MAGIC_MOD}, {_DL_UNSUPPORTED_MOD})
+), px AS (
+  SELECT doc_id, media_type, w, h, i.i AS i, j.j AS j,
+         CAST((doc_id * {_PX_A} + i.i * {_PX_B} + j.j * {_PX_C}) % 256 AS DOUBLE) AS v
+  FROM good, UNNEST(range(0, h)) i(i), UNNEST(range(0, w)) j(j)
+), th AS (
+  SELECT doc_id, media_type, i // (h // {_THUMB}) AS bi, j // (w // {_THUMB}) AS bj,
+         avg(v) AS t
+  FROM px GROUP BY doc_id, media_type, h, w, bi, bj
+), mu AS (
+  SELECT doc_id, media_type, avg(t) AS m, min(t) AS tmin, max(t) AS tmax
+  FROM th GROUP BY doc_id, media_type
+), dev AS (
+  SELECT th.doc_id, avg((t - m) * (t - m)) AS var
+  FROM th JOIN mu ON mu.doc_id = th.doc_id
+  GROUP BY th.doc_id
+)
+SELECT mu.doc_id AS doc_id, mu.media_type AS media_type,
+       'ok' AS status, CAST(NULL AS VARCHAR) AS error,
+       {round_ties_safe_sql("m", 4)} AS px_mean,
+       {round_ties_safe_sql("sqrt(var)", 4)} AS px_std,
+       {round_ties_safe_sql("tmin", 4)} AS px_min,
+       {round_ties_safe_sql("tmax", 4)} AS px_max
+FROM mu JOIN dev ON dev.doc_id = mu.doc_id
+UNION ALL
+SELECT doc_id, media_type, 'declined' AS status,
+       CASE WHEN doc_id % 13 = {_DL_BAD_MAGIC_MOD} THEN '{_DL_ERR_BAD_MAGIC}'
+            ELSE '{_DL_ERR_UNSUPPORTED}' END AS error,
+       CAST(NULL AS DOUBLE) AS px_mean, CAST(NULL AS DOUBLE) AS px_std,
+       CAST(NULL AS DOUBLE) AS px_min, CAST(NULL AS DOUBLE) AS px_max
+FROM a WHERE doc_id % 13 IN ({_DL_BAD_MAGIC_MOD}, {_DL_UNSUPPORTED_MOD})
 """
 
 
@@ -524,6 +721,18 @@ OPS = {
             "pixels from the synthetic source's formula)"
         ),
     ),
+    "multimodal_pipeline_dead_letter": Op(
+        "multimodal_pipeline_dead_letter",
+        multimodal_pipeline_dead_letter,
+        DL_PIPELINE_SQL,
+        description=(
+            "decode pipeline over a mixed-health corpus: sniff "
+            "dispatch + per-asset dead-letter guard — corrupt/"
+            "unsupported payloads become quarantine rows (status, "
+            "deterministic error message, NULL features) instead of "
+            "failing the job; good rows match multimodal_pipeline"
+        ),
+    ),
     "multimodal_frame_plan": Op(
         "multimodal_frame_plan",
         multimodal_frame_plan,
@@ -542,7 +751,8 @@ OPS = {
         description=(
             "pre-decode media planning report: exact binary dedup by "
             "content hash + decode budget in pixels per media type; "
-            "hashes shuffle, payload bytes never do"
+            "hashes shuffle, payload bytes never do; + measured "
+            "dead-letter declined fraction per media type (r16)"
         ),
     ),
 }

@@ -386,9 +386,12 @@ def test_jpeg_codec_clear_errors_and_seam():
             continue
         except Exception as e:  # noqa: BLE001 - the assertion under test
             pytest.fail(f"truncation at byte {cut} leaked {type(e).__name__}: {e}")
-    # progressive SOF2 is the documented clear NotImplementedError
+    # a baseline stream RELABELED as SOF2 (r16: progressive now
+    # decodes) is corrupt progressive — its scan declares the
+    # full-band Ss=0..Se=63, illegal for a DC scan — and must cross
+    # the seam as the documented ValueError, not decode to garbage
     prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg_gray(prog)
 
     src = (np.arange(64, dtype=np.uint8).reshape(8, 8)) * 2
@@ -899,3 +902,107 @@ def test_jpeg_gray_declared_sampling_factors_ignored():
     patched[i + 11] = 0x22
     got = decode_jpeg_gray(bytes(patched))
     np.testing.assert_array_equal(got, base)
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive (SOF2) decode pin: both encoders quantize to
+    IDENTICAL coefficients, and every Annex-G scan path (DC
+    first/refine, AC band first with EOBn runs, AC correction-bit
+    refinement) is a lossless re-encoding — so progressive and
+    baseline decodes must agree EXACTLY, pixel for pixel."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (17, 9), (64, 64), (1, 1), (5, 40)]:
+        for q in [75, 90, 100]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            base = decode_jpeg_gray(encode_jpeg_gray(px, q))
+            prog = decode_jpeg_gray(encode_jpeg_gray_progressive(px, q))
+            np.testing.assert_array_equal(base, prog, err_msg=f"{shape}@{q}")
+    # flat image: the EOB run spans every block of every AC scan
+    flat = np.full((40, 40), 137, dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(encode_jpeg_gray(flat, 90)),
+        decode_jpeg_gray(encode_jpeg_gray_progressive(flat, 90)),
+    )
+    # spectral-selection-only script (no successive approximation)
+    sel = ((0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0))
+    px = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_jpeg_gray(encode_jpeg_gray(px, 85)),
+        decode_jpeg_gray(encode_jpeg_gray_progressive(px, 85, scans=sel)),
+    )
+
+
+def test_jpeg_progressive_roundtrip_property():
+    """Property pin for the progressive path: random images at random
+    shapes/qualities — progressive decode equals baseline decode
+    exactly (shared quantizer), so the baseline error bounds carry
+    over for free."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+        q=st.sampled_from([75, 90, 100]),
+    )
+    def check(h, w, seed, q):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_jpeg_gray(encode_jpeg_gray(px, q)),
+            decode_jpeg_gray(encode_jpeg_gray_progressive(px, q)),
+        )
+
+    check()
+
+
+def test_dead_letter_decode_quarantines_planted_failures(spark):
+    """The r15-verdict dead-letter contract: a decode stage run over a
+    mixed-health corpus (good PNGs + zeroed-magic garbage + an
+    unsupported 12-bit JPEG + a PROGRESSIVE JPEG) completes instead
+    of failing the job; bad rows carry status='declined' with the
+    codec's message, good rows decode — and the progressive asset is
+    a GOOD row now that the codec implements SOF2."""
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+    from deker_server_adapters_spark.functions.pngcodec import encode_png_gray
+    from deker_server_adapters_spark.operators.multimodal import decode_stage
+
+    px = (np.arange(256, dtype=np.uint8).reshape(16, 16)) ^ 0x5A
+    png = encode_png_gray(px)
+    prog = encode_jpeg_gray_progressive(px, 95)
+    jpeg12 = bytes.fromhex("ffd8ffc0000b0c0008000801011100")
+    garbage = b"\x00" * 8 + png[8:]
+    rows = [
+        (0, "image", bytearray(png), {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}),
+        (1, "image", bytearray(prog), {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}),
+        (2, "image", bytearray(jpeg12), {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}),
+        (3, "image", bytearray(garbage), {"width": 16, "height": 16, "n_frames": 1, "sample_rate": 0}),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "doc_id long, media_type string, payload binary, "
+        "meta struct<width:int, height:int, n_frames:int, sample_rate:int>",
+    )
+    got = {r.doc_id: r for r in decode_stage(assets, codec="sniff", dead_letter=True).collect()}
+    assert got[0].status == "ok" and got[0].error is None
+    assert got[1].status == "ok" and got[1].error is None  # progressive decodes
+    assert list(got[1].pixels)[:4] == list(px.ravel()[:4])
+    assert got[2].status == "declined" and got[2].error == "only 8-bit JPEG supported"
+    assert got[3].status == "declined" and got[3].error == "unknown payload format"
+    assert list(got[2].pixels) == [] and list(got[3].pixels) == []
