@@ -1677,22 +1677,33 @@ def _sh_context(emb: DataFrame) -> "dict | None":
     corpus.
 
     Lineage discipline (the ``components_from_pairs`` device): the
-    giant compiled signature expression and the trainer feed FOUR
-    downstream consumers (scoring, survivor filter, anti-join, final
-    verdict join); left lazy, each consumer re-instantiates them in
-    the logical plan and Catalyst pays the ~100k-node analysis cost —
-    and at scale the cluster pays the recompute — once per consumer.
-    Two eager ``localCheckpoint`` cuts at the NARROW waists fix both:
+    giant compiled signature expression and the trainer feed several
+    downstream consumers (scoring, survivor filter, final verdict
+    join); left lazy, each consumer re-instantiates them in the
+    logical plan and Catalyst pays the ~100k-node analysis cost — and
+    at scale the cluster pays the recompute — once per consumer. Two
+    eager ``localCheckpoint`` cuts at the NARROW waists fix both:
     ``asg`` (vec_id, shard, cell — one row per vector) after the
-    trainer, and ``scored_shard`` (vec_id, vid_b, cos — the bounded
-    candidate set) after the one signature+scoring pass. Their RDD
+    trainer, and ``agg_shard`` (one row per vector) after the
+    shard-pass scoring AGGREGATE. The candidate-pair/score stream
+    itself is NEVER materialized — it flows into the hash aggregate
+    exactly like the unsharded op (an earlier cut at the scored-pair
+    level ground for hours at the 100x frontier corpus: billions of
+    transient rows written to checkpoint storage that the aggregate
+    would have consumed in-stream). Disjointness of the two pair
+    sets is BY CONSTRUCTION (the survivor pass keeps cross-shard
+    pairs only; shard-pass pairs are same-shard only), so no
+    anti-join ever needs the pair set as a table. The two cuts' RDD
     storage stays referenced by the returned DataFrames (the
-    ``dedup_components`` precedent: a lineage cut the result rests on
-    cannot be freed inside the builder)."""
+    ``dedup_components`` precedent: a lineage cut the result rests
+    on cannot be freed inside the builder)."""
+    from deker_server_adapters_spark.functions.hashing import h32
+
     n = emb.count()
     if n == 0:
         return None
-    emb2 = _sh_sharded(emb, _sh_nshards(n))
+    nshards = _sh_nshards(n)
+    emb2 = _sh_sharded(emb, nshards)
     meta = _sh_meta(emb2)
     asg = _sh_assignments(emb2, meta).localCheckpoint(eager=True)
     ca = asg.select("shard", "cell", "vec_id")
@@ -1713,71 +1724,90 @@ def _sh_context(emb: DataFrame) -> "dict | None":
         .select(F.col("hi").alias("vec_id"), F.col("lo").alias("vid_b"))
     )
     pairs_shard = cpairs.unionByName(lpairs).distinct()
-    scored_shard = _sh_score(pairs_shard, emb).localCheckpoint(eager=True)
-    # the checkpointed scores carry the exact pair keys (inner joins
-    # against embeddings), so downstream pair-set consumers read them
-    # from the cut instead of re-deriving the bucket joins
-    pairs_shard = scored_shard.select("vec_id", "vid_b")
-    agg_shard = scored_shard.groupBy("vec_id").agg(
-        F.count("*").alias("n_cand_sh"),
-        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_sh"),
-        F.max("cos").alias("max_sim_sh"),
+    agg_shard = (
+        _sh_score(pairs_shard, emb)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_cand_sh"),
+            F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_sh"),
+            F.max("cos").alias("max_sim_sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     # Survivor pass: per-shard keepers, global LSH at the survivor
-    # count's own ladder point (cells are shard-local so only the LSH
-    # generator can span shards). Fully lazy — the ladder triple rides
-    # in as a broadcast 1-row aggregate, no second eager count.
+    # count's own ladder point, CROSS-SHARD pairs only (cells are
+    # shard-local so only the LSH generator can span shards; same-shard
+    # survivor pairs were already tested by the finer per-shard pass —
+    # keeping them out makes the two pair sets disjoint by
+    # construction, which is what lets the verdict merge be a sum of
+    # two narrow aggregates instead of a deduped union of pair
+    # streams). Fully lazy — the ladder triple rides in as a broadcast
+    # 1-row aggregate; the shard id is a pure hash expression of
+    # vec_id, so no join re-attaches it.
     surv = (
         asg.join(agg_shard, "vec_id", "left")
         .filter(F.coalesce(F.col("n_dup_sh"), F.lit(0)) == 0)
         .select("vec_id")
     )
     emb_s = emb.join(surv, "vec_id")
-    sigs_s = _hy_signatures(emb_s, _hy_nrow(emb_s))
-    ga = sigs_s.select(F.col("vec_id").alias("hi"), "tbl", "bucket")
-    gb = sigs_s.filter(F.col("is_probe") == 0).select(
-        F.col("vec_id").alias("lo"), "tbl", "bucket"
+    sigs_s = _hy_signatures(emb_s, _hy_nrow(emb_s)).withColumn(
+        "shard", (h32(F.col("vec_id"), seed="shard") % F.lit(nshards)).cast("int")
     )
-    pairs_surv = (
+    ga = sigs_s.select(
+        F.col("vec_id").alias("hi"), F.col("shard").alias("sh_hi"), "tbl", "bucket"
+    )
+    gb = sigs_s.filter(F.col("is_probe") == 0).select(
+        F.col("vec_id").alias("lo"), F.col("shard").alias("sh_lo"), "tbl", "bucket"
+    )
+    pairs_new = (
         ga.join(gb, ["tbl", "bucket"])
-        .filter(F.col("lo") < F.col("hi"))
+        .filter((F.col("lo") < F.col("hi")) & (F.col("sh_lo") != F.col("sh_hi")))
         .select(F.col("hi").alias("vec_id"), F.col("lo").alias("vid_b"))
         .distinct()
     )
-    pairs_new = pairs_surv.join(pairs_shard, ["vec_id", "vid_b"], "left_anti")
     return {
         "emb": emb,
         "asg": asg,
         "pairs_shard": pairs_shard,
-        "scored_shard": scored_shard,
         "agg_shard": agg_shard,
         "pairs_new": pairs_new,
     }
 
 
 def _sh_verdict(ctx: dict) -> DataFrame:
-    """The merged per-vector verdict over the deduped pair union
-    (shard-pass scores ∪ newly-scored survivor pairs) — shared by the
-    sharded op and the verdict-recall columns of its recall eval."""
-    scored_all = ctx["scored_shard"].unionByName(_sh_score(ctx["pairs_new"], ctx["emb"]))
-    agg = scored_all.groupBy("vec_id").agg(
-        F.count("*").alias("n_cand_lower"),
-        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_lower"),
-        F.max("cos").alias("max_sim_lower"),
+    """The merged per-vector verdict — the sum of the two DISJOINT
+    pass aggregates (shard pass + cross-shard survivor pass), shared
+    by the sharded op and the verdict-recall columns of its recall
+    eval. ``greatest`` skips NULLs identically in Spark and DuckDB,
+    so the merged max_sim needs no coalesce gymnastics."""
+    agg_new = (
+        _sh_score(ctx["pairs_new"], ctx["emb"])
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_cand_nw"),
+            F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_nw"),
+            F.max("cos").alias("max_sim_nw"),
+        )
+    )
+    total_dup = F.coalesce(F.col("n_dup_sh"), F.lit(0)) + F.coalesce(
+        F.col("n_dup_nw"), F.lit(0)
     )
     return (
         ctx["asg"]
         .join(ctx["agg_shard"], "vec_id", "left")
-        .join(agg, "vec_id", "left")
+        .join(agg_new, "vec_id", "left")
         .select(
             "vec_id",
             "shard",
             "cell",
-            F.coalesce(F.col("n_cand_lower"), F.lit(0)).cast("long").alias("n_cand_lower"),
-            F.coalesce(F.col("n_dup_lower"), F.lit(0)).cast("long").alias("n_dup_lower"),
-            "max_sim_lower",
+            (
+                F.coalesce(F.col("n_cand_sh"), F.lit(0))
+                + F.coalesce(F.col("n_cand_nw"), F.lit(0))
+            ).cast("long").alias("n_cand_lower"),
+            total_dup.cast("long").alias("n_dup_lower"),
+            F.greatest(F.col("max_sim_sh"), F.col("max_sim_nw")).alias("max_sim_lower"),
             (F.coalesce(F.col("n_dup_sh"), F.lit(0)) > 0).alias("is_dup_shard"),
-            (F.coalesce(F.col("n_dup_lower"), F.lit(0)) > 0).alias("is_dup"),
+            (total_dup > 0).alias("is_dup"),
         )
     )
 
@@ -1789,12 +1819,16 @@ def dedup_semantic_hybrid_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     (per-shard sem-k/nbits/ntables/nprobes ladder reads, per-shard IVF
     trainer, per-shard LSH tables — all in ONE distributed pass keyed
     by the shard column, no driver loop), then catch cross-shard
-    near-duplicates with a global LSH-only pass over the per-shard
-    survivors at the survivor count's own ladder point. Verdict merge:
-    a vector's candidate set is its shard-pass pairs UNION its
-    survivor-pass pairs (deduped; each pair scores ONCE), is_dup at
-    the same tau and min-id-keeper rule as the whole family;
-    ``is_dup_shard`` exposes which stage caught it.
+    near-duplicates with a global LSH pass over the per-shard
+    survivors at the survivor count's own ladder point, keeping
+    CROSS-SHARD pairs only (same-shard survivor pairs were already
+    tested at the finer per-shard resolution). The two pair sets are
+    therefore DISJOINT by construction, and the verdict is the sum of
+    two narrow per-vector aggregates — each candidate stream flows
+    straight into its hash aggregate, never materializing (the
+    unsharded op's streaming shape); is_dup at the same tau and
+    min-id-keeper rule as the whole family; ``is_dup_shard`` exposes
+    which stage caught it.
 
     Scale shape: O(n) total work — each shard sits at a certified
     ladder point (recall pinned by the r15 frontier measurements,
@@ -1805,7 +1839,8 @@ def dedup_semantic_hybrid_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     shard machinery oracled at every scale; below the ceiling the
     unsharded ``dedup_semantic_hybrid`` remains the certified default.
     Recall vs the unsharded form is MEASURED (``_recall`` twin +
-    tools/hybrid_frontier.py --sharded), never assumed."""
+    tools/hybrid_frontier.py, SPARK_GRAFT_FRONTIER_SHARDED=1), never
+    assumed."""
     emb = load_table(spark, sf_dir, "embeddings")
     ctx = _sh_context(emb)
     if ctx is None:  # empty corpus: typed empty verdict table
@@ -1831,7 +1866,9 @@ def dedup_semantic_hybrid_sharded_recall(spark: SparkSession, sf_dir: str) -> Da
     - PAIR capture (recall_shard / recall_sharded): of all exact
       cosine >= tau pairs, how many the shard pass alone vs shard ∪
       survivor passes generate. Penalizes pairs whose endpoint was
-      already dropped in-shard — an intentionally pessimistic bound.
+      already dropped in-shard (and, by design, same-shard survivor
+      pairs the cross-shard-only second pass skips) — an intentionally
+      pessimistic bound.
     - VERDICT recall (recall_verdict): of all vectors with SOME
       lower-id true near-dup (the should-drop set), how many the op
       flags is_dup — the number a dedup consumer actually experiences
@@ -1905,13 +1942,16 @@ def dedup_semantic_hybrid_sharded_recall(spark: SparkSession, sf_dir: str) -> Da
     return pair_row.crossJoin(verdict_row)
 
 
-def _duck_buckets_over(src: str, meta_join: str, nbits: str, ntables: str) -> str:
+def _duck_buckets_over(
+    src: str, meta_join: str, nbits: str, ntables: str, with_shard: bool = False
+) -> str:
     """Unrolled per-table home buckets over ``src`` (a CTE with
-    vec_id/embedding and, when ``meta_join`` is set, shard) — the
-    ``_duck_hy_buckets`` device parameterized on source and ladder
-    expressions, shared by the sharded and incremental oracles."""
+    vec_id/embedding and, when ``meta_join``/``with_shard`` is set,
+    shard) — the ``_duck_hy_buckets`` device parameterized on source
+    and ladder expressions, shared by the sharded and incremental
+    oracles."""
     planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
-    shard_col = ", s.shard" if meta_join else ""
+    shard_col = ", s.shard" if (meta_join or with_shard) else ""
     selects = []
     for t in range(_HY_MAX_TABLES):
         bits = []
@@ -1944,7 +1984,8 @@ def _duck_sh_prelude() -> str:
 
     sh_bkt = _duck_buckets_over("sh", " JOIN meta m USING (shard)", "m.nbits", "m.ntables")
     sv_bkt = _duck_buckets_over(
-        "sem", "", "(SELECT nbits FROM smeta)", "(SELECT ntables FROM smeta)"
+        "sem", "", "(SELECT nbits FROM smeta)", "(SELECT ntables FROM smeta)",
+        with_shard=True,
     )
     sh_probes = "\n  UNION ALL\n".join(
         [" SELECT vec_id, shard, tbl, bucket FROM bkt"]
@@ -1955,9 +1996,9 @@ def _duck_sh_prelude() -> str:
         ]
     )
     sv_probes = "\n  UNION ALL\n".join(
-        [" SELECT vec_id, tbl, bucket FROM sbkt"]
+        [" SELECT vec_id, shard, tbl, bucket FROM sbkt"]
         + [
-            f" SELECT vec_id, tbl, xor(bucket, {1 << p}) AS bucket\n"
+            f" SELECT vec_id, shard, tbl, xor(bucket, {1 << p}) AS bucket\n"
             f" FROM sbkt WHERE {p} < (SELECT nprobes FROM smeta)"
             for p in range(_HY_MAX_PROBES)
         ]
@@ -2040,7 +2081,7 @@ nsh AS MATERIALIZED (
          max(cos) AS max_sim_sh
   FROM ssh GROUP BY vec_id
 ), sem AS MATERIALIZED (
-  SELECT e.vec_id, e.embedding
+  SELECT e.vec_id, e.embedding, a.shard
   FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
   LEFT JOIN aggsh g ON g.vec_id = e.vec_id
   WHERE COALESCE(g.n_dup_sh, 0) = 0
@@ -2054,33 +2095,34 @@ nsh AS MATERIALIZED (
 ), sbktp AS (
 {sv_probes}
 ), pnew AS MATERIALIZED (
+  -- CROSS-SHARD survivor pairs only: disjoint from psh by
+  -- construction (psh pairs are same-shard), so the verdict merge is
+  -- a sum of the two pass aggregates — no pair-level dedup
   SELECT DISTINCT pa.vec_id, pb.vec_id AS vid_b
   FROM sbktp pa JOIN sbkt pb
     ON pa.tbl = pb.tbl AND pa.bucket = pb.bucket AND pb.vec_id < pa.vec_id
-  WHERE NOT EXISTS (
-    SELECT 1 FROM psh q WHERE q.vec_id = pa.vec_id AND q.vid_b = pb.vec_id
-  )
+   AND pa.shard <> pb.shard
 ), snew AS (
   SELECT c.vec_id, c.vid_b,
          {round_ties_safe_sql("list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])", 6)} AS cos
   FROM pnew c
   JOIN embeddings ea ON ea.vec_id = c.vec_id
   JOIN embeddings eb ON eb.vec_id = c.vid_b
-), agg AS (
-  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand_lower,
-         CAST(sum(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lower,
-         max(cos) AS max_sim_lower
-  FROM (SELECT * FROM ssh UNION ALL SELECT * FROM snew) u GROUP BY vec_id
+), aggnw AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand_nw,
+         CAST(sum(CASE WHEN cos >= {_SEM_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_nw,
+         max(cos) AS max_sim_nw
+  FROM snew GROUP BY vec_id
 ), vout AS MATERIALIZED (
   SELECT a.vec_id AS vec_id, a.shard AS shard, a.cell AS cell,
-         COALESCE(g.n_cand_lower, 0) AS n_cand_lower,
-         COALESCE(g.n_dup_lower, 0) AS n_dup_lower,
-         g.max_sim_lower AS max_sim_lower,
+         COALESCE(gs.n_cand_sh, 0) + COALESCE(gn.n_cand_nw, 0) AS n_cand_lower,
+         COALESCE(gs.n_dup_sh, 0) + COALESCE(gn.n_dup_nw, 0) AS n_dup_lower,
+         greatest(gs.max_sim_sh, gn.max_sim_nw) AS max_sim_lower,
          COALESCE(gs.n_dup_sh, 0) > 0 AS is_dup_shard,
-         COALESCE(g.n_dup_lower, 0) > 0 AS is_dup
+         COALESCE(gs.n_dup_sh, 0) + COALESCE(gn.n_dup_nw, 0) > 0 AS is_dup
   FROM asg a
-  LEFT JOIN agg g ON g.vec_id = a.vec_id
   LEFT JOIN aggsh gs ON gs.vec_id = a.vec_id
+  LEFT JOIN aggnw gn ON gn.vec_id = a.vec_id
 )"""
 
 
@@ -3683,8 +3725,9 @@ OPS = {
             "(n > 262,144): hash-sharded <= 262k-vector shards each at a "
             "certified ladder point (per-shard trainer + LSH, one "
             "distributed pass, no driver loop), cross-shard near-dups "
-            "caught by a global LSH pass over per-shard survivors; "
-            "verdicts merged over the deduped pair union"
+            "caught by a cross-shard-only LSH pass over per-shard "
+            "survivors; verdict = sum of the two disjoint pass "
+            "aggregates (candidate streams never materialize)"
         ),
     ),
     "dedup_semantic_hybrid_sharded_recall": Op(

@@ -427,6 +427,13 @@ _INTENTIONAL_BNLJ = {
     # the 1-row graph-modularity / corpus-total ride-alongs
     "dedup_semantic_hybrid",
     "dedup_semantic_hybrid_recall",
+    # r16: the sharded composition's survivor pass rides the same
+    # 1-row ladder broadcast; the recall twin embeds its brute-force
+    # truth side; the incremental op hashes the delta under the
+    # old-corpus 1-row ladder broadcast
+    "dedup_semantic_hybrid_sharded",
+    "dedup_semantic_hybrid_sharded_recall",
+    "dedup_semantic_incremental",
     "parts_copurchase_modularity",  # 1-row m (edge count) + graph-Q rides
     "customer_rfm_segments",
     "q11_important_parts",
@@ -443,7 +450,12 @@ _INTENTIONAL_BNLJ = {
 }
 
 # Arrow-batched Python stages by design (multimodal decode, PCA moments).
-_INTENTIONAL_PYTHON = {"multimodal_pipeline", "embeddings_pca_moments"}
+_INTENTIONAL_PYTHON = {
+    "multimodal_pipeline",
+    "multimodal_pipeline_dead_letter",  # r16: the guarded decode stages
+    "multimodal_asset_stats",  # r16: + the measured declined_frac pass
+    "embeddings_pca_moments",
+}
 
 
 def test_snowflake_cross_year_fact_scans_once(spark, sf_dir):
