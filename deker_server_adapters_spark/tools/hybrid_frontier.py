@@ -169,6 +169,122 @@ def op_wall(spark: SparkSession, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
+    """One measurement of the SHARDED composition (r16): pair recall
+    per stage, verdict recall, candidate volume, and the op wall —
+    against the SAME sampled-truth protocol, except the truth sample
+    keys on the HIGHER id (every unordered pair has exactly one, the
+    hash is uniform, so pair-capture estimates stay unbiased AND the
+    sampled should-drop set is exactly the sampled higher ids with
+    some true lower mate — verdict recall needs the flagged side
+    sampled, which the lower-id sample cannot give). The UNSHARDED op
+    is measured under the identical vb-sample in the same JSON line,
+    so the sharded-vs-ladder comparison never crosses protocols."""
+    from deker_server_adapters_spark.operators.similarity import (
+        _hy_nrow,
+        _sh_context,
+        _sh_verdict,
+        dedup_semantic_hybrid_sharded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    ctx = _sh_context(emb)
+    n_cand_sharded = (
+        ctx["pairs_shard"].count() + ctx["pairs_new"].count() if ctx else 0
+    )
+    cand_sec = time.perf_counter() - t0
+    b = emb.filter(F.expr(f"pmod(xxhash64(vec_id), 1000) < {permille}")).select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    cos = round_ties_safe(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    tp = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEM_TAU)
+        .select("va", "vb")
+    )
+    as_hit = lambda df, name: df.select(  # noqa: E731
+        F.col("vid_b").alias("va"), F.col("vec_id").alias("vb"), F.lit(1).alias(name)
+    )
+    # unsharded capture + verdict under the same vb-sample
+    asg = _sem_assignments(emb)
+    ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
+    cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+    lp = as_hit(_hybrid_cand_pairs(emb, asg, nrow=_hy_nrow(emb)), "hit_hy")
+    joined = (
+        tp.join(ca, "va")
+        .join(cb, "vb")
+        .join(lp, ["va", "vb"], "left")
+        .join(as_hit(ctx["pairs_shard"], "hit_sh"), ["va", "vb"], "left")
+        .join(as_hit(ctx["pairs_new"], "hit_nw"), ["va", "vb"], "left")
+    )
+    row = joined.agg(
+        F.count("*").alias("n_true_sampled"),
+        F.sum(
+            F.when(
+                (F.col("cell_a") == F.col("cell_b")) | (F.col("hit_hy") == 1), 1
+            ).otherwise(0)
+        ).alias("n_hybrid"),
+        F.sum(F.when(F.col("hit_sh") == 1, 1).otherwise(0)).alias("n_shard"),
+        F.sum(
+            F.when((F.col("hit_sh") == 1) | (F.col("hit_nw") == 1), 1).otherwise(0)
+        ).alias("n_sharded"),
+    ).first()
+    # verdict recall over the sampled should-drop set (higher ids with
+    # some true lower mate), both forms
+    sd = tp.select(F.col("vb").alias("vec_id")).distinct()
+    fl_sh = sd.join(
+        _sh_verdict(ctx).select("vec_id", F.col("is_dup").alias("d_sh")),
+        "vec_id",
+        "left",
+    )
+    fl_hy = sd.join(
+        dedup_semantic_hybrid(spark, sf_dir).select(
+            "vec_id", F.col("is_dup").alias("d_hy")
+        ),
+        "vec_id",
+        "left",
+    )
+    v_sh = fl_sh.agg(
+        F.count("*").alias("n_sd"),
+        F.sum(F.when(F.col("d_sh"), 1).otherwise(0)).alias("n_fl"),
+    ).first()
+    v_hy = fl_hy.agg(
+        F.count("*").alias("n_sd"),
+        F.sum(F.when(F.col("d_hy"), 1).otherwise(0)).alias("n_fl"),
+    ).first()
+    t0 = time.perf_counter()
+    dedup_semantic_hybrid_sharded(spark, sf_dir).count()
+    op_sec = time.perf_counter() - t0
+    nt = row["n_true_sampled"] or 0
+    nsd = v_sh["n_sd"] or 0
+    r4 = lambda x, d: round(x / d, 4) if d else None  # noqa: E731
+    return {
+        "sharded": True,
+        "permille_vb": permille,
+        "n_true_sampled": nt,
+        "recall_hybrid_vbsample": r4(row["n_hybrid"], nt),
+        "recall_shard_pass": r4(row["n_shard"], nt),
+        "recall_sharded": r4(row["n_sharded"], nt),
+        "n_should_drop_sampled": nsd,
+        "verdict_recall_sharded": r4(v_sh["n_fl"], nsd),
+        "verdict_recall_unsharded": r4(v_hy["n_fl"], nsd),
+        "n_cand_pairs_sharded": n_cand_sharded,
+        "cand_sec_sharded": round(cand_sec, 2),
+        "op_sec_sharded": round(op_sec, 2),
+    }
+
+
 def main() -> None:
     from deker_server_adapters_spark.session import get_spark
 
@@ -207,6 +323,12 @@ def main() -> None:
             }
             sys.stdout.write(json.dumps(out) + "\n")
             sys.stdout.flush()
+            # r16: the sharded composition at the same K (one line,
+            # same box/session — directly comparable to the ladder row)
+            if os.environ.get("SPARK_GRAFT_FRONTIER_SHARDED", "0") == "1":
+                sout = {"k": k, **sharded_point(spark, scaled_dir, permille)}
+                sys.stdout.write(json.dumps(sout) + "\n")
+                sys.stdout.flush()
             # r15: forced-configuration points (nprobes=3 vs shard)
             for spec in filter(
                 None, os.environ.get("SPARK_GRAFT_FRONTIER_FORCE", "").split(";")
