@@ -392,8 +392,28 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
     or by ASCII 'R','G','B' component ids — get the ITU-R 601-2
     fixed-point luma transform after nearest-neighbor chroma
     upsampling. Raises ``ValueError`` on a non-JPEG/corrupt payload and
-    ``NotImplementedError`` on an unsupported variant (progressive,
-    12-bit, arithmetic-coded)."""
+    ``NotImplementedError`` on an unsupported variant (12-bit,
+    arithmetic-coded); progressive (SOF2) streams decode via the
+    Annex-G path (r16).
+
+    Corruption contract (r17, ADVICE): a bit-corrupted stream may
+    drive the header or entropy parsers into a low-level fault
+    (IndexError on a zigzag/table index, OverflowError stuffing an
+    out-of-range coefficient into the int32 block, struct.error on a
+    short segment) — all are re-raised here as the documented
+    ``ValueError`` so the dead-letter quarantine seam (which catches
+    only ValueError/NotImplementedError by contract) never lets one
+    flipped bit in a billion-asset corpus kill the job. Real decoder
+    bugs on VALID streams are still loud: the roundtrip property
+    tests exercise the codec on well-formed bytes where these
+    exception types cannot arise from input data."""
+    try:
+        return _decode_jpeg_gray_impl(data)
+    except (IndexError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_gray_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -847,7 +867,13 @@ def _progressive_scan(
                         if r < 0:
                             break
                     k += 1
-                if s and k <= se:
+                if s:
+                    if k > se:
+                        # the zero-run walk overran the band with a
+                        # pending new coefficient — same corruption
+                        # class ac_first_block raises on (r17 ADVICE:
+                        # silent drop decoded wrong pixels quietly)
+                        raise ValueError("JPEG AC run past band end")
                     blk[_ZZ[k]] = s
                 k += 1
         if state["eobrun"] > 0:

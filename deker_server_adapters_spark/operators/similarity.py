@@ -1670,7 +1670,7 @@ def _sh_score(pairs: DataFrame, emb: DataFrame) -> DataFrame:
     )
 
 
-def _sh_context(emb: DataFrame) -> "dict | None":
+def _sh_context(emb: DataFrame, lo_all: bool = False) -> "dict | None":
     """The shared lazy pipeline behind the sharded op and its recall
     eval: shard assignment, per-shard candidate pairs, shard-pass
     scores, survivors, and the survivor-pass pairs. None on an empty
@@ -1749,16 +1749,38 @@ def _sh_context(emb: DataFrame) -> "dict | None":
         .filter(F.coalesce(F.col("n_dup_sh"), F.lit(0)) == 0)
         .select("vec_id")
     )
-    emb_s = emb.join(surv, "vec_id")
-    sigs_s = _hy_signatures(emb_s, _hy_nrow(emb_s)).withColumn(
-        "shard", (h32(F.col("vec_id"), seed="shard") % F.lit(nshards)).cast("int")
-    )
-    ga = sigs_s.select(
-        F.col("vec_id").alias("hi"), F.col("shard").alias("sh_hi"), "tbl", "bucket"
-    )
-    gb = sigs_s.filter(F.col("is_probe") == 0).select(
-        F.col("vec_id").alias("lo"), F.col("shard").alias("sh_lo"), "tbl", "bucket"
-    )
+    if lo_all:
+        # r17 recall-recovery knob (VERDICT item 5): the survivors-only
+        # pass structurally misses the cross-shard pair (X hi-survivor,
+        # Y lo) whenever Y was itself dropped IN ITS OWN SHARD — Y
+        # never re-enters, so X's only near mate is invisible and X
+        # escapes. Opening the LO side to the FULL corpus (homes only,
+        # no probes — the cheap side) while keeping the HI side to
+        # survivors (a vector already flagged in-shard needs no further
+        # evidence) kills that loss mode. Disjointness with the shard
+        # pass is untouched — it comes from the cross-shard pair
+        # restriction, never from the survivor filter. Ladder reads
+        # off the FULL count (the lo side now sets bucket occupancy).
+        sigs_all = _hy_signatures(emb, _hy_nrow(emb)).withColumn(
+            "shard", (h32(F.col("vec_id"), seed="shard") % F.lit(nshards)).cast("int")
+        )
+        ga = sigs_all.join(surv, "vec_id").select(
+            F.col("vec_id").alias("hi"), F.col("shard").alias("sh_hi"), "tbl", "bucket"
+        )
+        gb = sigs_all.filter(F.col("is_probe") == 0).select(
+            F.col("vec_id").alias("lo"), F.col("shard").alias("sh_lo"), "tbl", "bucket"
+        )
+    else:
+        emb_s = emb.join(surv, "vec_id")
+        sigs_s = _hy_signatures(emb_s, _hy_nrow(emb_s)).withColumn(
+            "shard", (h32(F.col("vec_id"), seed="shard") % F.lit(nshards)).cast("int")
+        )
+        ga = sigs_s.select(
+            F.col("vec_id").alias("hi"), F.col("shard").alias("sh_hi"), "tbl", "bucket"
+        )
+        gb = sigs_s.filter(F.col("is_probe") == 0).select(
+            F.col("vec_id").alias("lo"), F.col("shard").alias("sh_lo"), "tbl", "bucket"
+        )
     pairs_new = (
         ga.join(gb, ["tbl", "bucket"])
         .filter((F.col("lo") < F.col("hi")) & (F.col("sh_lo") != F.col("sh_hi")))
@@ -2357,14 +2379,22 @@ WITH oldv AS MATERIALIZED (
          CAST(min(CASE WHEN cos >= {_SEM_TAU} THEN old_id END) AS BIGINT) AS dup_of
   FROM scored GROUP BY vec_id
 )
-SELECT n.vec_id AS vec_id, CAST(n.cell AS INT) AS cell,
+SELECT w.vec_id AS vec_id, CAST(n.cell AS INT) AS cell,
        COALESCE(a.n_cand, 0) AS n_cand,
        COALESCE(a.n_dup, 0) AS n_dup,
        a.max_sim AS max_sim,
        a.dup_of AS dup_of,
        COALESCE(a.n_dup, 0) > 0 AS is_dup
-FROM nasg n LEFT JOIN agg a ON a.vec_id = n.vec_id
+FROM newv w
+LEFT JOIN nasg n ON n.vec_id = w.vec_id
+LEFT JOIN agg a ON a.vec_id = w.vec_id
 """
+# ^ anchored on newv, not nasg (r17 ADVICE): when the OLD split is
+# empty, cents is empty and nasg (newv CROSS JOIN cents) vanishes —
+# the Spark builder's explicit empty-cents branch still emits one
+# all-unique row per new vector with NULL cell, and this LEFT JOIN
+# shape replays exactly that. With any old rows, nasg is one row per
+# new vector and the join is the identity of the previous form.
 
 
 _KMEANS_K = 8

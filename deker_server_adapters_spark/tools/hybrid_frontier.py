@@ -169,7 +169,13 @@ def op_wall(spark: SparkSession, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
+def sharded_point(
+    spark: SparkSession,
+    sf_dir: str,
+    permille: int,
+    include_unsharded: bool = True,
+    lo_all: bool = False,
+) -> dict:
     """One measurement of the SHARDED composition (r16): pair recall
     per stage, verdict recall, candidate volume, and the op wall —
     against the SAME sampled-truth protocol, except the truth sample
@@ -179,7 +185,15 @@ def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
     some true lower mate — verdict recall needs the flagged side
     sampled, which the lower-id sample cannot give). The UNSHARDED op
     is measured under the identical vb-sample in the same JSON line,
-    so the sharded-vs-ladder comparison never crosses protocols."""
+    so the sharded-vs-ladder comparison never crosses protocols.
+
+    ``include_unsharded=False`` (r17) skips every unsharded-machinery
+    column — MANDATORY past the 262,144 ladder ceiling, where the
+    unsharded op's pinned-at-nbits-9 buckets overflow the occupancy
+    target and its candidate stream grows quadratically (the exact
+    regime the sharded composition exists to escape); the sharded
+    columns keep their definitions so frontier rows stay comparable
+    to the gate rows."""
     from deker_server_adapters_spark.operators.similarity import (
         _hy_nrow,
         _sh_context,
@@ -189,10 +203,31 @@ def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
 
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
-    ctx = _sh_context(emb)
-    n_cand_sharded = (
-        ctx["pairs_shard"].count() + ctx["pairs_new"].count() if ctx else 0
-    )
+    # lo_all=True measures the r17 recall-recovery knob: survivor-pass
+    # LO side opened to the full corpus (see _sh_context). The op wall
+    # below still times the PRODUCTION op; cand/recall columns reflect
+    # the knob, so a knob row pairs with its default row from the same
+    # harness invocation.
+    ctx = _sh_context(emb, lo_all=lo_all)
+    if ctx is None:
+        # empty embeddings table: mirror the op's own empty-corpus
+        # handling with a clean zeroed report instead of a TypeError
+        # on ctx['pairs_shard'] below (r17 ADVICE)
+        return {
+            "sharded": True,
+            "permille_vb": permille,
+            "n_true_sampled": 0,
+            "recall_hybrid_vbsample": None,
+            "recall_shard_pass": None,
+            "recall_sharded": None,
+            "n_should_drop_sampled": 0,
+            "verdict_recall_sharded": None,
+            "verdict_recall_unsharded": None,
+            "n_cand_pairs_sharded": 0,
+            "cand_sec_sharded": round(time.perf_counter() - t0, 2),
+            "op_sec_sharded": 0.0,
+        }
+    n_cand_sharded = ctx["pairs_shard"].count() + ctx["pairs_new"].count()
     cand_sec = time.perf_counter() - t0
     b = emb.filter(F.expr(f"pmod(xxhash64(vec_id), 1000) < {permille}")).select(
         F.col("vec_id").alias("vb"),
@@ -216,30 +251,33 @@ def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
     as_hit = lambda df, name: df.select(  # noqa: E731
         F.col("vid_b").alias("va"), F.col("vec_id").alias("vb"), F.lit(1).alias(name)
     )
-    # unsharded capture + verdict under the same vb-sample
-    asg = _sem_assignments(emb)
-    ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
-    cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
-    lp = as_hit(_hybrid_cand_pairs(emb, asg, nrow=_hy_nrow(emb)), "hit_hy")
-    joined = (
-        tp.join(ca, "va")
-        .join(cb, "vb")
-        .join(lp, ["va", "vb"], "left")
-        .join(as_hit(ctx["pairs_shard"], "hit_sh"), ["va", "vb"], "left")
-        .join(as_hit(ctx["pairs_new"], "hit_nw"), ["va", "vb"], "left")
+    joined = tp.join(as_hit(ctx["pairs_shard"], "hit_sh"), ["va", "vb"], "left").join(
+        as_hit(ctx["pairs_new"], "hit_nw"), ["va", "vb"], "left"
     )
-    row = joined.agg(
+    aggs = [
         F.count("*").alias("n_true_sampled"),
-        F.sum(
-            F.when(
-                (F.col("cell_a") == F.col("cell_b")) | (F.col("hit_hy") == 1), 1
-            ).otherwise(0)
-        ).alias("n_hybrid"),
         F.sum(F.when(F.col("hit_sh") == 1, 1).otherwise(0)).alias("n_shard"),
         F.sum(
             F.when((F.col("hit_sh") == 1) | (F.col("hit_nw") == 1), 1).otherwise(0)
         ).alias("n_sharded"),
-    ).first()
+    ]
+    if include_unsharded:
+        # unsharded capture under the same vb-sample
+        asg = _sem_assignments(emb)
+        ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
+        cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+        lp = as_hit(_hybrid_cand_pairs(emb, asg, nrow=_hy_nrow(emb)), "hit_hy")
+        joined = (
+            joined.join(ca, "va").join(cb, "vb").join(lp, ["va", "vb"], "left")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("cell_a") == F.col("cell_b")) | (F.col("hit_hy") == 1), 1
+                ).otherwise(0)
+            ).alias("n_hybrid")
+        )
+    row = joined.agg(*aggs).first()
     # verdict recall over the sampled should-drop set (higher ids with
     # some true lower mate), both forms
     sd = tp.select(F.col("vb").alias("vec_id")).distinct()
@@ -248,21 +286,23 @@ def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
         "vec_id",
         "left",
     )
-    fl_hy = sd.join(
-        dedup_semantic_hybrid(spark, sf_dir).select(
-            "vec_id", F.col("is_dup").alias("d_hy")
-        ),
-        "vec_id",
-        "left",
-    )
     v_sh = fl_sh.agg(
         F.count("*").alias("n_sd"),
         F.sum(F.when(F.col("d_sh"), 1).otherwise(0)).alias("n_fl"),
     ).first()
-    v_hy = fl_hy.agg(
-        F.count("*").alias("n_sd"),
-        F.sum(F.when(F.col("d_hy"), 1).otherwise(0)).alias("n_fl"),
-    ).first()
+    v_hy = None
+    if include_unsharded:
+        fl_hy = sd.join(
+            dedup_semantic_hybrid(spark, sf_dir).select(
+                "vec_id", F.col("is_dup").alias("d_hy")
+            ),
+            "vec_id",
+            "left",
+        )
+        v_hy = fl_hy.agg(
+            F.count("*").alias("n_sd"),
+            F.sum(F.when(F.col("d_hy"), 1).otherwise(0)).alias("n_fl"),
+        ).first()
     t0 = time.perf_counter()
     dedup_semantic_hybrid_sharded(spark, sf_dir).count()
     op_sec = time.perf_counter() - t0
@@ -271,14 +311,19 @@ def sharded_point(spark: SparkSession, sf_dir: str, permille: int) -> dict:
     r4 = lambda x, d: round(x / d, 4) if d else None  # noqa: E731
     return {
         "sharded": True,
+        "lo_all": lo_all,
         "permille_vb": permille,
         "n_true_sampled": nt,
-        "recall_hybrid_vbsample": r4(row["n_hybrid"], nt),
+        "recall_hybrid_vbsample": (
+            r4(row["n_hybrid"], nt) if include_unsharded else None
+        ),
         "recall_shard_pass": r4(row["n_shard"], nt),
         "recall_sharded": r4(row["n_sharded"], nt),
         "n_should_drop_sampled": nsd,
         "verdict_recall_sharded": r4(v_sh["n_fl"], nsd),
-        "verdict_recall_unsharded": r4(v_hy["n_fl"], nsd),
+        "verdict_recall_unsharded": (
+            r4(v_hy["n_fl"], nsd) if include_unsharded else None
+        ),
         "n_cand_pairs_sharded": n_cand_sharded,
         "cand_sec_sharded": round(cand_sec, 2),
         "op_sec_sharded": round(op_sec, 2),
@@ -294,6 +339,24 @@ def main() -> None:
 
     spark = get_spark(app_name="hybrid-frontier", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # r17 direct-dir mode: measure ONLY the sharded composition on an
+    # existing corpus dir (e.g. a tools/gen_testdata fresh-draw corpus
+    # past the 262,144 ceiling) — no replication, no unsharded
+    # machinery (whose pinned ladder explodes past the ceiling).
+    lo_all = os.environ.get("SPARK_GRAFT_SHARDED_LO_ALL", "0") == "1"
+    direct = os.environ.get("SPARK_GRAFT_FRONTIER_DIR")
+    if direct:
+        n = load_table(spark, direct, "embeddings").count()
+        out = {
+            "dir": direct,
+            "n": n,
+            **sharded_point(
+                spark, direct, permille, include_unsharded=False, lo_all=lo_all
+            ),
+        }
+        sys.stdout.write(json.dumps(out) + "\n")
+        return
 
     base_sec = min(op_wall(spark, sf_dir) for _ in range(2))
     n_base = load_table(spark, sf_dir, "embeddings").count()
@@ -326,7 +389,10 @@ def main() -> None:
             # r16: the sharded composition at the same K (one line,
             # same box/session — directly comparable to the ladder row)
             if os.environ.get("SPARK_GRAFT_FRONTIER_SHARDED", "0") == "1":
-                sout = {"k": k, **sharded_point(spark, scaled_dir, permille)}
+                sout = {
+                    "k": k,
+                    **sharded_point(spark, scaled_dir, permille, lo_all=lo_all),
+                }
                 sys.stdout.write(json.dumps(sout) + "\n")
                 sys.stdout.flush()
             # r15: forced-configuration points (nprobes=3 vs shard)

@@ -407,6 +407,50 @@ def test_jpeg_codec_clear_errors_and_seam():
     assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 8
 
 
+def test_jpeg_codec_corruption_sweep_clear_errors():
+    """Single-byte CORRUPTION sweep (r17 ADVICE, the medium): the
+    truncation test above covers only short payloads, but a flipped
+    bit inside an intact-length stream drove the entropy/header
+    parsers into IndexError/OverflowError (~80 positions each on
+    baseline and progressive payloads in the advisor's fuzz) — which
+    the dead-letter seam does NOT catch, so one bad JPEG in a mixed
+    corpus killed the whole job. Every corrupted decode must now
+    either succeed (benign flip) or raise the documented
+    ValueError/NotImplementedError; decode_jpeg_gray converts
+    low-level faults at its boundary and the refinement band-overrun
+    is loud. Sweeps three masks x every byte past the SOI marker on
+    a baseline AND a progressive payload of the same image."""
+    import pytest
+
+    from deker_server_adapters_spark.functions.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    payloads = {
+        "baseline": encode_jpeg_gray(px, 90),
+        "progressive": encode_jpeg_gray_progressive(px, 90),
+    }
+    for kind, payload in payloads.items():
+        decode_jpeg_gray(payload)  # pristine stream must decode
+        for mask in (0x01, 0x80, 0xFF):
+            for i in range(2, len(payload)):
+                bad = bytearray(payload)
+                bad[i] ^= mask
+                try:
+                    decode_jpeg_gray(bytes(bad))
+                except (ValueError, NotImplementedError):
+                    continue
+                except Exception as e:  # noqa: BLE001 - the assertion under test
+                    pytest.fail(
+                        f"{kind} byte {i} mask {mask:#x} leaked "
+                        f"{type(e).__name__}: {e}"
+                    )
+
+
 def test_decode_stage_runs_jpeg_codec(spark):
     """The distributed decode stage over REAL JPEG payloads: per-asset
     pixel values must equal the seam's direct decode (the mapInPandas

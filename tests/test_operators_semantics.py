@@ -2689,3 +2689,52 @@ def test_semantic_incremental_planted_verdicts(spark, tmp_path):
     assert not got[9].is_dup and got[9].dup_of is None
     # the 14/19 near-pair is new-vs-new: by design NOT flagged
     assert not got[14].is_dup and not got[19].is_dup
+
+
+def test_semantic_incremental_empty_old_split_both_engines(spark, tmp_path):
+    """Cross-engine contract on the empty-OLD edge (r17 ADVICE): a
+    corpus where EVERY vec_id % 5 == 4 has no existing side to train
+    cells from — the Spark builder's explicit empty-cents branch
+    emits one all-unique row per new vector (NULL cell), and the
+    oracle SQL, now anchored on newv with LEFT JOINs, must return the
+    SAME rows instead of vanishing with the empty nasg CTE."""
+    import glob
+    import os
+
+    import duckdb
+
+    from deker_server_adapters_spark.operators import all_ops
+    from deker_server_adapters_spark.operators.similarity import (
+        dedup_semantic_incremental,
+    )
+    from tests.oracle_utils import compare
+
+    rng = np.random.RandomState(29)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).astype("float32").tolist()
+
+    rows = [(i, unit(rng.randn(32))) for i in range(4, 4 + 5 * 7, 5)]
+    assert all(i % 5 == 4 for i, _ in rows)
+    dirp = str(tmp_path / "allnew_sf")
+    os.makedirs(dirp, exist_ok=True)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(dirp, "embeddings.parquet"))
+
+    sdf = dedup_semantic_incremental(spark, dirp)
+    got = {r.vec_id: r for r in sdf.collect()}
+    assert set(got) == {i for i, _ in rows}
+    assert all(
+        not r.is_dup and r.cell is None and r.n_cand == 0 for r in got.values()
+    )
+
+    con = duckdb.connect()
+    p = os.path.join(dirp, "embeddings.parquet")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    duck = con.execute(all_ops()["dedup_semantic_incremental"].oracle).df()
+    ok, msg = compare(sdf, duck)
+    con.close()
+    assert ok, msg
