@@ -565,6 +565,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Manku et al. block-table design as one shuffle join; at 100 TB the
     64k-value segment keys keep buckets small and the join stays a
     plain shuffled-hash/SMJ on the key.
+
+    Two plan devices shared with ``minhash_pairs_df`` (r17): the
+    SHUFFLE_HASH hint keeps the self-join shuffled-by-key instead of
+    broadcast — at corpus scale the 4n-row segment table blows the
+    broadcast relation cap (8 GB / 512M rows) and every executor would
+    hold it whole, while the shuffled form stays partition-bounded (the
+    sketch build itself is materialized once either way via AQE
+    exchange reuse); and a pair that agrees on several segments is kept
+    only at the FIRST agreeing segment — a codegen'd CASE over the
+    sketch XOR, NOT a higher-order ``filter(sequence...)`` lambda,
+    which Catalyst evaluates interpreted and which measured 2x slower
+    over the candidate stream — instead of a trailing ``.distinct()``,
+    which was a whole extra shuffle+aggregate over the pair stream.
     """
     sh = simhash_table(spark, sf_dir)
     seg_args = ", ".join(
@@ -573,9 +586,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     segs = sh.select(
         "doc_id", "simhash", F.expr(f"stack({_SIMHASH_SEGS}, {seg_args}) AS (seg, seg_val)")
-    )
+    ).hint("SHUFFLE_HASH")
     a = segs.alias("a")
     b = segs.alias("b")
+    seg_whens = " ".join(
+        f"WHEN (shiftright(a.simhash ^ b.simhash, {s * _SEG_BITS}) & {(1 << _SEG_BITS) - 1}) = 0 THEN {s}"
+        for s in range(_SIMHASH_SEGS)
+    )
+    first_seg = F.expr(f"CASE {seg_whens} END")
     return (
         a.join(
             b,
@@ -583,6 +601,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.seg_val") == F.col("b.seg_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.seg") == first_seg)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -591,7 +610,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()  # a pair may agree on several segments
     )
 
 
@@ -1053,16 +1071,29 @@ def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFram
     # propagation round — at scale the edge shuffle dominates the loop
     edges = fwd.unionByName(rev).repartition(F.col("doc_b")).persist()
     edges.count()  # materialize once; every round joins this table
+    # Fold the label init and the FIRST propagation round into one
+    # aggregate (r17): label_1(v) = min(v, min over v's neighbors) —
+    # the node set is exactly distinct(doc_a) (edges carry both
+    # directions), so the old init (a full distinct shuffle over the
+    # edge table) plus round 1's join+aggregate+join machinery collapse
+    # to a single groupBy over the cached edges. nmin is never NULL:
+    # every doc_a has at least one neighbor by construction.
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("nmin"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least(F.col("doc_a"), F.col("nmin")).alias("label"),
+        )
         .persist()
     )
     changed = -1
     ckpt_rdds: list = []  # superseded local-checkpoint storage to free
     prev_gen = labels  # the handle persist/unpersist operates on
-    for round_no in range(1, max_rounds + 1):  # diameter bound; tiny components converge fast
+    # rounds 2..max_rounds: round 1 already happened inside the init
+    # aggregate above, so the budget still bounds total propagation
+    # rounds at max_rounds
+    for round_no in range(2, max_rounds + 1):  # diameter bound; tiny components converge fast
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
