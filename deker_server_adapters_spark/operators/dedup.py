@@ -241,27 +241,33 @@ def minhash_pairs_df(docs: DataFrame) -> DataFrame:
     ).hint("SHUFFLE_HASH")
     a = bands.alias("a")
     b = bands.alias("b")
-    agree = F.aggregate(
-        F.zip_with(
-            F.col("a.sig"),
-            F.col("b.sig"),
-            lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    # unrolled integer sum (K is a compile-time constant): the earlier
+    # zip_with+aggregate fold ran interpreted per candidate row —
+    # Catalyst does not codegen HOF lambdas (r17); integer addition is
+    # order-exact so the unrolled chain is value-identical
+    agree = F.expr(
+        " + ".join(
+            f"(CASE WHEN a.sig[{k}] = b.sig[{k}] THEN 1 ELSE 0 END)"
+            for k in range(_MINHASH_K)
+        )
     )
     est = round_ties_safe(agree / F.lit(float(_MINHASH_K)), 4).cast("double")
-    band_match = " AND ".join(
-        f"a.sig[bb*{_BAND_SIZE} + {i}] = b.sig[bb*{_BAND_SIZE} + {i}]"
-        for i in range(_BAND_SIZE)
-    )
     # A pair sharing several bands would emit several rows; instead of
     # a trailing .distinct() (a whole extra shuffle over the pair
     # table), keep the row only at the FIRST band the signatures agree
-    # on — computable per-row since both full sigs ride the join.
-    first_band = F.expr(
-        f"filter(sequence(0, {n_bands - 1}), bb -> {band_match})[0]"
+    # on — computable per-row since both full sigs ride the join. A
+    # codegen'd CASE chain, not filter(sequence...): Catalyst evaluates
+    # HOF lambdas interpreted (r17, same lesson as dedup_simhash).
+    band_whens = " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"a.sig[{bb * _BAND_SIZE + i}] = b.sig[{bb * _BAND_SIZE + i}]"
+            for i in range(_BAND_SIZE)
+        )
+        + f" THEN {bb}"
+        for bb in range(n_bands)
     )
+    first_band = F.expr(f"CASE {band_whens} END")
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
