@@ -216,7 +216,10 @@ def _decode_payload(
 
 
 def decode_stage(
-    assets: DataFrame, codec: str = "fake", dead_letter: bool = False
+    assets: DataFrame,
+    codec: str = "fake",
+    dead_letter: bool = False,
+    emit_pixels: bool = True,
 ) -> DataFrame:
     """binary payload -> frames (flattened pixels ride as array<int>).
 
@@ -234,7 +237,19 @@ def decode_stage(
     quarantine column is oracle-able); successes carry
     ``status='ok'``. Only ValueError/NotImplementedError — the
     codecs' documented contract for bad payloads — are caught:
-    anything else is a real bug and still fails loudly."""
+    anything else is a real bug and still fails loudly.
+
+    ``emit_pixels=False`` (r17, dead-letter only): consumers that read
+    only the verdict columns (``multimodal_asset_stats``'s
+    ``declined_frac``) must not ship every decoded frame back across
+    the Arrow boundary — Catalyst cannot prune columns through an
+    opaque mapInPandas, so the pixel arrays (h*w*n_frames int32 per
+    asset) would serialize JVM-ward only to be dropped. The decode is
+    still attempted per asset exactly as before (same codec calls,
+    same guarded seam, same status/error values); only the pixel
+    materialization and transfer are skipped."""
+    if not emit_pixels and not dead_letter:
+        raise ValueError("emit_pixels=False requires dead_letter=True")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,32 +280,32 @@ def decode_stage(
             pixels, status, error = [], [], []
             for p, w, h, n in zip(pdf["payload"], widths, heights, frames):
                 try:
-                    px = (
-                        _decode_payload(bytes(p), int(w), int(h), int(n), codec)
-                        .ravel()
-                        .astype(np.int32)
-                    )
-                    pixels.append(px)
+                    px = _decode_payload(bytes(p), int(w), int(h), int(n), codec)
+                    if emit_pixels:
+                        pixels.append(px.ravel().astype(np.int32))
                     status.append("ok")
                     error.append(None)
                 except (ValueError, NotImplementedError) as e:
-                    pixels.append(np.zeros(0, dtype=np.int32))
+                    if emit_pixels:
+                        pixels.append(np.zeros(0, dtype=np.int32))
                     status.append("declined")
                     error.append(str(e))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].to_numpy(),
-                    "media_type": media,
-                    "width": widths.astype(np.int32),
-                    "height": heights.astype(np.int32),
-                    "n_frames": frames.astype(np.int32),
-                    "pixels": pixels,
-                    "status": status,
-                    "error": error,
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "media_type": media,
+                "width": widths.astype(np.int32),
+                "height": heights.astype(np.int32),
+                "n_frames": frames.astype(np.int32),
+                "status": status,
+                "error": error,
+            }
+            if emit_pixels:
+                out["pixels"] = pixels
+            yield pd.DataFrame(out)
 
-    schema = "doc_id long, media_type string, width int, height int, n_frames int, pixels array<int>"
+    schema = "doc_id long, media_type string, width int, height int, n_frames int"
+    if emit_pixels:
+        schema += ", pixels array<int>"
     if dead_letter:
         schema += ", status string, error string"
     return assets.mapInPandas(run, schema)
@@ -494,7 +509,9 @@ def multimodal_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deker_server_adapters_spark.functions.histogram import round_ties_safe
 
     declined = (
-        decode_stage(dl_assets(spark, sf_dir), codec="sniff", dead_letter=True)
+        decode_stage(
+            dl_assets(spark, sf_dir), codec="sniff", dead_letter=True, emit_pixels=False
+        )
         .groupBy("media_type")
         .agg(
             round_ties_safe(
