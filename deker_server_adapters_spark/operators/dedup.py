@@ -1335,32 +1335,29 @@ def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical cascade with a recursive-CTE
     transitive closure for the clustering stage.
 
-    Plan shape (r17, the decide-with-small-rows rewrite of the r7
-    shared-window form): quality rules + content hash are computed in
-    ONE projection; the exact-dup canonical is a ``min() OVER
-    (PARTITION BY h)`` window with quality-dropped rows riding the
-    same window under a per-doc salted key. The window now runs over a
-    NARROW (doc_id, q_keep, h) projection — the r7 form carried the
-    full ``text`` column through the window exchange — and its output
-    is local-checkpointed, so the expensive tokenize/md5/window
-    subtree is evaluated exactly once per invocation even though the
-    op needs two driver actions (the in-builder CC loop plus the
-    caller's final action; exchange reuse never spans separate
-    actions, which is why the r7 shape still paid for the subtree
-    twice). Survivor text re-attaches to the checkpointed decision
-    table by doc_id join against the raw scan — heavy bytes move only
-    where they are consumed (the minhash tokenizer), never through
-    the dedup-decision shuffle."""
+    Plan shape (the r7 rewrite, measured vs the r6 join-back form):
+    quality rules + content hash are computed in ONE projection; the
+    exact-dup canonical is a ``min() OVER (PARTITION BY h)`` window
+    (one Exchange) instead of a groupBy + join-back (two); quality-
+    dropped rows ride the same window under a per-doc salted key so
+    every doc flows through a single stream. Both consumers of that
+    window — the minhash/CC chain and the final status projection —
+    hang off the SAME Exchange(h) subtree, so exchange reuse
+    materializes the expensive tokenize/md5 scan once instead of the
+    r6 form's four evaluations, and the only other shuffle-consumer is
+    one left join against the tiny component-label table."""
     from deker_server_adapters_spark.operators.text import quality_keep_spark
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "text", F.expr(_TOKENS).alias("t"))
     base = toks.select(
         "doc_id",
+        "text",
         F.expr(quality_keep_spark()).alias("q_keep"),
         F.expr(f"md5({_NORM})").alias("h0"),
     ).select(
         "doc_id",
+        "text",
         "q_keep",
         # quality-dropped docs get a unique salted key so the window
         # below is a no-op for them (canon = self) and one partitioning
@@ -1369,17 +1366,14 @@ def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("!"), F.col("doc_id").cast("string")))
         .alias("h"),
     )
-    narrow = (
-        base.withColumn("exact_canon", F.min("doc_id").over(Window.partitionBy("h")))
-        .select("doc_id", "q_keep", "exact_canon")
-        .localCheckpoint(eager=True)
+    ex = base.withColumn(
+        "exact_canon", F.min("doc_id").over(Window.partitionBy("h"))
     )
-    surv_ids = narrow.filter(
+    survivors = ex.filter(
         F.col("q_keep") & (F.col("doc_id") == F.col("exact_canon"))
-    ).select("doc_id")
-    survivors = docs.select("doc_id", "text").join(surv_ids, "doc_id")
+    ).select("doc_id", "text")
     labels = components_from_pairs(minhash_pairs_df(survivors))
-    return narrow.join(labels, "doc_id", "left").select(
+    return ex.join(labels, "doc_id", "left").select(
         "doc_id",
         F.when(~F.col("q_keep"), "dropped_quality")
         .when(F.col("doc_id") != F.col("exact_canon"), "dropped_exact_dup")

@@ -294,18 +294,14 @@ def test_user_value_decay_lazy_broadcast_tmax(spark, sf_dir, monkeypatch):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row tm side broadcast
 
 
-def test_dedup_pipeline_decision_table_checkpointed_once(spark, sf_dir):
-    """The r17 pipeline shape: the (doc_id, q_keep, exact_canon)
-    decision table is computed once inside the builder (narrow window,
-    no text through the exchange) and local-checkpointed, so the final
-    action re-reads the checkpoint instead of re-evaluating the
-    tokenize/md5/window subtree (exchange reuse never spans the CC
-    loop's separate actions — the r7 shared-Exchange(h) form paid for
-    the subtree twice). Pin that the returned plan contains no Window
-    node and reads a checkpoint RDD."""
+def test_dedup_pipeline_reuses_tokenize_exchange(spark, sf_dir):
+    """The r7 pipeline shape: both consumers of the quality+hash
+    projection hang off the same Exchange(h), so the expensive
+    tokenize/md5 scan materializes once (exchange reuse) — the 5.0s ->
+    3.5s sf0.1 win. Guard the reuse, not node counts (the CC loop's
+    checkpointed generations dominate the plan text)."""
     plan = physical_plan(_plan(spark, sf_dir, "docs_dedup_pipeline"))
-    assert "Window" not in plan
-    assert "ExistingRDD" in plan
+    assert "ReusedExchange" in plan
 
 
 def test_lm_quality_tiers_window_never_single_partition(spark, sf_dir):
