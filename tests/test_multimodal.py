@@ -1054,3 +1054,30 @@ def test_dead_letter_decode_quarantines_planted_failures(spark):
     assert got[2].status == "declined" and got[2].error == "only 8-bit JPEG supported"
     assert got[3].status == "declined" and got[3].error == "unknown payload format"
     assert list(got[2].pixels) == [] and list(got[3].pixels) == []
+
+
+def test_dead_letter_no_pixels_variant_matches_statuses(spark):
+    """r17 optimization contract for ``emit_pixels=False``: the
+    verdict-only decode (what multimodal_asset_stats' declined_frac
+    consumes) must attempt every decode through the same guarded seam
+    — identical statuses and error strings — while dropping the
+    ``pixels`` column from the stage schema entirely (the pixel
+    arrays otherwise cross the Arrow boundary only to be discarded
+    by the aggregate). Also pins that the flag is dead-letter-only."""
+    import pytest
+
+    from deker_server_adapters_spark.operators.multimodal import (
+        decode_stage,
+        dl_assets,
+    )
+
+    assets = dl_assets(spark, "/root/testdata/sf0.001")
+    with_px = decode_stage(assets, codec="sniff", dead_letter=True)
+    no_px = decode_stage(assets, codec="sniff", dead_letter=True, emit_pixels=False)
+    assert "pixels" in with_px.columns
+    assert "pixels" not in no_px.columns
+    a = {r.doc_id: (r.status, r.error) for r in with_px.select("doc_id", "status", "error").collect()}
+    b = {r.doc_id: (r.status, r.error) for r in no_px.select("doc_id", "status", "error").collect()}
+    assert a == b and any(s == "declined" for s, _ in a.values())
+    with pytest.raises(ValueError, match="emit_pixels"):
+        decode_stage(assets, codec="sniff", dead_letter=False, emit_pixels=False)
