@@ -845,6 +845,14 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False).alias("is_dup"),
             ).limit(0)
         )
+    # NOTE (r17): this scoring deliberately stays the Catalyst
+    # expression form. The k-cell join emits its pairs on <= k
+    # partitions (k = 8 at the sf0.1 ladder point), so an Arrow
+    # rescore stage here collapses onto k tasks and pays the
+    # boundary without the parallelism — measured 2.4 -> 11.6 s at
+    # sf0.1 when tried. The LSH-keyed pair streams (thousands of
+    # (tbl, bucket) keys) are where the kernel wins; see
+    # functions/veccompute.py and OPTIMIZATION_r17.md.
     a = asg.select("vec_id", F.col("embedding").alias("ea"), "cell")
     b = asg.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"), "cell")
     pairs = (
@@ -957,10 +965,18 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         l2_norm(F.col("embedding")).alias("nb"),
     )
-    cos = round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    # r17: truth side rescored by the Arrow kernel — cos_scored
+    # replays dot/(l2(a)·l2(b)) with the identical IEEE fold order,
+    # so the per-vector na/nb precompute this form used to carry is
+    # subsumed bit-exactly (same ops, same order, per pair).
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     tp = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("cosine", cos)
+        cos_scored(
+            a.join(b, F.col("va") < F.col("vb")).select("va", "vb", "ea", "eb"),
+            6,
+            out="cosine",
+        )
         .filter(F.col("cosine") >= _SEM_TAU)
         .select("va", "vb")
     )
@@ -1133,50 +1149,27 @@ def _hy_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
     is_probe=1) gated on the probes ladder. Probes derive from the
     home signature by XOR inside the same row pipeline — the dot
     products compute once per (vector, table) regardless of nprobes.
-    Rows beyond the corpus's ntables/nprobes are dropped after the
-    explode (the -1 sentinel; home buckets are always >= 0)."""
-    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
-    entries = []
-    for t in range(_HY_MAX_TABLES):
-        sig = F.lit(0).cast("long")
-        for i in range(_TJ_MAX_BITS):
-            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
-            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
-            sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        # gate the WHOLE table on the ladder, not just the explode
-        # filter: Spark's If evaluates one branch per row, so tables
-        # past ntables skip their dot products entirely (at the ladder
-        # floor only 8 of 24 compiled tables pay for their signatures)
-        gated = F.when(F.lit(t) < F.col("ntables"), sig).otherwise(
-            F.lit(-1).cast("long")
-        )
-        entries.append(
-            F.struct(
-                F.lit(t).alias("tbl"), gated.alias("bucket"), F.lit(0).alias("is_probe")
-            )
-        )
-        for p in range(_HY_MAX_PROBES):
-            probe = F.when(
-                (F.lit(t) < F.col("ntables")) & (F.lit(p) < F.col("nprobes")),
-                sig.bitwiseXOR(F.lit(1 << p)),
-            ).otherwise(F.lit(-1).cast("long"))
-            entries.append(
-                F.struct(
-                    F.lit(t).alias("tbl"), probe.alias("bucket"), F.lit(1).alias("is_probe")
-                )
-            )
-    return (
-        emb.crossJoin(F.broadcast(nrow))
-        .withColumn("tb", F.explode(F.array(*entries)))
-        .filter((F.col("tb.tbl") < F.col("ntables")) & (F.col("tb.bucket") >= 0))
-        .select(
-            "vec_id",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
-            F.col("tb.is_probe").alias("is_probe"),
-        )
+    Rows beyond the corpus's ntables/nprobes never materialize.
+
+    r17: evaluation moved from the compiled 24-table × 12-bit
+    expression tree (interpreted HOF dot folds, ~100k plan nodes that
+    every consumer branch re-instantiated) to the Arrow-vectorized
+    kernel in ``functions/veccompute.py`` — identical output rows
+    (pinned by test + unchanged oracle hashes), 4x on the stage at
+    sf0.1 and a tiny plan node in place of the giant tree."""
+    from deker_server_adapters_spark.functions.veccompute import signature_rows
+
+    src = emb.crossJoin(F.broadcast(nrow)).select(
+        "vec_id", "embedding", "nbits", "ntables", "nprobes"
+    )
+    return signature_rows(
+        src,
+        _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM),
+        _HY_MAX_TABLES,
+        _TJ_MAX_BITS,
+        _HY_MAX_PROBES,
+        ["vec_id"],
+        emit_probes=True,
     )
 
 
@@ -1250,15 +1243,7 @@ def dedup_semantic_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).limit(0)
         )
     cand = _hybrid_cand_pairs(emb, asg)
-    ea = emb.select("vec_id", F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"))
-    scored = (
-        cand.join(ea, "vec_id")
-        .join(eb, "vid_b")
-        .withColumn(
-            "cos", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
-        )
-    )
+    scored = _sh_score(cand, emb)
     agg = scored.groupBy("vec_id").agg(
         F.count("*").alias("n_cand_lower"),
         F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_lower"),
@@ -1382,10 +1367,18 @@ def dedup_semantic_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         l2_norm(F.col("embedding")).alias("nb"),
     )
-    cos = round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    # r17: truth side rescored by the Arrow kernel — cos_scored
+    # replays dot/(l2(a)·l2(b)) with the identical IEEE fold order,
+    # so the per-vector na/nb precompute this form used to carry is
+    # subsumed bit-exactly (same ops, same order, per pair).
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     tp = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("cosine", cos)
+        cos_scored(
+            a.join(b, F.col("va") < F.col("vb")).select("va", "vb", "ea", "eb"),
+            6,
+            out="cosine",
+        )
         .filter(F.col("cosine") >= _SEM_TAU)
         .select("va", "vb")
     )
@@ -1610,63 +1603,35 @@ def _sh_signatures(emb2: DataFrame, meta: DataFrame) -> DataFrame:
     compiled home+probe emission with the three ladder values joined in
     PER SHARD (broadcast meta) instead of one corpus-wide row; the
     plane set and gating are byte-identical, so each shard hashes
-    exactly as a standalone corpus of its size would."""
-    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
-    entries = []
-    for t in range(_HY_MAX_TABLES):
-        sig = F.lit(0).cast("long")
-        for i in range(_TJ_MAX_BITS):
-            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
-            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
-            sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        gated = F.when(F.lit(t) < F.col("ntables"), sig).otherwise(
-            F.lit(-1).cast("long")
-        )
-        entries.append(
-            F.struct(
-                F.lit(t).alias("tbl"), gated.alias("bucket"), F.lit(0).alias("is_probe")
-            )
-        )
-        for p in range(_HY_MAX_PROBES):
-            probe = F.when(
-                (F.lit(t) < F.col("ntables")) & (F.lit(p) < F.col("nprobes")),
-                sig.bitwiseXOR(F.lit(1 << p)),
-            ).otherwise(F.lit(-1).cast("long"))
-            entries.append(
-                F.struct(
-                    F.lit(t).alias("tbl"), probe.alias("bucket"), F.lit(1).alias("is_probe")
-                )
-            )
-    return (
-        emb2.join(
-            F.broadcast(meta.select("shard", "nbits", "ntables", "nprobes")), "shard"
-        )
-        .withColumn("tb", F.explode(F.array(*entries)))
-        .filter((F.col("tb.tbl") < F.col("ntables")) & (F.col("tb.bucket") >= 0))
-        .select(
-            "vec_id",
-            "shard",
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
-            F.col("tb.is_probe").alias("is_probe"),
-        )
+    exactly as a standalone corpus of its size would. r17: same
+    Arrow-kernel evaluation as ``_hy_signatures`` (see there)."""
+    from deker_server_adapters_spark.functions.veccompute import signature_rows
+
+    src = emb2.join(
+        F.broadcast(meta.select("shard", "nbits", "ntables", "nprobes")), "shard"
+    ).select("vec_id", "shard", "embedding", "nbits", "ntables", "nprobes")
+    return signature_rows(
+        src,
+        _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM),
+        _HY_MAX_TABLES,
+        _TJ_MAX_BITS,
+        _HY_MAX_PROBES,
+        ["vec_id", "shard"],
+        emit_probes=True,
     )
 
 
 def _sh_score(pairs: DataFrame, emb: DataFrame) -> DataFrame:
-    """(vec_id, vid_b, cos) — tie-safe 6-dp cosine per candidate pair."""
+    """(vec_id, vid_b, cos) — tie-safe 6-dp cosine per candidate pair
+    (r17: Arrow-kernel rescore, bit-identical to the expression form —
+    functions/veccompute.py)."""
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     ea = emb.select("vec_id", F.col("embedding").alias("ea"))
     eb = emb.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"))
-    return (
-        pairs.join(ea, "vec_id")
-        .join(eb, "vid_b")
-        .select(
-            "vec_id",
-            "vid_b",
-            round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
-        )
+    return cos_scored(
+        pairs.join(ea, "vec_id").join(eb, "vid_b").select("vec_id", "vid_b", "ea", "eb"),
+        6,
     )
 
 
@@ -1915,10 +1880,18 @@ def dedup_semantic_hybrid_sharded_recall(spark: SparkSession, sf_dir: str) -> Da
         F.col("embedding").alias("eb"),
         l2_norm(F.col("embedding")).alias("nb"),
     )
-    cos = round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    # r17: truth side rescored by the Arrow kernel — cos_scored
+    # replays dot/(l2(a)·l2(b)) with the identical IEEE fold order,
+    # so the per-vector na/nb precompute this form used to carry is
+    # subsumed bit-exactly (same ops, same order, per pair).
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     tp = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("cosine", cos)
+        cos_scored(
+            a.join(b, F.col("va") < F.col("vb")).select("va", "vb", "ea", "eb"),
+            6,
+            out="cosine",
+        )
         .filter(F.col("cosine") >= _SEM_TAU)
         .select("va", "vb")
     )
@@ -2256,14 +2229,13 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_lsh = sig_new.join(sig_old, ["tbl", "bucket"]).select("vec_id", "old_id")
     cand = cand_cell.unionByName(cand_lsh).distinct()
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     ea = new.select("vec_id", F.col("embedding").alias("ea"))
     eb = old.select(F.col("vec_id").alias("old_id"), F.col("embedding").alias("eb"))
-    scored = (
-        cand.join(ea, "vec_id")
-        .join(eb, "old_id")
-        .withColumn(
-            "cos", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
-        )
+    scored = cos_scored(
+        cand.join(ea, "vec_id").join(eb, "old_id").select("vec_id", "old_id", "ea", "eb"),
+        6,
     )
     agg = scored.groupBy("vec_id").agg(
         F.count("*").alias("n_cand"),
@@ -3366,22 +3338,26 @@ def _tj_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
     """(vec_id, embedding, tbl, bucket) under the ADAPTIVE bit count:
     every vector computes all _TJ_MAX_BITS sign bits per table, and the
     bucket keeps the first ``nbits`` of them (nbits from the corpus-
-    size ladder, broadcast in as a 1-row table)."""
-    planes = _hyperplanes(_TJ_TABLES * _TJ_MAX_BITS, _DIM)
-    buckets = []
-    for t in range(_TJ_TABLES):
-        sig = F.lit(0).cast("long")
-        for i in range(_TJ_MAX_BITS):
-            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
-            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
-            sig = sig + F.when(F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        buckets.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
-    return (
+    size ladder, broadcast in as a 1-row table). r17: Arrow-kernel
+    evaluation (see ``_hy_signatures``); the embedding rides through
+    the batch so the bucket join can rescore without a re-join,
+    exactly as before."""
+    from deker_server_adapters_spark.functions.veccompute import signature_rows
+
+    src = (
         emb.crossJoin(F.broadcast(nrow))
-        .withColumn("tb", F.explode(F.array(*buckets)))
-        .select("vec_id", "embedding", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        .withColumn("ntables", F.lit(_TJ_TABLES))
+        .withColumn("nprobes", F.lit(0))
+        .select("vec_id", "embedding", "nbits", "ntables", "nprobes")
+    )
+    return signature_rows(
+        src,
+        _hyperplanes(_TJ_TABLES * _TJ_MAX_BITS, _DIM),
+        _TJ_TABLES,
+        _TJ_MAX_BITS,
+        0,
+        ["vec_id", "embedding"],
+        emit_probes=False,
     )
 
 
@@ -3421,10 +3397,10 @@ def ann_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", "ea", "eb")
         .dropDuplicates(["a_id", "b_id"])
     )
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     return (
-        pairs.withColumn(
-            "cosine", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
-        )
+        cos_scored(pairs, 6, out="cosine")
         .filter(F.col("cosine") >= _TJ_TAU)
         .select("a_id", "b_id", "cosine")
     )
@@ -3483,10 +3459,15 @@ def ann_threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     exact = (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cosine", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        cos_scored(
+            a.join(F.broadcast(b), F.col("a_id") < F.col("b_id")).select(
+                "a_id", "b_id", "ea", "eb"
+            ),
+            6,
+            out="cosine",
         )
         .filter(F.col("cosine") >= _TJ_TAU)
         .select("a_id", "b_id")

@@ -2738,3 +2738,98 @@ def test_semantic_incremental_empty_old_split_both_engines(spark, tmp_path):
     ok, msg = compare(sdf, duck)
     con.close()
     assert ok, msg
+
+
+def test_veccompute_kernels_match_expression_forms(spark):
+    """r17 bit-exactness pin for functions/veccompute.py: the
+    Arrow-vectorized LSH-signature and cosine-rescore kernels must
+    produce EXACTLY the rows of the Catalyst expression forms they
+    replaced (interpreted HOF folds) — the kernels replay the same
+    IEEE double ops in the same order, so exceptAll in both
+    directions is empty. Guards the rule the module docstring states:
+    vectorize across rows, never across the fold dimension."""
+    from deker_server_adapters_spark.functions.histogram import round_ties_safe
+    from deker_server_adapters_spark.functions.vectors import cosine_similarity, dot
+    from deker_server_adapters_spark.functions.veccompute import (
+        cos_scored,
+        signature_rows,
+    )
+    from deker_server_adapters_spark.operators.similarity import (
+        _DIM,
+        _HY_MAX_PROBES,
+        _HY_MAX_TABLES,
+        _TJ_MAX_BITS,
+        _hy_nrow,
+        _hyperplanes,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    nrow = _hy_nrow(emb)
+
+    # --- signatures: kernel vs the pre-r17 expression emission ---
+    planes = _hyperplanes(_HY_MAX_TABLES * _TJ_MAX_BITS, _DIM)
+    entries = []
+    for t in range(_HY_MAX_TABLES):
+        sig = F.lit(0).cast("long")
+        for i in range(_TJ_MAX_BITS):
+            pl = F.array(*[F.lit(v) for v in planes[t * _TJ_MAX_BITS + i]])
+            bit = F.when(dot(F.col("embedding"), pl) > 0, 1).otherwise(0).cast("long")
+            sig = sig + F.when(
+                F.lit(i) < F.col("nbits"), F.shiftleft(bit, i)
+            ).otherwise(F.lit(0).cast("long"))
+        gated = F.when(F.lit(t) < F.col("ntables"), sig).otherwise(
+            F.lit(-1).cast("long")
+        )
+        entries.append(
+            F.struct(F.lit(t).alias("tbl"), gated.alias("bucket"), F.lit(0).alias("is_probe"))
+        )
+        for p in range(_HY_MAX_PROBES):
+            probe = F.when(
+                (F.lit(t) < F.col("ntables")) & (F.lit(p) < F.col("nprobes")),
+                sig.bitwiseXOR(F.lit(1 << p)),
+            ).otherwise(F.lit(-1).cast("long"))
+            entries.append(
+                F.struct(F.lit(t).alias("tbl"), probe.alias("bucket"), F.lit(1).alias("is_probe"))
+            )
+    expr_form = (
+        emb.crossJoin(F.broadcast(nrow))
+        .withColumn("tb", F.explode(F.array(*entries)))
+        .filter((F.col("tb.tbl") < F.col("ntables")) & (F.col("tb.bucket") >= 0))
+        .select(
+            "vec_id",
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+            F.col("tb.is_probe").alias("is_probe"),
+        )
+    )
+    kern_form = signature_rows(
+        emb.crossJoin(F.broadcast(nrow)).select(
+            "vec_id", "embedding", "nbits", "ntables", "nprobes"
+        ),
+        planes,
+        _HY_MAX_TABLES,
+        _TJ_MAX_BITS,
+        _HY_MAX_PROBES,
+        ["vec_id"],
+        emit_probes=True,
+    )
+    assert expr_form.exceptAll(kern_form).count() == 0
+    assert kern_form.exceptAll(expr_form).count() == 0
+    assert kern_form.count() > 0
+
+    # --- cosine rescore: kernel vs the expression on a dense pair set ---
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", "ea", "eb"
+    )
+    expr_cos = pairs.select(
+        "a_id",
+        "b_id",
+        round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
+    )
+    kern_cos = cos_scored(pairs, 6)
+    assert expr_cos.exceptAll(kern_cos).count() == 0
+    assert kern_cos.exceptAll(expr_cos).count() == 0
+    assert kern_cos.count() == expr_cos.count() > 0

@@ -449,12 +449,24 @@ _INTENTIONAL_BNLJ = {
     "cross_channel_part_iceberg",
 }
 
-# Arrow-batched Python stages by design (multimodal decode, PCA moments).
+# Arrow-batched Python stages by design (multimodal decode, PCA moments,
+# and — r17 — the vectorized LSH-signature/cosine-rescore kernels of the
+# semantic-dedup/threshold-join family, functions/veccompute.py; their
+# outputs are pinned bit-identical to the former expression forms).
 _INTENTIONAL_PYTHON = {
     "multimodal_pipeline",
     "multimodal_pipeline_dead_letter",  # r16: the guarded decode stages
     "multimodal_asset_stats",  # r16: + the measured declined_frac pass
     "embeddings_pca_moments",
+    "dedup_semantic",
+    "dedup_semantic_recall",
+    "dedup_semantic_hybrid",
+    "dedup_semantic_hybrid_recall",
+    "dedup_semantic_hybrid_sharded",
+    "dedup_semantic_hybrid_sharded_recall",
+    "dedup_semantic_incremental",
+    "ann_cosine_threshold_join",
+    "ann_threshold_join_recall",
 }
 
 
