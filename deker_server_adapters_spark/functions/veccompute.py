@@ -12,6 +12,16 @@ them at 17–130 s each at sf0.1 while no other registry op exceeded
 state, i.e. exactly the shape guide §4.2 prescribes for
 ``mapInPandas`` + NumPy.
 
+The ANN-ladder assignments moved the same way (r17, second tranche):
+``cells_ranked`` (IVF cell assignment/probing — formerly a
+crossJoin(broadcast) + per-vector window shuffle of n·k rows),
+``pq_assign`` (PQ code assignment — formerly a broadcast join +
+per-(vec_id, m) window shuffle of n·m·k rows) and ``kmeans_rows``
+(the Lloyd argmin — formerly a ~k·dim-node interpreted DECIMAL HOF
+expression per row). Each is a map-only stage with identical output
+rows; the trainer loops that call them per iteration keep their
+driver-side centroid lists exactly as before.
+
 Bit-exactness contract (the reason these kernels may replace the
 expressions at all): every float operation replays the JVM
 expression's ops IN ORDER. The dot/norm folds are sequential
@@ -83,6 +93,156 @@ def cos_scored(
             yield o
 
     return df.mapInPandas(run, schema)
+
+
+def cells_ranked(
+    df: DataFrame,
+    cents: "list[tuple[int, list[float]]]",
+    top: int,
+    carry: "list[str]",
+    digits: int = 9,
+) -> DataFrame:
+    """(carry..., cell) — the vectorized replay of the IVF assignment
+    device: ``crossJoin(broadcast(cents))`` + ``round_ties_safe(
+    cosine_similarity(embedding, ce), digits)`` + ``row_number() over
+    (ORDER BY sim DESC, cell)`` kept to ``rn <= top``.
+
+    ``cents`` is [(cell_id, centroid floats), ...] sorted by cell_id.
+    Cosines replay the JVM fold (sequential over dims — module
+    docstring); ranking replays Spark's ordering exactly: descending
+    rounded sim with ties to the LOWEST cell id, and NaN sims (zero-
+    norm vectors) ranking FIRST, as Spark's NaN-greatest ordering does.
+    Rows out = rows in × min(top, k); only the evaluation engine moved
+    — output rows are identical to the expression form."""
+    cell_ids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    C = np.asarray([ce for _, ce in cents], dtype=np.float64)  # (k, dim)
+    k = len(cents)
+    keep = min(top, k)
+    scale = float(10**digits)
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in carry
+    ) + ", cell int"
+    if k == 0:  # no centroids: typed empty, like the crossJoin form
+        df = df.limit(0)
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = np.zeros((n, k))
+            na = np.zeros(n)
+            nb = np.zeros(k)
+            for d in range(E.shape[1]):  # sequential over dims: the fold
+                x = E[:, d]
+                dots += x[:, None] * C[None, :, d]
+                na += x * x
+                nb += C[:, d] * C[:, d]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                sims = np.floor(sims * scale + 0.5) / scale
+            # Spark orders NaN greatest -> first under DESC; map NaN to
+            # +inf so lexsort agrees (ties then break to lowest cell).
+            key = np.where(np.isnan(sims), np.inf, sims)
+            order = np.argsort(-key, axis=1, kind="stable")[:, :keep]  # (n, keep)
+            idx = np.repeat(np.arange(n), keep)
+            o = pdf[carry].iloc[idx].reset_index(drop=True)
+            o["cell"] = cell_ids[order.ravel()].astype(np.int32)
+            yield o
+
+    return df.mapInPandas(run, out_schema)
+
+
+def pq_assign(df: DataFrame, books: "list[list[list[float]]]", digits: int = 9) -> DataFrame:
+    """(vec_id, m, code, sv, dist) — the vectorized replay of
+    ``pq_codebooks``'s per-iteration assignment: squared-L2 of each
+    (vec_id, m) subvector to its subspace's k codebook centroids as the
+    sequential double fold ``acc += (x-y)*(x-y)``, rounded tie-safe to
+    ``digits``, argmin with ties to the LOWEST code (Spark's
+    ``row_number() over (ORDER BY dist, c)``). One map-only stage in
+    place of a broadcast join + per-(vec_id, m) window shuffle of
+    n·m·k rows — rows and values are identical to the expression form."""
+    scale = float(10**digits)
+    m = len(books)
+    out_schema = "vec_id long, m int, code int, sv array<double>, dist double"
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = [np.asarray(bm, dtype=np.float64) for bm in books]  # m × (k, sub)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for mm in range(m):
+                part = pdf[pdf["m"] == mm]
+                if len(part) == 0:
+                    continue
+                S = np.stack(part["sv"].to_numpy()).astype(np.float64)
+                Bm = B[mm]
+                dists = np.zeros((len(part), Bm.shape[0]))
+                for d in range(S.shape[1]):  # sequential over dims: the fold
+                    diff = S[:, d][:, None] - Bm[None, :, d]
+                    dists += diff * diff
+                dists = np.floor(dists * scale + 0.5) / scale
+                code = np.argmin(dists, axis=1)  # first min = lowest c
+                o = part[["vec_id", "m", "sv"]].copy()
+                o["code"] = code.astype(np.int32)
+                o["dist"] = dists[np.arange(len(part)), code]
+                outs.append(o[["vec_id", "m", "code", "sv", "dist"]])
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def kmeans_rows(df: DataFrame, cents: "list[list[float]]") -> DataFrame:
+    """(df columns..., dists, cluster) — the vectorized replay of
+    ``kmeans_assignments``'s per-iteration assignment expression.
+
+    The expression's exactness device is DECIMAL(30,12) term summation:
+    each per-dim squared diff is tie-safe quantized to 12 dp while a
+    double, cast to DECIMAL (exactly n·10^-12 — a 13-significant-digit
+    double round-trips its shortest rendering), summed exactly, cast
+    back to double, and rounded to 9 dp. The kernel replays it in
+    integer arithmetic: n = floor(term·1e12 + 0.5) accumulates in
+    int64 (exact), and the decimal→double cast is the correctly-
+    rounded float(acc)/1e12 while acc ≤ 2^53 (guarded: larger sums
+    fall back to Fraction-exact conversion). cluster = first index of
+    the array minimum (``array_position(dists, array_min(dists))``)."""
+    from fractions import Fraction
+
+    C = np.asarray(cents, dtype=np.float64)  # (k, dim)
+    k, dim = C.shape
+    carry = list(df.columns)
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in carry
+    ) + ", dists array<double>, cluster int"
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((n, k), dtype=np.int64)
+            for d in range(dim):  # sequential over dims: the decimal fold
+                diff = E[:, d][:, None] - C[None, :, d]
+                term = diff * diff
+                acc += np.floor(term * 1e12 + 0.5).astype(np.int64)
+            if (np.abs(acc) > 2**53).any():  # exact decimal->double fallback
+                x = np.array(
+                    [[float(Fraction(int(v), 10**12)) for v in row] for row in acc]
+                )
+            else:
+                x = acc.astype(np.float64) / 1e12
+            dists = np.floor(x * 1e9 + 0.5) / 1e9
+            cluster = np.argmin(dists, axis=1)  # first min = array_position
+            o = pdf[carry].copy()
+            o["dists"] = list(dists)
+            o["cluster"] = cluster.astype(np.int32)
+            yield o
+
+    return df.mapInPandas(run, out_schema)
 
 
 def signature_rows(

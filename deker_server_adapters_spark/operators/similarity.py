@@ -284,31 +284,35 @@ def _ivf_centroids(emb: DataFrame, k: int = _IVF_CELLS) -> DataFrame:
     DuckDB): assignment sims round to 1e-9 before ranking (ties break
     to the lowest cell), and the refined per-dim means accumulate in
     DECIMAL then round to 1e-9 — order-independent and engine-exact,
-    the same device ``label_centroids`` / ``kmeans_assignments`` use."""
-    from deker_server_adapters_spark.functions.hashing import h32
+    the same device ``label_centroids`` / ``kmeans_assignments`` use.
 
-    seeds = (
+    r17: the assignment evaluates through the Arrow kernel
+    (``functions/veccompute.cells_ranked``) instead of a
+    crossJoin(broadcast) + per-vector window — one map-only stage in
+    place of an n·k-row window shuffle, identical rows (the kernel
+    replays the rounded-cosine fold and the desc-sim/lowest-cell rank
+    order). The k seed rows collect to the driver exactly as
+    ``pq_codebooks``'s seeds already do."""
+    from deker_server_adapters_spark.functions.hashing import h32
+    from deker_server_adapters_spark.functions.veccompute import cells_ranked
+
+    seed_rows = (
         emb.withColumn("hk", h32(F.col("vec_id")))
         .orderBy("hk")
         .limit(k)
-        .select(F.col("vec_id").alias("cell_seed"), F.col("embedding").alias("ce"))
-        .withColumn("cell", F.row_number().over(Window.orderBy("cell_seed")) - 1)
-        .select("cell", "ce")
+        .select("vec_id", "embedding")
+        .collect()
     )
+    if not seed_rows:  # empty corpus: typed empty centroid table
+        return emb.sparkSession.createDataFrame([], "cell int, ce array<double>")
+    seeds = [
+        (cell, [float(v) for v in r.embedding])
+        for cell, r in enumerate(sorted(seed_rows, key=lambda r: r.vec_id))
+    ]
 
-    def assign(df: DataFrame, cents: DataFrame) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
-
-    # one Lloyd iteration: reassign -> recompute mean centroids
-    assigned = assign(emb, seeds)
+    # one Lloyd iteration: reassign -> recompute mean centroids (only
+    # the embedding column crosses the Arrow boundary — guide §4.2)
+    assigned = cells_ranked(emb.select("embedding"), seeds, 1, ["embedding"])
     new_cents = (
         assigned.select("cell", F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v"))
         .groupBy("cell", "d")
@@ -339,6 +343,15 @@ def _local_centroids(emb: DataFrame, k: int = _IVF_CELLS) -> DataFrame:
     return emb.sparkSession.createDataFrame(cents.collect(), schema=cents.schema)
 
 
+def _centroid_rows(emb: DataFrame, k: int = _IVF_CELLS) -> "list[tuple[int, list[float]]]":
+    """The trained IVF centroid table as a sorted driver-side list of
+    (cell, centroid) — the form ``cells_ranked`` takes (r17). Same
+    single-collect discipline as ``_local_centroids``."""
+    return sorted(
+        (int(r.cell), [float(v) for v in r.ce]) for r in _ivf_centroids(emb, k).collect()
+    )
+
+
 def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into cells, probe the
     query's top-``_IVF_PROBES`` cells, exact re-rank inside. The scale
@@ -347,29 +360,24 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     touch ~probes/K of the data. Fully oracled (r14): the DuckDB twin
     replays the trainer, inverted file and probes; recall additionally
     measured by ``ann_ivf_recall``."""
+    from deker_server_adapters_spark.functions.veccompute import cells_ranked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _local_centroids(emb)
+    cents = _centroid_rows(emb)
     # inverted file: cell assignment for every vector (sims rounded to
     # 1e-9 before ranking — same determinism discipline as the
-    # quantizer, so the recall oracle can replay the assignment)
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
-    )
-    w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
-    inv = (
-        scored.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "cell")
-    )
+    # quantizer, so the recall oracle can replay the assignment).
+    # r17: assignment + probe ranking evaluate through the Arrow
+    # kernel — map-only stages in place of the crossJoin + per-vector
+    # window shuffles; identical rows (see cells_ranked).
+    inv = cells_ranked(
+        emb.select("vec_id", "embedding"), cents, 1, ["vec_id", "embedding"]
+    ).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "cell")
     # queries probe their top cells
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    qcells = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
-        .withColumn("rn", F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")))
-        .filter(F.col("rn") <= _IVF_PROBES)
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
-    )
+    qcells = cells_ranked(
+        queries.select("vec_id", "embedding"), cents, _IVF_PROBES, ["vec_id", "embedding"]
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
     pairs = (
         inv.join(F.broadcast(qcells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -2411,39 +2419,17 @@ def kmeans_assignments(
         return empty, []
     cents = [list(map(float, r.embedding)) for r in sorted(seeds, key=lambda r: r.vec_id)]
 
-    def dist_expr(c: list[float]) -> str:
-        # per-dim squared diffs are IDENTICAL doubles in both engines
-        # (IEEE ops on identical inputs); each term is tie-safe
-        # QUANTIZED to 12 dp while still a double, THEN cast to
-        # DECIMAL(30,12) — a double sitting (within float epsilon) on
-        # an exact 12-dp value casts to the same decimal in both
-        # engines, which a raw double->decimal cast does NOT guarantee
-        # (second r12 review find: Spark HALF_UPs the shortest decimal
-        # rendering, DuckDB half-evens the binary-scaled value, so
-        # terms at a 12-dp half-boundary cast one ulp apart). 12-dp
-        # terms then sum exactly and order-independently, so Spark's
-        # in-order fold equals DuckDB's unordered row sum bit-for-bit
-        # (first find: a plain double fold vs DuckDB's
-        # order-unspecified sum() was a nondeterministic-flakiness
-        # class at 0.5e-9 rounding boundaries).
-        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
-        term = round_ties_safe_sql("(x - y) * (x - y)", 12)
-        return round_ties_safe_sql(
-            "CAST(aggregate("
-            f"zip_with(embedding, {arr}, (x, y) -> CAST({term} AS DECIMAL(30,12))),"
-            " CAST(0 AS DECIMAL(30,12)),"
-            " (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)",
-            9,
-        )
-
     def assign(cs: list[list[float]]) -> DataFrame:
-        dists = "array(" + ", ".join(dist_expr(c) for c in cs) + ")"
-        return emb.withColumn(
-            "dists", F.expr(dists)
-        ).withColumn(
-            "cluster",
-            (F.expr("array_position(dists, array_min(dists))") - 1).cast("int"),
-        )
+        # r17: evaluates through the Arrow kernel
+        # (functions/veccompute.kmeans_rows) — the DECIMAL(30,12)
+        # term-sum device (reference form: _kmeans_assign_expr below,
+        # pinned row-identical to the kernel by
+        # test_veccompute_ann_kernels_match_expression_forms) compiled
+        # to a ~k·dim-node interpreted HOF expression per row; the
+        # kernel replays it in exact int64 fixed-point arithmetic.
+        from deker_server_adapters_spark.functions.veccompute import kmeans_rows
+
+        return kmeans_rows(emb, cs)
 
     for _ in range(iters):
         assigned = assign(cents)
@@ -2472,6 +2458,45 @@ def kmeans_assignments(
             for c in range(len(cents))
         ]
     return assign(cents), cents
+
+
+def _kmeans_assign_expr(emb: DataFrame, cs: "list[list[float]]") -> DataFrame:
+    """The pre-r17 Catalyst expression form of the Lloyd assignment —
+    kept as the engine-exact REFERENCE the Arrow kernel is pinned
+    against (test_veccompute_ann_kernels_match_expression_forms) and
+    as the documentation of the decimal device the DuckDB oracle
+    replays.
+
+    Per-dim squared diffs are IDENTICAL doubles in both engines (IEEE
+    ops on identical inputs); each term is tie-safe QUANTIZED to 12 dp
+    while still a double, THEN cast to DECIMAL(30,12) — a double
+    sitting (within float epsilon) on an exact 12-dp value casts to
+    the same decimal in both engines, which a raw double->decimal cast
+    does NOT guarantee (second r12 review find: Spark HALF_UPs the
+    shortest decimal rendering, DuckDB half-evens the binary-scaled
+    value, so terms at a 12-dp half-boundary cast one ulp apart).
+    12-dp terms then sum exactly and order-independently, so Spark's
+    in-order fold equals DuckDB's unordered row sum bit-for-bit (first
+    find: a plain double fold vs DuckDB's order-unspecified sum() was
+    a nondeterministic-flakiness class at 0.5e-9 rounding
+    boundaries)."""
+
+    def dist_expr(c: list[float]) -> str:
+        arr = "array(" + ", ".join(f"{v!r}D" for v in c) + ")"
+        term = round_ties_safe_sql("(x - y) * (x - y)", 12)
+        return round_ties_safe_sql(
+            "CAST(aggregate("
+            f"zip_with(embedding, {arr}, (x, y) -> CAST({term} AS DECIMAL(30,12))),"
+            " CAST(0 AS DECIMAL(30,12)),"
+            " (acc, v) -> CAST(acc + v AS DECIMAL(30,12))) AS DOUBLE)",
+            9,
+        )
+
+    dists = "array(" + ", ".join(dist_expr(c) for c in cs) + ")"
+    return emb.withColumn("dists", F.expr(dists)).withColumn(
+        "cluster",
+        (F.expr("array_position(dists, array_min(dists))") - 1).cast("int"),
+    )
 
 
 _PQ_M = 8  # subspaces
@@ -2543,30 +2568,17 @@ def pq_codebooks(
     ]
 
     def assign(books_: list) -> DataFrame:
-        spark = emb.sparkSession
-        cents = spark.createDataFrame(
-            [(mm, c, books_[mm][c]) for mm in range(m) for c in range(k)],
-            "m int, c int, ce array<double>",
-        )
-        # rounded to 1e-9 before ranking (ties then break to the lowest
-        # c) so the DuckDB oracle's replay assigns identically — the
-        # IVF/kmeans determinism discipline
-        dist = round_ties_safe(
-            F.aggregate(
-                F.zip_with(F.col("sv"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        )
-        w = Window.partitionBy("vec_id", "m").orderBy("dist", "c")
-        return (
-            sv.join(F.broadcast(cents), "m")
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "m", F.col("c").alias("code"), "sv", "dist")
-        )
+        # dists rounded to 1e-9 before ranking (ties then break to the
+        # lowest c) so the DuckDB oracle's replay assigns identically —
+        # the IVF/kmeans determinism discipline. r17: evaluates through
+        # the Arrow kernel (functions/veccompute.pq_assign) — one
+        # map-only stage in place of a broadcast join + per-(vec_id, m)
+        # window shuffle of n·m·k rows; identical rows (the kernel
+        # replays the rounded squared-L2 fold and the dist/lowest-c
+        # rank order).
+        from deker_server_adapters_spark.functions.veccompute import pq_assign
+
+        return pq_assign(sv, books_)
 
     for _ in range(iters):
         assigned = assign(books)
@@ -2894,29 +2906,22 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pytest-checked."""
     import numpy as np
 
+    from deker_server_adapters_spark.functions.veccompute import cells_ranked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = _local_centroids(emb)
-    # inverted file: cell per vector (same discipline as ann_ivf_cosine)
-    scored_cells = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9)
-    )
-    w1 = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
-    inv = (
-        scored_cells.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
-    )
+    cents = _centroid_rows(emb)
+    # inverted file: cell per vector (same discipline as ann_ivf_cosine).
+    # r17: assignment + probe ranking evaluate through the Arrow kernel
+    # — map-only stages in place of the crossJoin + per-vector window
+    # shuffles; identical rows (see cells_ranked). Only the two columns
+    # each stage needs cross the boundary (guide §4.2).
+    inv = cells_ranked(
+        emb.select("vec_id", "embedding"), cents, 1, ["vec_id"]
+    ).select("vec_id", "cell")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    qcells = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("sim", round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9))
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")),
-        )
-        .filter(F.col("rn") <= _IVF_PROBES)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    qcells = cells_ranked(
+        queries.select("vec_id", "embedding"), cents, _IVF_PROBES, ["vec_id"]
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = (
         inv.join(F.broadcast(qcells), "cell")
         .filter(F.col("query_id") != F.col("vec_id"))

@@ -2833,3 +2833,112 @@ def test_veccompute_kernels_match_expression_forms(spark):
     assert expr_cos.exceptAll(kern_cos).count() == 0
     assert kern_cos.exceptAll(expr_cos).count() == 0
     assert kern_cos.count() == expr_cos.count() > 0
+
+
+def test_veccompute_ann_kernels_match_expression_forms(spark):
+    """r17 bit-exactness pin for the ANN-ladder Arrow kernels
+    (``cells_ranked`` / ``pq_assign`` / ``kmeans_rows``): each must
+    produce EXACTLY the rows of the Catalyst expression form it
+    replaced (crossJoin+window IVF assignment, broadcast-join+window
+    PQ assignment, the DECIMAL(30,12) Lloyd argmin) — exceptAll in
+    both directions is empty. (No zero-norm edge: under ANSI mode the
+    expression form itself raises DIVIDE_BY_ZERO on a zero-norm
+    vector, so that input never reached either form; the kernel's
+    NaN->+inf mapping is defensive only.)"""
+    from pyspark.sql import Window
+
+    from deker_server_adapters_spark.functions.histogram import round_ties_safe
+    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+    from deker_server_adapters_spark.functions.veccompute import (
+        cells_ranked,
+        kmeans_rows,
+        pq_assign,
+    )
+    from deker_server_adapters_spark.operators.similarity import (
+        _DIM,
+        _IVF_PROBES,
+        _PQ_M,
+        _centroid_rows,
+        _kmeans_assign_expr,
+        kmeans_assignments,
+        pq_codebooks,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    # --- cells_ranked: kernel vs crossJoin(broadcast) + window ---
+    cents = _centroid_rows(emb)
+    cents_df = emb.sparkSession.createDataFrame(
+        list(cents), "cell int, ce array<double>"
+    )
+    for top in (1, _IVF_PROBES):
+        expr_form = (
+            emb.crossJoin(F.broadcast(cents_df))
+            .withColumn(
+                "sim",
+                round_ties_safe(cosine_similarity(F.col("embedding"), F.col("ce")), 9),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cell")
+                ),
+            )
+            .filter(F.col("rn") <= top)
+            .select("vec_id", "cell")
+        )
+        kern_form = cells_ranked(
+            emb.select("vec_id", "embedding"), cents, top, ["vec_id"]
+        )
+        assert expr_form.exceptAll(kern_form).count() == 0
+        assert kern_form.exceptAll(expr_form).count() == 0
+        assert kern_form.count() == expr_form.count() > 0
+
+    # --- pq_assign: kernel vs broadcast join + (vec_id, m) window ---
+    _codes, books = pq_codebooks(emb)
+    sub = _DIM // _PQ_M
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(mm).alias("m"),
+                F.slice(F.col("embedding").cast("array<double>"), mm * sub + 1, sub).alias("sv"),
+            )
+            for mm in range(_PQ_M)
+        ]
+    )
+    sv = emb.select("vec_id", F.explode(parts).alias("p")).select(
+        "vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+    cents_pq = emb.sparkSession.createDataFrame(
+        [(mm, c, books[mm][c]) for mm in range(_PQ_M) for c in range(len(books[mm]))],
+        "m int, c int, ce array<double>",
+    )
+    dist = round_ties_safe(
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "c")
+    expr_pq = (
+        sv.join(F.broadcast(cents_pq), "m")
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("c").alias("code"), "sv", "dist")
+    )
+    kern_pq = pq_assign(sv, books)
+    assert expr_pq.exceptAll(kern_pq).count() == 0
+    assert kern_pq.exceptAll(expr_pq).count() == 0
+    assert kern_pq.count() == expr_pq.count() > 0
+
+    # --- kmeans_rows: kernel vs the decimal-device argmin expression ---
+    _assigned, kcents = kmeans_assignments(emb)
+    expr_km = _kmeans_assign_expr(emb, kcents)
+    kern_km = kmeans_rows(emb, kcents)
+    assert expr_km.exceptAll(kern_km).count() == 0
+    assert kern_km.exceptAll(expr_km).count() == 0
+    assert kern_km.count() == expr_km.count() > 0

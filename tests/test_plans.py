@@ -467,6 +467,18 @@ _INTENTIONAL_PYTHON = {
     "dedup_semantic_incremental",
     "ann_cosine_threshold_join",
     "ann_threshold_join_recall",
+    # r17: the IVF cell-assignment, PQ code-assignment and k-means
+    # Lloyd-assignment expressions also moved to Arrow kernels
+    # (cells_ranked / pq_assign / kmeans_rows), so the ANN ladder ops
+    # and their recall twins carry MapInPandas stages by design
+    "ann_ivf_cosine",
+    "ann_ivf_recall",
+    "ann_pq_cosine",
+    "ann_pq_recall",
+    "ann_ivfpq_cosine",
+    "ann_ivfpq_recall",
+    "embeddings_pq",
+    "embeddings_kmeans",
 }
 
 
