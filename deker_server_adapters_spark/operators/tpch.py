@@ -1503,9 +1503,10 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_PR_ITERS`` power iterations, top-``_PR_TOPK`` parts.
 
     Scale shape — the canonical distributed PageRank: the EDGE table
-    never moves between iterations (its normalized form is an identical
-    subtree in every iteration, deduplicated by exchange reuse; on a
-    cluster you would persist it once), while the rank vector — O(parts)
+    never moves between iterations (its normalized form materializes
+    ONCE via an eager localCheckpoint — r17: the previously hoped-for
+    exchange-reuse dedup did not happen at runtime, so each iteration
+    re-ran the self-join), while the rank vector — O(parts)
     rows, small next to edges — broadcasts into each contribution join,
     and each iteration's only shuffle is the map-side-combined
     contribution sum on dst. Per-order pair fan-out is bounded by
@@ -1522,6 +1523,14 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     has inbound mass, so no dangling-mass correction is needed."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
+    # r17: the weighted edge table and its normalized form are eagerly
+    # materialized (localCheckpoint) — the claimed per-iteration
+    # exchange reuse did NOT happen at sf0.1 (executed plan: 34
+    # lineitem scans, 0 ReusedExchange), so every power iteration
+    # re-ran the self-join. With the cut the fact table is scanned
+    # once and each iteration is one broadcast join + one aggregate
+    # exchange. wsum is O(nodes) — broadcast into the normalize join
+    # (drop the hint past ~10^8 nodes and let it shuffle).
     edges = (
         a.join(
             b,
@@ -1532,10 +1541,15 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
     )
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
-    en = edges.join(wsum, "src").select(
-        "src", "dst", round_ties_safe(F.col("w") / F.col("wtot"), 12).alias("nw")
+    en = (
+        edges.join(F.broadcast(wsum), "src")
+        .select(
+            "src", "dst", round_ties_safe(F.col("w") / F.col("wtot"), 12).alias("nw")
+        )
+        .localCheckpoint(eager=True)
     )
     n = wsum.agg(F.count("*").cast("double").alias("n_nodes"))
     pr = wsum.crossJoin(F.broadcast(n)).select(
@@ -1703,14 +1717,40 @@ def _copurchase_graph(spark: SparkSession, sf_dir: str):
     return edges, deg
 
 
+def _copurchase_graph_chk(spark: SparkSession, sf_dir: str):
+    """``_copurchase_graph`` with the edge table eagerly materialized
+    (localCheckpoint) and the degree table rebuilt from the cut — the
+    lineage-cut device every multi-branch graph consumer needs: the
+    hoped-for ReusedExchange dedup of the edge subtree did NOT happen
+    at runtime (triangles' executed plan scanned lineitem 30x, jaccard
+    38x; r17 measurement), so without the cut each plan branch re-ran
+    the lineitem self-join. Kept out of ``_copurchase_graph`` itself:
+    an eager cut there would execute the self-join at plan-BUILD time
+    for registry-wide plan enumeration that never runs the query, and
+    k-core/LPA cut at their own (different) waists."""
+    edges, _ = _copurchase_graph(spark, sf_dir)
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return edges, deg
+
+
 def _oriented_triangles(edges: DataFrame, deg: DataFrame) -> DataFrame:
     """One row (na, nb, nc) per triangle, each matched exactly once via
     the degree-ordered orientation (see parts_copurchase_triangles)."""
     key = (F.col("deg") * F.lit(1 << 32).cast("long") + F.col("n")).alias("k")
     dk = deg.select("n", key)
+    # r17: the degree-key table is O(nodes) — broadcast it onto the
+    # edge stream (post-distinct size estimates planned these as
+    # SortMergeJoins, two needless edge-table exchanges per use; drop
+    # the hint past ~10^8 nodes and let it shuffle)
     ek = (
-        edges.join(dk.select(F.col("n").alias("u"), F.col("k").alias("ku")), "u")
-        .join(dk.select(F.col("n").alias("v"), F.col("k").alias("kv")), "v")
+        edges.join(F.broadcast(dk.select(F.col("n").alias("u"), F.col("k").alias("ku"))), "u")
+        .join(F.broadcast(dk.select(F.col("n").alias("v"), F.col("k").alias("kv"))), "v")
         .select(
             F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
@@ -1749,8 +1789,10 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order packs into one long key (deg << 32 | id — fine while ids fit
     32 bits; at bigger ids widen to a struct compare), identical
     arithmetic in the DuckDB oracle. Top-K via orderBy().limit()
-    (TakeOrderedAndProject), never a global window sort."""
-    edges, deg = _copurchase_graph(spark, sf_dir)
+    (TakeOrderedAndProject), never a global window sort. r17: edges
+    materialize once (``_copurchase_graph_chk`` — the executed plan
+    used to scan lineitem 30x across the x/y/z branches)."""
+    edges, deg = _copurchase_graph_chk(spark, sf_dir)
     tri = _oriented_triangles(edges, deg)
     per_node = (
         tri.select(F.explode(F.array("na", "nb", "nc")).alias("part_id"))
@@ -2211,9 +2253,23 @@ def _lpa_labels(edges: DataFrame, rounds: int) -> DataFrame:
         .union(edges.select(F.col("v").alias("n"), F.col("u").alias("nb")))
         .localCheckpoint(eager=True)
     )
-    labels = adj.select("n").distinct().withColumn("label", F.col("n"))
+    if rounds < 1:  # label table is just the node set
+        return adj.select("n").distinct().withColumn("label", F.col("n"))
     w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(rounds):
+    # r17: round 1 folded into the adjacency (the dedup_components
+    # device) — labels start as each node's own id, so round 1's
+    # neighbor-label stream IS the adjacency: the O(E) init distinct
+    # and round 1's join collapse into one groupBy over adj. Labels
+    # after the fold are identical to init + join round (measured
+    # exceptAll == 0 both ways at sf0.1; -31% on the LPA build).
+    counts = adj.groupBy("n", F.col("nb").alias("label")).agg(F.count("*").alias("c"))
+    labels = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("n", "label")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds - 1):
         counts = (
             adj.join(labels.select(F.col("n").alias("nb"), "label"), "nb")
             .groupBy("n", "label")
@@ -2358,24 +2414,12 @@ def parts_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: no counterpart (the reference is an HTTP
     adapter); extends SURVEY §2.2's graph analytics line."""
-    edges, deg = _copurchase_graph(spark, sf_dir)
     # the lineitem self-join behind edges feeds FIVE consumers here
     # (LPA adjacency, m, deg, intl, and percomm's two output branches);
-    # materialize it once — the same lineage-cut device _lpa_labels
-    # applies to its adjacency (r12 self-review find: without it the
-    # self-join re-ran per branch)
-    edges = edges.localCheckpoint(eager=True)
-    # deg rebuilt off the CHECKPOINTED edges — keep these lines in sync
-    # with _copurchase_graph's deg (the checkpoint can't live in the
-    # helper: an eager cut there would execute the lineitem self-join
-    # at PLAN-BUILD time for every graph op, including registry-wide
-    # plan enumeration that never runs the query)
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .union(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count("*").cast("long").alias("deg"))
-    )
+    # materialize it once via the shared r17 helper — the same
+    # lineage-cut device _lpa_labels applies to its adjacency (r12
+    # self-review find: without it the self-join re-ran per branch)
+    edges, deg = _copurchase_graph_chk(spark, sf_dir)
     labels = _lpa_labels(edges, _LPA_ROUNDS)
     percomm = _modularity_percomm(edges, deg, labels)
     # |communities|-row table consumed by BOTH the graph-Q aggregate
@@ -2469,8 +2513,11 @@ def parts_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     size needs only the two degrees: |N(u)∪N(v)| = deg(u)+deg(v)−cn−2
     (each endpoint's neighborhood contains the other, never itself) —
     and cn ≥ 1 forces both degrees ≥ cn+1, so the denominator is ≥ cn,
-    never zero. Top-K via TakeOrderedAndProject."""
-    edges, deg = _copurchase_graph(spark, sf_dir)
+    never zero. Top-K via TakeOrderedAndProject. r17: edges
+    materialize once (``_copurchase_graph_chk`` — the executed plan
+    used to scan lineitem 38x) and the O(nodes) degree table
+    broadcasts onto the cn stream."""
+    edges, deg = _copurchase_graph_chk(spark, sf_dir)
     tri = _oriented_triangles(edges, deg)
     tri_edges = tri.select(
         F.explode(
@@ -2489,8 +2536,8 @@ def parts_copurchase_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
     cn = tri_edges.groupBy("u", "v").agg(F.count("*").cast("long").alias("cn"))
     scored = (
-        cn.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+        cn.join(F.broadcast(deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))), "u")
+        .join(F.broadcast(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))), "v")
         .select(
             "u",
             "v",

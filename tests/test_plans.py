@@ -640,15 +640,18 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     assert not failures, "\n".join(failures)
 
 
-def test_pagerank_reuses_edge_exchange_and_broadcasts_rank(spark, sf_dir):
-    """The canonical distributed-PageRank shape: the normalized edge
-    subtree is identical across iterations (deduped by exchange reuse —
-    edges never recompute per iteration) and the rank vector reaches
-    each contribution join as a broadcast, so edges never reshuffle."""
+def test_pagerank_materializes_edges_once_and_broadcasts_rank(spark, sf_dir):
+    """The canonical distributed-PageRank shape, r17 form: the
+    normalized edge table materializes ONCE (eager localCheckpoint —
+    the final plan contains NO lineitem scan; exchange reuse was
+    measured NOT to dedup the per-iteration subtrees, 34 scans) and
+    the rank vector reaches each contribution join as a broadcast, so
+    edges never reshuffle."""
     df = _plan(spark, sf_dir, "parts_copurchase_pagerank")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    assert "lineitem.parquet" not in plan  # edges pre-materialized
+    assert "Scan ExistingRDD" in plan  # the checkpointed edge table
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     # top-K must be TakeOrderedAndProject (per-partition top-K + driver
@@ -656,11 +659,14 @@ def test_pagerank_reuses_edge_exchange_and_broadcasts_rank(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_graph_family_reuses_exchanges_and_takeordered(spark, sf_dir):
-    """Triangles and Jaccard recompute nothing: the edge/degree
-    subtrees appear once and dedupe via ReusedExchange, no cartesian
-    anywhere, and the top-K is TakeOrderedAndProject — never a global
-    SinglePartition sort of the per-node/per-edge table."""
+def test_graph_family_materializes_edges_once_and_takeordered(spark, sf_dir):
+    """Triangles and Jaccard recompute nothing: the edge table
+    materializes once (eager localCheckpoint — the final plan has NO
+    lineitem scan; ReusedExchange was measured NOT to dedup the 30-38
+    per-branch self-joins), the O(nodes) degree-key tables broadcast
+    onto the edge stream, no cartesian anywhere, and the top-K is
+    TakeOrderedAndProject — never a global SinglePartition sort of the
+    per-node/per-edge table."""
     from deker_server_adapters_spark.operators.tpch import (
         parts_copurchase_jaccard,
         parts_copurchase_triangles,
@@ -670,9 +676,11 @@ def test_graph_family_reuses_exchanges_and_takeordered(spark, sf_dir):
         df = fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "ReusedExchange" in plan
+        assert "lineitem.parquet" not in plan
+        assert "Scan ExistingRDD" in plan
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
+        assert "BroadcastHashJoin" in plan  # the dk joins, not SMJ
 
 
 def test_q72_dims_broadcast_single_agg_shuffle(spark, sf_dir):
