@@ -670,10 +670,10 @@ _EMB_BITS = 8
 _EMB_THRESHOLD = 0.95
 
 
-def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) — one row per LSH table; bucket = integer
-    of the 8 hyperplane sign bits. Shares ``similarity._hyperplanes``
-    (same 32 planes, regrouped 4x8 for dedup's higher precision)."""
+def _emb_lsh_buckets_expr(emb: DataFrame) -> DataFrame:
+    """The pre-r17 Catalyst-expression form of ``_emb_lsh_buckets`` —
+    kept as the reference the kernel parity test pins against (the
+    interpreted-HOF dot folds made it the op's dominant cost)."""
     from deker_server_adapters_spark.functions.vectors import dot
     from deker_server_adapters_spark.operators.similarity import _hyperplanes
 
@@ -691,12 +691,44 @@ def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
     )
 
 
+def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) — one row per LSH table; bucket = integer
+    of the 8 hyperplane sign bits. Shares ``similarity._hyperplanes``
+    (same 32 planes, regrouped 4x8 for dedup's higher precision).
+
+    r17: evaluated through the Arrow kernel
+    (``functions/veccompute.signature_rows``) — the expression form's
+    32 per-plane ``aggregate`` folds ran interpreted per row; rows out
+    are pinned bit-identical (``_emb_lsh_buckets_expr`` is the
+    reference)."""
+    from deker_server_adapters_spark.functions.veccompute import signature_rows
+    from deker_server_adapters_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_TABLES * _EMB_BITS)
+    src = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(_EMB_BITS).alias("nbits"),
+        F.lit(_EMB_TABLES).alias("ntables"),
+        F.lit(0).alias("nprobes"),
+    )
+    return signature_rows(
+        src, planes, _EMB_TABLES, _EMB_BITS, 0, ["vec_id"], False
+    ).select("vec_id", "tbl", F.col("bucket").cast("int").alias("bucket"))
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= 0.95 among LSH-bucket
     candidates — the 100 TB shape (bucket equi-join bounds pair
     generation; ``dedup_embedding_exact`` is the budget-guarded
-    brute-force twin used to verify recall in tests)."""
-    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+    brute-force twin used to verify recall in tests).
+
+    r17: the per-candidate cosine evaluates through the Arrow kernel
+    (``cos_scored`` — same IEEE op order as the dot/l2_norm fold
+    expressions it replaced, which ran interpreted per pair); the
+    embedding arrays are consumed inside the kernel batch and never
+    serialize back."""
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
 
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = _emb_lsh_buckets(emb)
@@ -708,22 +740,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    # norms once per row, not per pair
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("cosine", round_ties_safe(cos, 4))
+        cos_scored(cand.join(ea, "vec_a").join(eb, "vec_b"), 4, out="cosine")
         .filter(F.col("cosine") >= _EMB_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )
@@ -830,13 +850,9 @@ def _knn_bits_sql() -> str:
     return f"(SELECT CASE {cases} ELSE {_KNN_MAX_BITS} END FROM embeddings)"
 
 
-def _knn_lsh_buckets(emb: DataFrame, bits: int) -> DataFrame:
-    """(vec_id, tbl, bucket) at ladder resolution: each of the
-    ``_KNN_TABLES`` tables owns ``_KNN_MAX_BITS`` reserved hyperplanes
-    (plane index = tbl*16 + i) and uses the first ``bits`` of them, so
-    stepping the ladder REFINES buckets (a b+1 bucket is a subset of
-    its b bucket) and the oracle can replay any step by masking the
-    full 16-bit signature."""
+def _knn_lsh_buckets_expr(emb: DataFrame, bits: int) -> DataFrame:
+    """The pre-r17 Catalyst-expression form of ``_knn_lsh_buckets`` —
+    kept as the reference the kernel parity test pins against."""
     from deker_server_adapters_spark.functions.vectors import dot
     from deker_server_adapters_spark.operators.similarity import _hyperplanes
 
@@ -851,6 +867,41 @@ def _knn_lsh_buckets(emb: DataFrame, bits: int) -> DataFrame:
         tables.append(F.struct(F.lit(t).alias("tbl"), sig.cast("int").alias("bucket")))
     return emb.withColumn("tb", F.explode(F.array(*tables))).select(
         "vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def _knn_lsh_buckets(emb: DataFrame, bits: int) -> DataFrame:
+    """(vec_id, tbl, bucket) at ladder resolution: each of the
+    ``_KNN_TABLES`` tables owns ``_KNN_MAX_BITS`` reserved hyperplanes
+    (plane index = tbl*16 + i) and uses the first ``bits`` of them, so
+    stepping the ladder REFINES buckets (a b+1 bucket is a subset of
+    its b bucket) and the oracle can replay any step by masking the
+    full 16-bit signature.
+
+    r17: evaluated through the Arrow kernel (``signature_rows``) — the
+    plane set passed to the kernel is the first ``bits`` planes of
+    each table repacked at stride ``bits``, so kernel index t·bits+i
+    addresses exactly the expression's plane t·16+i (and no dot is
+    computed for the unused tail planes). Rows pinned bit-identical
+    against ``_knn_lsh_buckets_expr``."""
+    from deker_server_adapters_spark.functions.veccompute import signature_rows
+    from deker_server_adapters_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_KNN_TABLES * _KNN_MAX_BITS)
+    sub = [
+        planes[t * _KNN_MAX_BITS + i]
+        for t in range(_KNN_TABLES)
+        for i in range(bits)
+    ]
+    src = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(bits).alias("nbits"),
+        F.lit(_KNN_TABLES).alias("ntables"),
+        F.lit(0).alias("nprobes"),
+    )
+    return signature_rows(src, sub, _KNN_TABLES, bits, 0, ["vec_id"], False).select(
+        "vec_id", "tbl", F.col("bucket").cast("int").alias("bucket")
     )
 
 
@@ -898,8 +949,10 @@ def embeddings_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(*), and the builder's ladder read is one bounded eager
     count(). The top-k window and the vote partition on vec_id over
     the bounded fan-out; the final LEFT joins move one row per
-    vector."""
-    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
+    vector. r17: the per-candidate cosine evaluates through the Arrow
+    kernel (``cos_scored``, same IEEE op order as the dot/l2_norm
+    folds it replaced — interpreted per candidate row before)."""
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
 
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = _knn_lsh_buckets(emb, _knn_bits(emb.count()))
@@ -911,25 +964,13 @@ def embeddings_knn_label_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vid", "nb")
         .distinct()
     )
-    ev = emb.select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
+    ev = emb.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("ea"))
     en = emb.select(
         F.col("vec_id").alias("nb"),
         F.col("label").alias("nb_label"),
         F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nbn"),
     )
-    scored = (
-        cand.join(ev, "vid")
-        .join(en, "nb")
-        .withColumn(
-            "cosine",
-            round_ties_safe(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nbn")), 6),
-        )
-    )
+    scored = cos_scored(cand.join(ev, "vid").join(en, "nb"), 6, out="cosine")
     w = Window.partitionBy("vid").orderBy(F.desc("cosine"), "nb")
     top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KNN_K)
     votes = top.groupBy("vid", "nb_label").agg(F.count("*").alias("v"))

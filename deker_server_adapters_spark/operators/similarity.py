@@ -188,10 +188,9 @@ def _hyperplanes(n_planes: int = _N_PLANES, dim: int = _DIM) -> list[list[float]
     return planes
 
 
-def lsh_signatures(emb: DataFrame) -> DataFrame:
-    """One (table, bucket) row per input row per LSH table: the
-    multi-table signature index. A vector's bucket in table t is the
-    integer of its sign bits under that table's hyperplanes."""
+def _lsh_signatures_expr(emb: DataFrame) -> DataFrame:
+    """The pre-r17 Catalyst-expression form of ``lsh_signatures`` —
+    kept as the reference the kernel parity test pins against."""
     planes = _hyperplanes(_N_PLANES)
     buckets = []
     for t in range(_N_TABLES):
@@ -206,6 +205,29 @@ def lsh_signatures(emb: DataFrame) -> DataFrame:
     ).drop("tb")
 
 
+def lsh_signatures(emb: DataFrame) -> DataFrame:
+    """One (table, bucket) row per input row per LSH table: the
+    multi-table signature index. A vector's bucket in table t is the
+    integer of its sign bits under that table's hyperplanes.
+
+    r17: evaluated through the Arrow kernel (``signature_rows``) — the
+    expression form's 32 per-plane ``aggregate`` folds ran interpreted
+    per row; rows out are pinned bit-identical
+    (``_lsh_signatures_expr`` is the reference)."""
+    from deker_server_adapters_spark.functions.veccompute import signature_rows
+
+    planes = _hyperplanes(_N_PLANES)
+    src = emb.select(
+        "*",
+        F.lit(_BITS_PER_TABLE).alias("nbits"),
+        F.lit(_N_TABLES).alias("ntables"),
+        F.lit(0).alias("nprobes"),
+    )
+    return signature_rows(
+        src, planes, _N_TABLES, _BITS_PER_TABLE, 0, list(emb.columns), False
+    )
+
+
 def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates = union of the query's buckets
     across all LSH tables, exact cosine re-rank on the candidate set.
@@ -215,7 +237,12 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucket join replaces the full cross product: per query it
     touches ~L/2^b of the corpus instead of all of it, and the
-    candidate-set dedup keys on (query, neighbor)."""
+    candidate-set dedup keys on (query, neighbor). r17: signatures and
+    the candidate re-rank cosine evaluate through the Arrow kernels
+    (``signature_rows`` / ``cos_scored``), same IEEE op order as the
+    interpreted HOF folds they replaced."""
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     emb = lsh_signatures(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "tbl", "bucket"
@@ -229,9 +256,7 @@ def ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "qe", "ne")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = pairs.withColumn(
-        "cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6)
-    )
+    scored = cos_scored(pairs, 6, a="qe", b="ne", out="cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))

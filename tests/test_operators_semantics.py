@@ -2942,3 +2942,55 @@ def test_veccompute_ann_kernels_match_expression_forms(spark):
     assert expr_km.exceptAll(kern_km).count() == 0
     assert kern_km.exceptAll(expr_km).count() == 0
     assert kern_km.count() == expr_km.count() > 0
+
+
+def test_veccompute_lsh_bucket_kernels_match_expression_forms(spark):
+    """r17 bit-exactness pin for the third kernel tranche: the fixed-
+    table LSH bucket builders (``dedup._emb_lsh_buckets``,
+    ``dedup._knn_lsh_buckets`` at two ladder steps,
+    ``similarity.lsh_signatures``) must produce EXACTLY the rows of the
+    expression forms they replaced (kept as ``*_expr`` references), and
+    the 4-dp cosine rescore ``dedup_embedding`` uses must match its
+    expression form — exceptAll in both directions is empty."""
+    from deker_server_adapters_spark.functions.histogram import round_ties_safe
+    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+    from deker_server_adapters_spark.operators.dedup import (
+        _emb_lsh_buckets,
+        _emb_lsh_buckets_expr,
+        _knn_lsh_buckets,
+        _knn_lsh_buckets_expr,
+    )
+    from deker_server_adapters_spark.operators.similarity import (
+        _lsh_signatures_expr,
+        lsh_signatures,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    for expr_form, kern_form in [
+        (_emb_lsh_buckets_expr(emb), _emb_lsh_buckets(emb)),
+        (_knn_lsh_buckets_expr(emb, 8), _knn_lsh_buckets(emb, 8)),
+        (_knn_lsh_buckets_expr(emb, 16), _knn_lsh_buckets(emb, 16)),
+        (_lsh_signatures_expr(emb), lsh_signatures(emb)),
+    ]:
+        assert expr_form.exceptAll(kern_form).count() == 0
+        assert kern_form.exceptAll(expr_form).count() == 0
+        assert kern_form.count() == expr_form.count() > 0
+
+    # the 4-dp rescore variant (dedup_embedding) on a dense pair set
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", "ea", "eb"
+    )
+    expr_cos = pairs.select(
+        "a_id",
+        "b_id",
+        round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 4).alias("cos"),
+    )
+    kern_cos = cos_scored(pairs, 4)
+    assert expr_cos.exceptAll(kern_cos).count() == 0
+    assert kern_cos.exceptAll(expr_cos).count() == 0
+    assert kern_cos.count() == expr_cos.count() > 0

@@ -479,6 +479,13 @@ _INTENTIONAL_PYTHON = {
     "ann_ivfpq_recall",
     "embeddings_pq",
     "embeddings_kmeans",
+    # r17 third tranche: the fixed-table LSH bucket builders and the
+    # candidate re-rank cosines (dedup_embedding, the kNN label check,
+    # ann_lsh_cosine + its recall twin) moved to the same kernels
+    "dedup_embedding",
+    "embeddings_knn_label_check",
+    "ann_lsh_cosine",
+    "ann_lsh_recall",
 }
 
 
