@@ -95,6 +95,113 @@ def cos_scored(
     return df.mapInPandas(run, schema)
 
 
+def cos_true_pairs(
+    emb: DataFrame,
+    tau: float,
+    digits: int,
+    a_name: str = "va",
+    b_name: str = "vb",
+    nblocks: int = 64,
+) -> DataFrame:
+    """All unordered (a, b) pairs with id_a < id_b whose tie-safe
+    ``digits``-dp cosine passes ``>= tau`` under Spark comparison
+    semantics — the recall evals' brute-force truth side.
+
+    Semantically identical to
+        cos_scored(a.join(b, ida < idb), digits).filter(cos >= tau)
+    but the n²/2 pair rows never materialize and never cross the
+    JVM→Python boundary: vectors are grouped into ``nblocks``
+    deterministic hash blocks (xxhash64 on vec_id — retry-safe,
+    guide §2.5), the (nblocks²+nblocks)/2 block pairs are enumerated
+    by joining two O(n·dim/nblocks)-row block tables (the whole
+    corpus crosses the boundary ~nblocks times as block payloads
+    instead of ~n times as pair rows), and each kernel task scores
+    one block×block tile in NumPy, emitting only surviving id pairs.
+
+    Bit-exactness: the tile fold accumulates ``dots[i,j] +=
+    A[i,d]·B[j,d]`` sequentially over d — the identical IEEE op
+    sequence per pair as ``cos_scored``'s row fold — and the norm
+    product/division/rounding replay the same ops in the same order.
+    Pair orientation is irrelevant: every op in the cosine is
+    commutative in its operands (dot terms, norm product), so scoring
+    (x, y) equals scoring (y, x) bitwise and each unordered pair can
+    be scored in whichever block orientation it lands. A zero-norm
+    vector's NaN cosine is DROPPED, exactly like the pair-row form:
+    ``cos_scored`` returns batches through pandas, whose NaN doubles
+    arrive in Spark as NULL, and ``NULL >= tau`` filters false — the
+    kernel's ``r >= tau`` (NaN-false in NumPy) replays that."""
+    from pyspark.sql import functions as F
+
+    scale = float(10**digits)
+    blocks = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).alias("blk"),
+        )
+        .groupBy("blk")
+        # two collect_lists in one aggregate consume rows in the same
+        # order, so ids[i] is embs[i]'s vec_id
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("embs"),
+        )
+    )
+    a = blocks.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("embs").alias("embs_a"),
+    )
+    b = blocks.select(
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("embs").alias("embs_b"),
+    )
+    bp = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b")).repartition(
+        "blk_a", "blk_b"
+    )
+    out_schema = f"{a_name} long, {b_name} long"
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.ids_a, dtype=np.int64)
+                ib = np.asarray(r.ids_b, dtype=np.int64)
+                A = np.stack(r.embs_a).astype(np.float64)
+                B = np.stack(r.embs_b).astype(np.float64)
+                dots = np.zeros((len(ia), len(ib)))
+                na = np.zeros(len(ia))
+                nb = np.zeros(len(ib))
+                for d in range(A.shape[1]):  # sequential over dims: the fold
+                    x = A[:, d]
+                    y = B[:, d]
+                    dots += x[:, None] * y[None, :]
+                    na += x * x
+                    nb += y * y
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                    rr = np.floor(cos * scale + 0.5) / scale
+                    # NaN-false, matching the pair-row form's NULL drop
+                    keep = rr >= tau
+                if r.blk_a == r.blk_b:
+                    # diagonal tile: each unordered pair appears twice
+                    # ((i,j) and (j,i)) — keep the id-ordered one
+                    keep &= ia[:, None] < ib[None, :]
+                    i, j = np.nonzero(keep)
+                    va, vb = ia[i], ib[j]
+                else:
+                    # off-diagonal tile: blocks are disjoint, so each
+                    # unordered pair appears exactly once — canonicalize
+                    # to (lower id, higher id)
+                    i, j = np.nonzero(keep)
+                    x, y = ia[i], ib[j]
+                    va, vb = np.minimum(x, y), np.maximum(x, y)
+                if len(va):
+                    yield pd.DataFrame({a_name: va, b_name: vb})
+
+    return bp.mapInPandas(run, out_schema)
+
+
 def cells_ranked(
     df: DataFrame,
     cents: "list[tuple[int, list[float]]]",

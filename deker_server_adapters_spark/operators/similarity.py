@@ -984,35 +984,15 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     test scale, the thing the clustered path exists to avoid at
     production scale). One row: true pairs, captured pairs,
     zero-guarded recall."""
-    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
-
     emb = load_table(spark, sf_dir, "embeddings")
     asg = _sem_assignments(emb)
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    # r17: truth side rescored by the Arrow kernel — cos_scored
-    # replays dot/(l2(a)·l2(b)) with the identical IEEE fold order,
-    # so the per-vector na/nb precompute this form used to carry is
-    # subsumed bit-exactly (same ops, same order, per pair).
-    from deker_server_adapters_spark.functions.veccompute import cos_scored
+    # r17: truth side evaluated BLOCKED — cos_true_pairs replays the
+    # pair-row form (BNLJ + cos_scored + filter) bit-exactly but the
+    # n²/2 pair rows never materialize or cross the Arrow boundary
+    # (the boundary carries O(n·nblocks) block payloads instead).
+    from deker_server_adapters_spark.functions.veccompute import cos_true_pairs
 
-    tp = (
-        cos_scored(
-            a.join(b, F.col("va") < F.col("vb")).select("va", "vb", "ea", "eb"),
-            6,
-            out="cosine",
-        )
-        .filter(F.col("cosine") >= _SEM_TAU)
-        .select("va", "vb")
-    )
+    tp = cos_true_pairs(emb, _SEM_TAU, 6, a_name="va", b_name="vb")
     if asg is not None:
         ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
         cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
@@ -1386,35 +1366,13 @@ def dedup_semantic_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent), how many share a cell (cluster capture) vs how many
     share a cell OR an LSH bucket (hybrid capture). One row:
     n_true_pairs, both capture counts, both zero-guarded recalls."""
-    from deker_server_adapters_spark.functions.vectors import dot, l2_norm
-
     emb = load_table(spark, sf_dir, "embeddings")
     asg = _sem_assignments(emb)
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    # r17: truth side rescored by the Arrow kernel — cos_scored
-    # replays dot/(l2(a)·l2(b)) with the identical IEEE fold order,
-    # so the per-vector na/nb precompute this form used to carry is
-    # subsumed bit-exactly (same ops, same order, per pair).
-    from deker_server_adapters_spark.functions.veccompute import cos_scored
+    # r17: truth side evaluated BLOCKED (see dedup_semantic_recall) —
+    # bit-identical pairs, no n²/2 pair-row materialization.
+    from deker_server_adapters_spark.functions.veccompute import cos_true_pairs
 
-    tp = (
-        cos_scored(
-            a.join(b, F.col("va") < F.col("vb")).select("va", "vb", "ea", "eb"),
-            6,
-            out="cosine",
-        )
-        .filter(F.col("cosine") >= _SEM_TAU)
-        .select("va", "vb")
-    )
+    tp = cos_true_pairs(emb, _SEM_TAU, 6, a_name="va", b_name="vb")
     if asg is not None:
         ca = asg.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
         cb = asg.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
@@ -1899,35 +1857,13 @@ def dedup_semantic_hybrid_sharded_recall(spark: SparkSession, sf_dir: str) -> Da
     The gap between the levels is the chain-semantics price of
     sharding: a survivor whose only lower-id mates were dropped
     inside THEIR shards is never re-tested against them."""
-    from deker_server_adapters_spark.functions.vectors import l2_norm
-
     emb = load_table(spark, sf_dir, "embeddings")
     ctx = _sh_context(emb)
-    a = emb.select(
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    # r17: truth side rescored by the Arrow kernel — cos_scored
-    # replays dot/(l2(a)·l2(b)) with the identical IEEE fold order,
-    # so the per-vector na/nb precompute this form used to carry is
-    # subsumed bit-exactly (same ops, same order, per pair).
-    from deker_server_adapters_spark.functions.veccompute import cos_scored
+    # r17: truth side evaluated BLOCKED (see dedup_semantic_recall) —
+    # bit-identical pairs, no n²/2 pair-row materialization.
+    from deker_server_adapters_spark.functions.veccompute import cos_true_pairs
 
-    tp = (
-        cos_scored(
-            a.join(b, F.col("va") < F.col("vb")).select("va", "vb", "ea", "eb"),
-            6,
-            out="cosine",
-        )
-        .filter(F.col("cosine") >= _SEM_TAU)
-        .select("va", "vb")
-    )
+    tp = cos_true_pairs(emb, _SEM_TAU, 6, a_name="va", b_name="vb")
     should_drop = tp.select(F.col("vb").alias("vec_id")).distinct()
     if ctx is not None:
         as_hit = lambda df, name: df.select(  # noqa: E731
@@ -3487,21 +3423,11 @@ def ann_threshold_join_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     impossible (candidates exact-verify), so n_found == n_hit and the
     interesting number is recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    from deker_server_adapters_spark.functions.veccompute import cos_scored
+    # r17: exact side evaluated BLOCKED (see dedup_semantic_recall) —
+    # bit-identical pairs, no n²/2 pair-row materialization.
+    from deker_server_adapters_spark.functions.veccompute import cos_true_pairs
 
-    exact = (
-        cos_scored(
-            a.join(F.broadcast(b), F.col("a_id") < F.col("b_id")).select(
-                "a_id", "b_id", "ea", "eb"
-            ),
-            6,
-            out="cosine",
-        )
-        .filter(F.col("cosine") >= _TJ_TAU)
-        .select("a_id", "b_id")
-    )
+    exact = cos_true_pairs(emb, _TJ_TAU, 6, a_name="a_id", b_name="b_id")
     found = ann_cosine_threshold_join(spark, sf_dir).select(
         "a_id", "b_id", F.lit(1).alias("hit")
     )

@@ -2994,3 +2994,63 @@ def test_veccompute_lsh_bucket_kernels_match_expression_forms(spark):
     assert expr_cos.exceptAll(kern_cos).count() == 0
     assert kern_cos.exceptAll(expr_cos).count() == 0
     assert kern_cos.count() == expr_cos.count() > 0
+
+
+def test_veccompute_cos_true_pairs_matches_pair_row_form(spark):
+    """r17 bit-exactness pin for ``cos_true_pairs``: the blocked
+    truth-side kernel must emit EXACTLY the pairs of the pair-row form
+    it replaced (BNLJ + ``cos_scored`` + threshold filter) — including
+    the zero-norm edge: ``cos_scored``'s pandas NaN arrives in Spark
+    as NULL, so the pair-row form DROPS those pairs and the kernel
+    must too. Block counts exercise multi-vector blocks, singleton
+    blocks and empty blocks."""
+    from deker_server_adapters_spark.functions.veccompute import (
+        cos_scored,
+        cos_true_pairs,
+    )
+    from deker_server_adapters_spark.operators.similarity import _SEM_TAU, _TJ_TAU
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    def pair_row_form(emb, tau):
+        a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+        return (
+            cos_scored(
+                a.join(F.broadcast(b), F.col("va") < F.col("vb")).select(
+                    "va", "vb", "ea", "eb"
+                ),
+                6,
+                out="cosine",
+            )
+            .filter(F.col("cosine") >= tau)
+            .select("va", "vb")
+        )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for tau in (_SEM_TAU, _TJ_TAU):
+        for nblocks in (4, 64):
+            ref = pair_row_form(emb, tau)
+            kern = cos_true_pairs(emb, tau, 6, nblocks=nblocks)
+            assert ref.exceptAll(kern).count() == 0
+            assert kern.exceptAll(ref).count() == 0
+            assert kern.count() == ref.count() > 0
+
+    # synthetic corner corpus: a zero vector (NaN cosine → NULL in the
+    # pair-row form → dropped; the kernel must drop it too), exact
+    # duplicates (cosine 1.0 ties), orthogonal and negated pairs
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+        (5, [0.0, 0.0, 0.0]),
+        (6, [0.7, 0.7, 0.1]),
+    ]
+    synth = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for tau in (0.35, 0.99):
+        ref = pair_row_form(synth, tau)
+        kern = cos_true_pairs(synth, tau, 6, nblocks=4)
+        assert ref.exceptAll(kern).count() == 0
+        assert kern.exceptAll(ref).count() == 0
+        # the zero vector's NaN-cosine pairs are dropped in both forms
+        assert kern.filter("va = 5 or vb = 5").count() == 0
