@@ -1140,11 +1140,32 @@ def bpe_merge_table(
     a caveat (k=256 pinned by test). Local checkpoints trade
     executor-loss recoverability for lineage truncation — the right
     trade for a trainer whose full restart is cheap."""
+    # r17 (guide §2.3, aggregate before you shuffle): train on the WORD
+    # FREQUENCY table, not the raw occurrence stream — a pair's corpus
+    # count is Σ_words freq(word)·occurrences-in-word, so every round's
+    # pass shrinks from corpus-size to vocabulary-size (Heaps-bounded at
+    # 100 TB) while counts, tiebreaks and the learned table stay
+    # byte-identical (pytest-pinned vs the pure-Python reference).
+    # Merges are applied WITHOUT re-grouping: two distinct words can
+    # collapse to the same symbol array after a merge, but weighted
+    # counts are unchanged by duplicate rows and the table never grows.
+    # The eager localCheckpoint cuts the aggregate OUT of the per-round
+    # lineage: with the aggregate left inline, each round's plan chains
+    # the 3-reference merge expression over it and the optimizer's
+    # project-collapse inlines it multiplicatively (3^rounds plan-string
+    # blowup, OOMs the driver around k≈64 — measured); over a leaf, the
+    # round chain stays the same O(1)-per-round shape the un-weighted
+    # form had.
     enc = (
         docs.select(F.explode(F.expr(_TOKENS)).alias("w"))
         .filter("w != ''")
         .select(F.expr("filter(split(w, ''), c -> c != '')").alias("s"))
-        .persist()
+        .groupBy("s")
+        .agg(F.count("*").alias("freq"))
+        # the eager checkpoint doubles as round 0's cache — no persist
+        # on top (a DataFrame unpersist can't free checkpoint storage;
+        # stacking both would leak it, the components-loop lesson)
+        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
     prev = None
@@ -1156,15 +1177,16 @@ def bpe_merge_table(
                 # and fabricate null-symbol pairs
                 enc.filter(F.expr("size(s) >= 2"))
                 .select(
+                    "freq",
                     F.explode(
                         F.expr(
                             "transform(sequence(0, size(s) - 2),"
                             " i -> struct(s[i] AS a, s[i+1] AS b))"
                         )
-                    ).alias("p")
+                    ).alias("p"),
                 )
                 .groupBy("p.a", "p.b")
-                .agg(F.count("*").alias("n"))
+                .agg(F.sum("freq").alias("n"))
                 .orderBy(F.desc("n"), "a", "b")
                 .limit(1)
                 .collect()
@@ -1180,7 +1202,7 @@ def bpe_merge_table(
             merges.append((rank, top.a, top.b, int(top.n)))
             if rank < k - 1:
                 new_enc = enc.select(
-                    _bpe_apply_merge(F.col("s"), top.a, top.b).alias("s")
+                    _bpe_apply_merge(F.col("s"), top.a, top.b).alias("s"), "freq"
                 )
                 if (rank + 1) % checkpoint_every == 0:
                     # eager checkpoint materializes fresh blocks, so the
