@@ -3301,13 +3301,14 @@ def _tj_bits_ladder_sql(n_expr: str) -> str:
 
 
 def _tj_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
-    """(vec_id, embedding, tbl, bucket) under the ADAPTIVE bit count:
-    every vector computes all _TJ_MAX_BITS sign bits per table, and the
+    """(vec_id, tbl, bucket) under the ADAPTIVE bit count: every
+    vector computes all _TJ_MAX_BITS sign bits per table, and the
     bucket keeps the first ``nbits`` of them (nbits from the corpus-
     size ladder, broadcast in as a 1-row table). r17: Arrow-kernel
-    evaluation (see ``_hy_signatures``); the embedding rides through
-    the batch so the bucket join can rescore without a re-join,
-    exactly as before."""
+    evaluation (see ``_hy_signatures``), and the signature stream is
+    NARROW — the embedding no longer rides through the bucket join
+    (guide §2.3/§8: the join and the pair dedup only *decide*, so they
+    shuffle ids; the payload re-attaches once, post-dedup)."""
     from deker_server_adapters_spark.functions.veccompute import signature_rows
 
     src = (
@@ -3322,7 +3323,7 @@ def _tj_signatures(emb: DataFrame, nrow: DataFrame) -> DataFrame:
         _TJ_TABLES,
         _TJ_MAX_BITS,
         0,
-        ["vec_id", "embedding"],
+        ["vec_id"],
         emit_probes=False,
     )
 
@@ -3351,18 +3352,25 @@ def ann_cosine_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{_tj_bits_ladder_sql('count(*)')}").cast("int").alias("nbits")
     )
     sigs = _tj_signatures(emb, nrow)
-    a = sigs.select(
-        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), "tbl", "bucket"
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), "tbl", "bucket"
-    )
-    pairs = (
+    a = sigs.select(F.col("vec_id").alias("a_id"), "tbl", "bucket")
+    b = sigs.select(F.col("vec_id").alias("b_id"), "tbl", "bucket")
+    # r17 (guide §2.3/§8): the bucket join and the pair dedup carry
+    # ONLY ids — the old form shipped both 64-dim embeddings on every
+    # duplicated candidate row through the dedup exchange (~1 GB at
+    # sf0.1). The embeddings re-attach ONCE, post-dedup, by vec_id.
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "ea", "eb")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    pairs = cand.join(
+        emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")),
+        "a_id",
+    ).join(
+        emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")),
+        "b_id",
+    ).select("a_id", "b_id", "ea", "eb")
     from deker_server_adapters_spark.functions.veccompute import cos_scored
 
     return (
