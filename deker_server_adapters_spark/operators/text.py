@@ -1118,7 +1118,7 @@ def _bpe_apply_merge(s, a: str, b: str):
 
 
 def bpe_merge_table(
-    docs: DataFrame, k: int = _BPE_MERGES, checkpoint_every: int = 64
+    docs: DataFrame, k: int = _BPE_MERGES, checkpoint_every: int = 32
 ) -> list[tuple[int, str, str, int]]:
     """Learn the first ``k`` BPE merges over the corpus, distributed.
 
@@ -1139,7 +1139,13 @@ def bpe_merge_table(
     instead of O(k), making k in the thousands a parameter choice, not
     a caveat (k=256 pinned by test). Local checkpoints trade
     executor-loss recoverability for lineage truncation — the right
-    trade for a trainer whose full restart is cheap."""
+    trade for a trainer whose full restart is cheap. The default
+    cadence is 32: the chained-persist generations between checkpoints
+    each add a round of plan analysis over the whole chain, and a
+    ~63-generation chain (k=64 under the old every=64 default, whose
+    only fire point sat past the last re-encode) was measured to both
+    quadratically inflate analysis time and intermittently overflow
+    the JVM stack serializing the lineage (r18, ADVICE item 1)."""
     # r17 (guide §2.3, aggregate before you shuffle): train on the WORD
     # FREQUENCY table, not the raw occurrence stream — a pair's corpus
     # count is Σ_words freq(word)·occurrences-in-word, so every round's
