@@ -95,6 +95,18 @@ def cos_scored(
     return df.mapInPandas(run, schema)
 
 
+_TRUE_PAIRS_BROADCAST_MAX = 2 * 1024**3  # bytes; see cos_true_pairs
+
+
+def _plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (no job), or
+    -1 when unavailable (Spark Connect, plan-shape drift)."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return -1
+
+
 def cos_true_pairs(
     emb: DataFrame,
     tau: float,
@@ -102,6 +114,7 @@ def cos_true_pairs(
     a_name: str = "va",
     b_name: str = "vb",
     nblocks: int = 64,
+    broadcast_max_bytes: int = _TRUE_PAIRS_BROADCAST_MAX,
 ) -> DataFrame:
     """All unordered (a, b) pairs with id_a < id_b whose tie-safe
     ``digits``-dp cosine passes ``>= tau`` under Spark comparison
@@ -129,19 +142,43 @@ def cos_true_pairs(
     vector's NaN cosine is DROPPED, exactly like the pair-row form:
     ``cos_scored`` returns batches through pandas, whose NaN doubles
     arrive in Spark as NULL, and ``NULL >= tau`` filters false — the
-    kernel's ``r >= tau`` (NaN-false in NumPy) replays that."""
+    kernel's ``r >= tau`` (NaN-false in NumPy) replays that.
+
+    A NULL ``vec_id`` or NULL ``embedding`` row is dropped BEFORE the
+    block grouping (r18, ADVICE item 2): the two ``collect_list``
+    aggregates each skip NULLs independently, so an unfiltered NULL in
+    either column would shift ``ids``/``embs`` out of alignment and
+    pair wrong ids. Dropping the row up front both preserves alignment
+    and replays the pair-row form's semantics (NULL embedding → NULL
+    cosine → ``>= tau`` false; NULL id → ``ida < idb`` false).
+
+    The b-side block table carries the ENTIRE corpus (O(n·dim) across
+    its ``nblocks`` rows), so the broadcast that makes the ~nblocks²/2
+    tile enumeration cheap stops being legal near the 8 GB / 512M-row
+    broadcast-relation cap (r18, VERDICT item 5). Past
+    ``broadcast_max_bytes`` (Catalyst's optimized-plan size estimate
+    of the input, default 2 GiB — headroom under the hard cap for the
+    collect_list framing), the tile enumeration degrades gracefully:
+    the block-ID pairs are enumerated on two id-only projections
+    (nblocks rows each, always broadcastable) and the heavy block
+    payloads re-attach by two equi-joins — each block payload then
+    crosses a hash shuffle ~nblocks/2 times instead of every executor
+    holding the whole corpus. Same tile kernel, same output either
+    way (parity-pinned with a forced-degrade run)."""
     from pyspark.sql import functions as F
 
     scale = float(10**digits)
     blocks = (
-        emb.select(
+        emb.filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select(
             "vec_id",
             "embedding",
             F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).alias("blk"),
         )
         .groupBy("blk")
         # two collect_lists in one aggregate consume rows in the same
-        # order, so ids[i] is embs[i]'s vec_id
+        # order, so ids[i] is embs[i]'s vec_id (NULLs filtered above —
+        # collect_list skips NULLs per column, which would misalign)
         .agg(
             F.collect_list("vec_id").alias("ids"),
             F.collect_list("embedding").alias("embs"),
@@ -157,9 +194,21 @@ def cos_true_pairs(
         F.col("ids").alias("ids_b"),
         F.col("embs").alias("embs_b"),
     )
-    bp = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b")).repartition(
-        "blk_a", "blk_b"
-    )
+    est = _plan_size_estimate(emb)
+    if 0 <= est <= broadcast_max_bytes:
+        bp = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+    else:
+        # graceful degrade: enumerate the tile ids from range(nblocks)
+        # (no corpus work; empty blocks drop out of the inner payload
+        # joins), then attach the heavy payloads with two equi-joins —
+        # no corpus broadcast
+        rng = emb.sparkSession.range(nblocks)
+        tiles = rng.select(F.col("id").alias("blk_a")).join(
+            F.broadcast(rng.select(F.col("id").alias("blk_b"))),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        bp = tiles.join(a, "blk_a").join(b, "blk_b")
+    bp = bp.repartition("blk_a", "blk_b")
     out_schema = f"{a_name} long, {b_name} long"
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

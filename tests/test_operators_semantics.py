@@ -3054,3 +3054,34 @@ def test_veccompute_cos_true_pairs_matches_pair_row_form(spark):
         assert kern.exceptAll(ref).count() == 0
         # the zero vector's NaN-cosine pairs are dropped in both forms
         assert kern.filter("va = 5 or vb = 5").count() == 0
+
+    # r18 broadcast degrade (VERDICT item 5): broadcast_max_bytes=0
+    # forces the shuffle-join tile enumeration; output must be
+    # identical to the broadcast form
+    emb001 = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ref = cos_true_pairs(emb001, _SEM_TAU, 6, nblocks=8)
+    deg = cos_true_pairs(emb001, _SEM_TAU, 6, nblocks=8, broadcast_max_bytes=0)
+    assert ref.exceptAll(deg).count() == 0
+    assert deg.exceptAll(ref).count() == 0
+    assert deg.count() == ref.count() > 0
+
+    # r18 NULL alignment (ADVICE item 2): a NULL embedding or NULL
+    # vec_id row must be dropped, not silently shift the id/embedding
+    # lists out of alignment inside a block
+    rows_null = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, None),  # NULL embedding: would skew embs vs ids
+        (None, [1.0, 0.0]),  # NULL id: would skew ids vs embs
+        (4, [1.0, 0.1]),
+        (5, [0.9, 0.05]),
+    ]
+    nsynth = spark.createDataFrame(rows_null, "vec_id long, embedding array<double>")
+    clean = nsynth.filter("vec_id is not null and embedding is not null")
+    for nblocks in (1, 4):
+        ref = pair_row_form(clean, 0.9)
+        kern = cos_true_pairs(nsynth, 0.9, 6, nblocks=nblocks)
+        assert ref.exceptAll(kern).count() == 0
+        assert kern.exceptAll(ref).count() == 0
+        assert kern.count() == ref.count() > 0
+        assert kern.filter("va is null or vb is null or va = 3 or vb = 3").count() == 0
