@@ -403,15 +403,28 @@ def ann_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcells = cells_ranked(
         queries.select("vec_id", "embedding"), cents, _IVF_PROBES, ["vec_id", "embedding"]
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
+    # r18 (guide §2.4, §4.2): the old dropDuplicates([query_id,
+    # neighbor_id]) here was a no-op dedup — the inverted file emits
+    # exactly ONE row per vector (top=1 row_number) and a query's probe
+    # cells are DISTINCT (one row per rank), so a (query, neighbor)
+    # pair can match on at most one cell — yet it planned as a
+    # Sort+SortAggregate pair around an Exchange that shuffled BOTH
+    # 64-dim embeddings per candidate row (first()-aggregated). Dropped
+    # (pinned by test_ivf_candidates_have_no_duplicates + oracle). The
+    # refine cosine then evaluates through the Arrow kernel instead of
+    # the interpreted zip_with/aggregate fold — identical rows
+    # (cos_scored's contract), map-only on the scan's partitioning.
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     pairs = (
         inv.join(F.broadcast(qcells), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .select("query_id", "neighbor_id", "qe", "ne")
     )
+    scored = cos_scored(pairs, 6, a="qe", b="ne", out="cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        pairs.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )

@@ -2835,6 +2835,62 @@ def test_veccompute_kernels_match_expression_forms(spark):
     assert kern_cos.count() == expr_cos.count() > 0
 
 
+def test_ivf_candidates_have_no_duplicates_and_match_old_form(spark):
+    """r18: ``ann_ivf_cosine`` dropped its dropDuplicates([query_id,
+    neighbor_id]) — the inverted file emits exactly one row per vector
+    (top=1) and a query's probe cells are distinct, so the candidate
+    stream can never contain a duplicate pair. Pin (a) that property
+    and (b) the full op's output against the old form (dedup + the
+    interpreted cosine expression) rebuilt from the same primitives."""
+    from pyspark.sql import Window
+
+    from deker_server_adapters_spark.functions.histogram import round_ties_safe
+    from deker_server_adapters_spark.functions.vectors import cosine_similarity
+    from deker_server_adapters_spark.functions.veccompute import cells_ranked
+    from deker_server_adapters_spark.operators.similarity import (
+        _IVF_PROBES,
+        _N_QUERIES,
+        _TOP_K,
+        _centroid_rows,
+        ann_ivf_cosine,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = _centroid_rows(emb)
+    inv = cells_ranked(
+        emb.select("vec_id", "embedding"), cents, 1, ["vec_id", "embedding"]
+    ).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"), "cell"
+    )
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    qcells = cells_ranked(
+        queries.select("vec_id", "embedding"), cents, _IVF_PROBES, ["vec_id", "embedding"]
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cell")
+    cand = inv.join(F.broadcast(qcells), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    total = cand.count()
+    distinct = cand.select("query_id", "neighbor_id").distinct().count()
+    assert total == distinct > 0
+
+    # the old form: dedup + interpreted cosine + rank
+    old_pairs = cand.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    old = (
+        old_pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+    new = ann_ivf_cosine(spark, sf)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() == old.count() > 0
+
+
 def test_veccompute_ann_kernels_match_expression_forms(spark):
     """r17 bit-exactness pin for the ANN-ladder Arrow kernels
     (``cells_ranked`` / ``pq_assign`` / ``kmeans_rows``): each must
