@@ -174,16 +174,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures_df(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+def minhash_signatures_df(
+    docs: DataFrame, carry: "tuple[str, ...]" = ()
+) -> DataFrame:
     """DF-level core of ``minhash_signatures`` — reusable over any
     (doc_id, text) relation (e.g. the quality-filtered corpus in
-    ``docs_dedup_pipeline``)."""
+    ``docs_dedup_pipeline``). ``carry`` columns ride through the
+    projection chain unchanged (the pipeline carries its per-doc
+    decision bits so one pass produces both); a NULL ``text`` yields
+    an all-NULL ``sig`` at ~zero cost (every transform short-circuits
+    on the NULL array), which lets a caller mask non-participating
+    rows instead of joining signatures back."""
     # Materialize tokens, then shingles, then base hashes as separate
     # projections: inlining the split/regexp chain inside the shingle
     # lambda makes Catalyst re-split the text per element (O(n^2)).
-    toks = docs.select("doc_id", F.expr(_TOKENS).alias("t"))
+    ride = list(carry)
+    toks = docs.select("doc_id", *ride, F.expr(_TOKENS).alias("t"))
     sh = toks.select(
         "doc_id",
+        *ride,
         F.expr(
             f"transform(sequence(1, greatest(size(t) - {_SHINGLE_N - 1}, 1)), "
             f"i -> array_join(slice(t, i, {_SHINGLE_N}), ' '))"
@@ -191,6 +200,7 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
     )
     hv = sh.select(
         "doc_id",
+        *ride,
         F.expr(
             "transform(shingles, s -> CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT))"
         ).alias("hv"),
@@ -199,7 +209,7 @@ def minhash_signatures_df(docs: DataFrame) -> DataFrame:
         f"array_min(transform(hv, h -> ({_MH_A[k]} * h + {_MH_B[k]}) % {_MH_P}))"
         for k in range(_MINHASH_K)
     )
-    return hv.select("doc_id", F.expr(f"array({mins})").alias("sig"))
+    return hv.select("doc_id", *ride, F.expr(f"array({mins})").alias("sig"))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,7 +234,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_pairs_df(docs: DataFrame) -> DataFrame:
     """DF-level core of ``dedup_minhash_lsh`` — near-dup pairs over any
     (doc_id, text) relation."""
-    sigs = minhash_signatures_df(docs)
+    return minhash_pairs_from_sigs(minhash_signatures_df(docs))
+
+
+def minhash_pairs_from_sigs(sigs: DataFrame) -> DataFrame:
+    """Band/self-join/verify half of ``minhash_pairs_df`` over a
+    precomputed (doc_id, sig) relation — split out (r18) so
+    ``docs_dedup_pipeline`` can drive it from its checkpointed per-doc
+    signature table instead of re-evaluating the corpus scan."""
     n_bands = _MINHASH_K // _BAND_SIZE
     # Band keys stay as raw long columns (k0..k{B-1}), not a concat_ws
     # string: the shuffle hashes/compares two longs instead of building
@@ -1376,17 +1393,25 @@ def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the identical cascade with a recursive-CTE
     transitive closure for the clustering stage.
 
-    Plan shape (the r7 rewrite, measured vs the r6 join-back form):
-    quality rules + content hash are computed in ONE projection; the
-    exact-dup canonical is a ``min() OVER (PARTITION BY h)`` window
-    (one Exchange) instead of a groupBy + join-back (two); quality-
-    dropped rows ride the same window under a per-doc salted key so
-    every doc flows through a single stream. Both consumers of that
-    window — the minhash/CC chain and the final status projection —
-    hang off the SAME Exchange(h) subtree, so exchange reuse
-    materializes the expensive tokenize/md5 scan once instead of the
-    r6 form's four evaluations, and the only other shuffle-consumer is
-    one left join against the tiny component-label table."""
+    Plan shape (r18 restructure; the r7 shared-window rationale and the
+    r17 measured-and-rejected narrow-window variants are in
+    OPTIMIZATION_r17.md): quality rules + content hash are computed in
+    ONE projection; the exact-dup canonical is a ``min() OVER
+    (PARTITION BY h)`` window (one Exchange), with quality-dropped rows
+    riding the same window under a per-doc salted key. The window's
+    output — per-doc decision bits PLUS the survivors' minhash
+    signatures, computed in the same pass (non-survivor text is masked
+    NULL, so their sig short-circuits to NULLs) — is cut with ONE eager
+    ``localCheckpoint`` of narrow rows (ids, two bits, 12 longs; text
+    never enters the checkpoint). Every downstream consumer — the
+    band/verify pair build, the CC loop's edge materialization, and the
+    final status projection — reads that checkpoint, so the corpus
+    scan + tokenize + md5 + window subtree executes exactly ONCE per
+    run instead of once per action (the CC loop and the final action
+    are separate actions; exchange reuse never spans them — measured
+    r17, re-measured r18). At 100 TB: one corpus pass total, and the
+    re-evaluation that used to re-tokenize the corpus at the final
+    action becomes a narrow checkpoint read."""
     from deker_server_adapters_spark.operators.text import quality_keep_spark
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1410,11 +1435,21 @@ def docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = base.withColumn(
         "exact_canon", F.min("doc_id").over(Window.partitionBy("h"))
     )
-    survivors = ex.filter(
+    surv = F.col("q_keep") & (F.col("doc_id") == F.col("exact_canon"))
+    masked = ex.select(
+        "doc_id",
+        "q_keep",
+        "exact_canon",
+        F.when(surv, F.col("text")).alias("text"),
+    )
+    decisions = minhash_signatures_df(
+        masked, carry=("q_keep", "exact_canon")
+    ).localCheckpoint(eager=True)
+    sigs = decisions.filter(
         F.col("q_keep") & (F.col("doc_id") == F.col("exact_canon"))
-    ).select("doc_id", "text")
-    labels = components_from_pairs(minhash_pairs_df(survivors))
-    return ex.join(labels, "doc_id", "left").select(
+    ).select("doc_id", "sig")
+    labels = components_from_pairs(minhash_pairs_from_sigs(sigs))
+    return decisions.join(labels, "doc_id", "left").select(
         "doc_id",
         F.when(~F.col("q_keep"), "dropped_quality")
         .when(F.col("doc_id") != F.col("exact_canon"), "dropped_exact_dup")

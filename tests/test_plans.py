@@ -294,14 +294,17 @@ def test_user_value_decay_lazy_broadcast_tmax(spark, sf_dir, monkeypatch):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row tm side broadcast
 
 
-def test_dedup_pipeline_reuses_tokenize_exchange(spark, sf_dir):
-    """The r7 pipeline shape: both consumers of the quality+hash
-    projection hang off the same Exchange(h), so the expensive
-    tokenize/md5 scan materializes once (exchange reuse) — the 5.0s ->
-    3.5s sf0.1 win. Guard the reuse, not node counts (the CC loop's
-    checkpointed generations dominate the plan text)."""
+def test_dedup_pipeline_single_corpus_evaluation(spark, sf_dir):
+    """The r18 pipeline shape (supersedes the r7 shared-exchange pin):
+    the corpus scan + tokenize/md5 + exact-dup window evaluate ONCE,
+    into the eager decision/signature checkpoint — so the FINAL plan
+    (a separate action from the CC loop's edge build; exchange reuse
+    never spans actions) must contain NO documents scan, no window and
+    no md5 at all: it reads the checkpoint and the tiny label table."""
     plan = physical_plan(_plan(spark, sf_dir, "docs_dedup_pipeline"))
-    assert "ReusedExchange" in plan
+    assert "Scan parquet" not in plan
+    assert "Window" not in plan
+    assert "md5" not in plan
 
 
 def test_lm_quality_tiers_window_never_single_partition(spark, sf_dir):
