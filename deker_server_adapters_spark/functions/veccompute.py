@@ -251,6 +251,152 @@ def cos_true_pairs(
     return bp.mapInPandas(run, out_schema)
 
 
+def cell_pair_stats(
+    asg: DataFrame,
+    tau: float,
+    digits: int,
+    nblocks: int,
+) -> DataFrame:
+    """Per-vector PARTIAL aggregates over all within-cell (lower-id →
+    higher-id) pairs — the blocked evaluation of ``dedup_semantic``'s
+    pair scoring (r18, VERDICT item 4).
+
+    Input: (vec_id, embedding, cell). For every unordered within-cell
+    pair the tie-safe ``digits``-dp cosine is charged to the HIGHER id
+    (the op's ``vid_b < vec_id`` orientation). Output one row per
+    (tile, vector) with ≥1 charged pair: ``vec_id``, ``cnt`` (pairs),
+    ``dup`` (pairs with ``cos >= tau``, where a zero-norm NaN cosine
+    counts — NaN-greatest, DuckDB's and legacy Spark's ordering),
+    ``mx`` (max non-NaN cosine, NULL when every charged pair is NaN)
+    and ``hn`` (any NaN cosine — the caller folds it back to a
+    NaN-propagating ``max``). The NaN branches are a graceful
+    convention only: under ANSI mode (Spark 4 default) the expression
+    form ERRORS on the zero-norm 0/0 division, so no corpus it ever
+    succeeded on contains a zero-norm vector — parity holds corpus-
+    wide, and the NaN paths just refuse to silently mis-aggregate if
+    one ever appears.
+    Final per-vector stats are then one tiny ``groupBy(vec_id)`` over
+    these partials: integer sums and double max are order-independent,
+    so splitting the aggregation across tiles is value-exact.
+
+    Why this shape: the expression form joins the assignment table to
+    itself ON ``cell`` — k distinct keys — so its pair stream lives on
+    ≤ k partitions (the r17 Arrow rescore collapsed onto those k tasks
+    and was reverted). Blocking each cell into ``nblocks`` hash blocks
+    (deterministic xxhash64 on vec_id, retry-safe) turns the stage
+    into ~k·nblocks²/2 independent tiles, and the per-tile PARTIAL
+    aggregation means pair rows (each carrying two embeddings in the
+    expression form) never materialize anywhere — the shuffle carries
+    block payloads in, ~vector-count partial rows out.
+
+    Bit-exactness: the tile fold accumulates sequentially over dims
+    (module contract) and the rounding replays ``round_ties_safe``;
+    NULL ``vec_id``/``embedding`` rows are dropped before grouping
+    (the ``cos_true_pairs`` alignment rule — generated corpora carry
+    none, pinned by parity tests)."""
+    from pyspark.sql import functions as F
+
+    scale = float(10**digits)
+    blocks = (
+        asg.filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select(
+            "cell",
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).alias("blk"),
+        )
+        .groupBy("cell", "blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("embs"),
+        )
+    )
+    a = blocks.select(
+        "cell",
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("embs").alias("embs_a"),
+    )
+    b = blocks.select(
+        "cell",
+        F.col("blk").alias("blk_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("embs").alias("embs_b"),
+    )
+    # SHUFFLE_HASH: auto-broadcast would ship the b-side block table —
+    # the whole corpus — to every executor (the 8 GB cap at scale), and
+    # making both sides shuffle on cell lets ReusedExchange materialize
+    # the block aggregate ONCE for both join legs. The join stage runs
+    # on ≤ k cell partitions but only enumerates/forwards block
+    # payloads; the scoring parallelism comes from the repartition to
+    # (cell, blk_a, blk_b) below.
+    tiles = (
+        a.join(b.hint("SHUFFLE_HASH"), "cell")
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+        .repartition("cell", "blk_a", "blk_b")
+    )
+    out_schema = "vec_id long, cnt long, dup long, mx double, hn boolean"
+
+    def side_partials(ids, rr, nanm, passm, mask, axis):
+        cnt = mask.sum(axis=axis)
+        dup = (passm & mask).sum(axis=axis)
+        hn = (nanm & mask).any(axis=axis)
+        valid = mask & ~nanm
+        mxv = np.where(valid, rr, -np.inf).max(axis=axis, initial=-np.inf)
+        has_valid = valid.any(axis=axis)
+        sel = cnt > 0
+        if not sel.any():
+            return None
+        return pd.DataFrame(
+            {
+                "vec_id": ids[sel],
+                "cnt": cnt[sel].astype(np.int64),
+                "dup": dup[sel].astype(np.int64),
+                "mx": np.where(has_valid, mxv, np.nan)[sel],
+                "hn": hn[sel],
+            }
+        )
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ia = np.asarray(r.ids_a, dtype=np.int64)
+                ib = np.asarray(r.ids_b, dtype=np.int64)
+                A = np.stack(r.embs_a).astype(np.float64)
+                B = np.stack(r.embs_b).astype(np.float64)
+                dots = np.zeros((len(ia), len(ib)))
+                na = np.zeros(len(ia))
+                nb = np.zeros(len(ib))
+                for d in range(A.shape[1]):  # sequential over dims: the fold
+                    x = A[:, d]
+                    y = B[:, d]
+                    dots += x[:, None] * y[None, :]
+                    na += x * x
+                    nb += y * y
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                    rr = np.floor(cos * scale + 0.5) / scale
+                nanm = np.isnan(rr)
+                # Spark comparison semantics: NaN >= tau is TRUE
+                passm = nanm | (rr >= tau)
+                # pairs charged to the higher id; on a diagonal tile the
+                # strict mask keeps each unordered pair exactly once
+                ma = ia[:, None] > ib[None, :]
+                pa = side_partials(ia, rr, nanm, passm, ma, axis=1)
+                if pa is not None:
+                    outs.append(pa)
+                if r.blk_a != r.blk_b:
+                    mb = ia[:, None] < ib[None, :]
+                    pb = side_partials(ib, rr, nanm, passm, mb, axis=0)
+                    if pb is not None:
+                        outs.append(pb)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.mapInPandas(run, out_schema)
+
+
 def cells_ranked(
     df: DataFrame,
     cents: "list[tuple[int, list[float]]]",

@@ -824,14 +824,56 @@ def _sem_k_sql() -> str:
     return f"(SELECT CASE {cases} ELSE {_SEM_K_MAX} END FROM embeddings)"
 
 
-def _sem_assignments(emb: DataFrame, with_sim: bool = False) -> "DataFrame | None":
+_SEM_BLOCK_ROWS = 96  # target rows per within-cell hash block (see _sem_nblocks)
+
+
+def _sem_nblocks(n: int, k: int) -> int:
+    """Hash blocks per cell for the blocked pair scoring: ~n/k vectors
+    live in a cell, so ``ceil((n/k) / _SEM_BLOCK_ROWS)`` blocks keep
+    each block×block tile's pair count bounded (~96² pairs) and the
+    stage's task count ≈ k·nb²/2 ≫ k — scale-adaptive (derived from
+    the corpus count the ladder already reads), not core-count-tuned.
+    Capped at 64 (a 64×-corpus block-payload shuffle is the same bound
+    ``cos_true_pairs`` ships with); 1 block degenerates to one tile
+    per cell, which is still ≥ the old form's k-task ceiling."""
+    per_cell = max(1, n // max(k, 1))
+    return max(1, min(64, -(-per_cell // _SEM_BLOCK_ROWS)))
+
+
+def _sem_pair_agg_expr(asg: DataFrame) -> DataFrame:
+    """The Catalyst expression form of ``dedup_semantic``'s per-vector
+    pair aggregation — superseded by the blocked ``cell_pair_stats``
+    kernel (r18) but kept as the reference its parity test pins
+    against: (vec_id, n_lower, n_dup_lower, max_sim_lower) over all
+    within-cell pairs with ``vid_b < vec_id``."""
+    a = asg.select("vec_id", F.col("embedding").alias("ea"), "cell")
+    b = asg.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"), "cell")
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vid_b") < F.col("vec_id"))
+        .withColumn(
+            "cos", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        )
+    )
+    return pairs.groupBy("vec_id").agg(
+        F.count("*").alias("n_lower"),
+        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_lower"),
+        F.max("cos").alias("max_sim_lower"),
+    )
+
+
+def _sem_assignments(
+    emb: DataFrame, with_sim: bool = False, n: "int | None" = None
+) -> "DataFrame | None":
     """(vec_id, embedding, cell[, best_sim]) under the ladder-k IVF
     quantizer — the compiled-argmin assignment shared by
     ``dedup_semantic``, its recall eval, and the centroid-outlier op
     (first-max = lowest cell, matching the oracle's ``ORDER BY sim
     DESC, cell`` rank-1; ``best_sim`` is that rank-1 sim, 1e-9
-    rounded). None on an empty corpus."""
-    k = _sem_k(emb.count())
+    rounded). None on an empty corpus. ``n`` lets a caller that has
+    already counted the corpus (the block ladder reads the same
+    scalar) skip the count action here."""
+    k = _sem_k(emb.count() if n is None else n)
     cents = sorted(_local_centroids(emb, k).collect(), key=lambda r: r.cell)
     if not cents:
         return None
@@ -879,7 +921,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ladder read is one bounded eager count() in the builder — the
     same scalar the oracle's LIMIT subquery computes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = _sem_assignments(emb)
+    n = emb.count()  # feeds the k ladder AND the block ladder (nb)
+    k = _sem_k(n)
+    asg = _sem_assignments(emb, n=n)
     if asg is None:  # empty corpus: typed empty verdict table
         return (
             emb.select(
@@ -891,27 +935,39 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(False).alias("is_dup"),
             ).limit(0)
         )
-    # NOTE (r17): this scoring deliberately stays the Catalyst
-    # expression form. The k-cell join emits its pairs on <= k
-    # partitions (k = 8 at the sf0.1 ladder point), so an Arrow
-    # rescore stage here collapses onto k tasks and pays the
-    # boundary without the parallelism — measured 2.4 -> 11.6 s at
-    # sf0.1 when tried. The LSH-keyed pair streams (thousands of
-    # (tbl, bucket) keys) are where the kernel wins; see
-    # functions/veccompute.py and OPTIMIZATION_r17.md.
-    a = asg.select("vec_id", F.col("embedding").alias("ea"), "cell")
-    b = asg.select(F.col("vec_id").alias("vid_b"), F.col("embedding").alias("eb"), "cell")
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("vid_b") < F.col("vec_id"))
-        .withColumn(
-            "cos", round_ties_safe(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    # r18 (VERDICT item 4, guide §2.2/§8.4): the expression-form pair
+    # scoring (kept below as ``_sem_pair_agg_expr``, the parity-test
+    # reference) self-joins the assignment ON ``cell`` — k distinct
+    # keys — so the whole pair stream lived on ≤ k partitions (k = 8
+    # at the sf0.1 ladder point); the r17 straight Arrow rescore
+    # collapsed onto those k tasks and was reverted. The blocked
+    # kernel de-ceilings it: each cell splits into ``nb`` hash blocks,
+    # every block×block tile scores in NumPy and emits per-vector
+    # PARTIAL aggregates, so pair rows never materialize and the stage
+    # runs on ~k·nb²/2 tasks. Sums/max are order-independent, the
+    # cosine replays the JVM fold, and NaN cosines (zero-norm vectors)
+    # keep Spark's NaN-greatest semantics via the ``hn`` fold —
+    # byte-identical output, pinned by parity test + oracle.
+    from deker_server_adapters_spark.functions.veccompute import cell_pair_stats
+
+    nb = _sem_nblocks(n, k)
+    partials = cell_pair_stats(asg, _SEM_TAU, 6, nb)
+    agg = (
+        partials.groupBy("vec_id")
+        .agg(
+            F.sum("cnt").alias("n_lower"),
+            F.sum("dup").alias("n_dup_lower"),
+            F.max("mx").alias("mx"),
+            F.max("hn").alias("hn"),
         )
-    )
-    agg = pairs.groupBy("vec_id").agg(
-        F.count("*").alias("n_lower"),
-        F.sum(F.when(F.col("cos") >= _SEM_TAU, 1).otherwise(0)).alias("n_dup_lower"),
-        F.max("cos").alias("max_sim_lower"),
+        .select(
+            "vec_id",
+            "n_lower",
+            "n_dup_lower",
+            F.when(F.col("hn"), F.lit(float("nan")))
+            .otherwise(F.col("mx"))
+            .alias("max_sim_lower"),
+        )
     )
     return (
         asg.select("vec_id", "cell")

@@ -2835,6 +2835,79 @@ def test_veccompute_kernels_match_expression_forms(spark):
     assert kern_cos.count() == expr_cos.count() > 0
 
 
+def test_cell_pair_stats_matches_expression_form(spark):
+    """r18 bit-exactness pin for the blocked within-cell pair kernel
+    (``cell_pair_stats``, VERDICT item 4): for every block count the
+    folded partials must reproduce the expression form's per-vector
+    aggregation EXACTLY — including Spark's NaN-greatest comparison
+    semantics (a zero-norm vector's NaN cosine counts as a dup and
+    propagates through max) — on the real corpus and on a synthetic
+    NaN/tie corpus."""
+    from deker_server_adapters_spark.functions.veccompute import cell_pair_stats
+    from deker_server_adapters_spark.operators.similarity import (
+        _SEM_TAU,
+        _sem_assignments,
+        _sem_pair_agg_expr,
+    )
+    from deker_server_adapters_spark.sources.tables import load_table
+
+    def kernel_agg(asg, nb):
+        partials = cell_pair_stats(asg, _SEM_TAU, 6, nb)
+        return (
+            partials.groupBy("vec_id")
+            .agg(
+                F.sum("cnt").alias("n_lower"),
+                F.sum("dup").alias("n_dup_lower"),
+                F.max("mx").alias("mx"),
+                F.max("hn").alias("hn"),
+            )
+            .select(
+                "vec_id",
+                "n_lower",
+                "n_dup_lower",
+                F.when(F.col("hn"), F.lit(float("nan")))
+                .otherwise(F.col("mx"))
+                .alias("max_sim_lower"),
+            )
+        )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    asg = _sem_assignments(emb)
+    ref = _sem_pair_agg_expr(asg)
+    for nb in (1, 3, 8):
+        kern = kernel_agg(asg, nb)
+        assert ref.exceptAll(kern).count() == 0
+        assert kern.exceptAll(ref).count() == 0
+        assert kern.count() == ref.count() > 0
+
+    # synthetic corner corpus: exact duplicates (rounded 1.0 ties),
+    # negated and orthogonal vectors, a singleton cell. No zero-norm
+    # vector: under ANSI mode (Spark 4 default) the EXPRESSION form
+    # errors on the 0/0 division, so no corpus the expression form
+    # ever succeeded on can contain one — the kernel's graceful
+    # NaN-propagating convention for that case is documented in
+    # cell_pair_stats but has no runnable expression reference.
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [-1.0, 0.0, 0.0], 0),
+        (6, [0.7, 0.7, 0.1], 0),
+        (7, [0.5, 0.5, 0.0], 1),  # second cell: no cross-cell pairs
+        (8, [0.5, 0.5, 0.01], 1),
+        (9, [0.1, 0.2, 0.3], 2),  # singleton cell: no pairs at all
+    ]
+    synth = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    ref = _sem_pair_agg_expr(synth)
+    for nb in (1, 2, 4):
+        kern = kernel_agg(synth, nb)
+        assert ref.exceptAll(kern).count() == 0
+        assert kern.exceptAll(ref).count() == 0
+        assert kern.count() == ref.count() > 0
+
+
 def test_ivf_candidates_have_no_duplicates_and_match_old_form(spark):
     """r18: ``ann_ivf_cosine`` dropped its dropDuplicates([query_id,
     neighbor_id]) — the inverted file emits exactly one row per vector
