@@ -1180,7 +1180,12 @@ def components_from_pairs(nd_pairs: DataFrame, max_rounds: int = 20) -> DataFram
         # storage, so stacking both leaks the checkpointed generations).
         is_ckpt_round = round_no % 5 == 0
         if is_ckpt_round:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # LAZY checkpoint (r18, VERDICT item 8): the convergence
+            # count below materializes every partition anyway, so it
+            # doubles as the checkpoint's materializing action — one
+            # job per round instead of the eager form's two (checkpoint
+            # job + count job) on checkpoint rounds
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
         # materializes new_labels; the old generation can go
