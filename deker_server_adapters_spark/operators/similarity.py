@@ -2905,14 +2905,21 @@ def ann_pq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_RERANK)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank of the tiny shortlist against the full vectors
+    # exact re-rank of the tiny shortlist against the full vectors.
+    # r18 (guide §4.1/§4.2, VERDICT item 3): the exact cosine evaluates
+    # through the Arrow kernel instead of the interpreted
+    # zip_with/aggregate fold — same rows (cos_scored's contract, the
+    # ann_ivf_cosine precedent), map-only over the shortlist join.
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    reranked = (
+    rerank_pairs = (
         ne.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qe.filter(F.col("query_id") < _N_QUERIES)), "query_id")
-        .withColumn("cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .select("query_id", "neighbor_id", "qe", "ne")
     )
+    reranked = cos_scored(rerank_pairs, 6, a="qe", b="ne", out="cosine")
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         reranked.withColumn("rnk", F.row_number().over(w2))
@@ -3002,13 +3009,18 @@ def ann_ivfpq_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_RERANK)
         .select("query_id", "neighbor_id")
     )
+    # r18 (guide §4.1/§4.2, VERDICT item 3): exact re-rank cosine via
+    # the Arrow kernel — same rewrite as ann_pq_cosine above.
+    from deker_server_adapters_spark.functions.veccompute import cos_scored
+
     qe = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     ne = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    reranked = (
+    rerank_pairs = (
         ne.join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qe.filter(F.col("query_id") < _N_QUERIES)), "query_id")
-        .withColumn("cosine", round_ties_safe(cosine_similarity(F.col("qe"), F.col("ne")), 6))
+        .select("query_id", "neighbor_id", "qe", "ne")
     )
+    reranked = cos_scored(rerank_pairs, 6, a="qe", b="ne", out="cosine")
     w3 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         reranked.withColumn("rnk", F.row_number().over(w3))

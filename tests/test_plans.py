@@ -714,3 +714,14 @@ def test_q95_rewrite_is_aggregate_not_self_join(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["ann_ivf_cosine", "ann_pq_cosine", "ann_ivfpq_cosine"])
+def test_ann_refine_cosine_is_kerneled_not_interpreted(spark, sf_dir, name):
+    """r18: the exact refine cosine in all three ANN query ops
+    evaluates through the Arrow kernel (``cos_scored``) — the
+    interpreted ``aggregate``/``zip_with`` HOF fold must be gone from
+    the plan entirely, and a MapInPandas stage present."""
+    plan = physical_plan(_plan(spark, sf_dir, name))
+    assert "MapInPandas" in plan
+    assert "aggregate(" not in plan and "zip_with(" not in plan, plan
