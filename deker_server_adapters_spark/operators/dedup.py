@@ -1278,14 +1278,27 @@ def docs_near_dup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to pair members (broadcast: the pair table is tiny relative
     to the corpus by construction) before the inverted-index join, so
     the exact pass costs O(candidate docs), not O(corpus)."""
-    pairs = minhash_pairs_df(load_table(spark, sf_dir, "documents"))
+    # r18 (guide §2.4/§5): the candidate-pair subtree (full corpus
+    # minhash) and the pair-member shingle subtree each feed several
+    # plan branches (pairs: the member semi-join AND the final left
+    # join; shp: the size aggregate twice AND both sides of the
+    # common-shingle self-join) — the static plan repeated the
+    # documents scan 22x and the md5 shingle hash 18x, because
+    # exchange reuse does not dedup these subtrees (the r17 graph
+    # lesson). Both tables are narrow and candidate-bounded, so cut
+    # them with LAZY localCheckpoints: nothing executes at plan-build
+    # time (registry-wide plan enumeration stays cheap), and at the
+    # first action each subtree evaluates exactly once.
+    pairs = minhash_pairs_df(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     sh = _shingle_table(spark, sf_dir)
     pair_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shp = sh.join(F.broadcast(pair_docs), "doc_id")
+    shp = sh.join(F.broadcast(pair_docs), "doc_id").localCheckpoint(eager=False)
     sizes = shp.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shp.alias("a"), shp.alias("b")
     common = (
