@@ -291,6 +291,7 @@ class TestWriter:
         assert pre.custom_attributes == {"note": "pre"}  # untouched
 
 
+@pytest.mark.slow
 def test_stream_writer_ingests_cells_across_micro_batches(spark, tmp_path):
     """cells.writeStream.format('deker'): streaming cell ingest (the
     sink half of the changefeed loop). Three source files drive three
@@ -353,6 +354,7 @@ def test_stream_writer_ingests_cells_across_micro_batches(spark, tmp_path):
     assert len(pdf) == 240
 
 
+@pytest.mark.slow
 def test_stream_sink_then_changefeed_roundtrip(spark, tmp_path):
     """End-to-end streaming loop: cells ingested through the STREAMING
     sink must come back out through the changefeed readStream — the
@@ -402,6 +404,7 @@ def test_stream_sink_then_changefeed_roundtrip(spark, tmp_path):
     np.testing.assert_allclose(chk, data)
 
 
+@pytest.mark.slow
 def test_compaction_bounds_file_count_across_micro_batches(spark, tmp_path):
     """VERDICT r6 item 7: repeated appends (the micro-batch / streaming
     sink pattern — one file per chunk per task per batch) must not grow
@@ -739,6 +742,7 @@ def test_compact_merges_engine_and_writer_files(spark, tmp_path):
     np.testing.assert_allclose(a.read_data((slice(None), slice(None))), want)
 
 
+@pytest.mark.slow
 def test_orphaned_temp_files_are_invisible_and_gcd(spark, tmp_path):
     """ADVICE r7: a crashed writer attempt leaves only a dot-prefixed
     temp file. Readers (engine + datasource + changefeed listing) and
@@ -870,6 +874,7 @@ def test_gc_temps_skips_undeletable_entries_and_runs_from_compact(spark, tmp_pat
     assert not os.path.exists(aged) and os.path.exists(young)
 
 
+@pytest.mark.slow
 def test_dedup_cells_option_resolves_last_write_wins(spark, tmp_path):
     """The batch reader's default is append-log semantics (one row per
     materialized run — a re-written cell appears once per write); with
@@ -924,6 +929,7 @@ def test_dedup_cells_option_resolves_last_write_wins(spark, tmp_path):
     assert len(one) == 12 and set(one.x) == {0}
 
 
+@pytest.mark.slow
 def test_batch_read_survives_concurrent_compaction(spark, tmp_path):
     """A batch plan whose file snapshot is invalidated by compact()
     (files merged + removed between planning and read) must re-list
@@ -979,6 +985,7 @@ def test_write_seq_is_monotonic_within_process():
     assert all(b > a for a, b in zip(seqs, seqs[1:]))
 
 
+@pytest.mark.slow
 def test_changefeed_composes_with_hll_sketch_twin(spark, tmp_path):
     """Custom source x sketch twin composition: an HLL register table
     maintained INCREMENTALLY over the chunk changefeed (distinct cells
@@ -1044,6 +1051,7 @@ def test_changefeed_composes_with_hll_sketch_twin(spark, tmp_path):
     assert len(got) <= 512
 
 
+@pytest.mark.slow
 def test_writer_property_overlapping_writes_last_wins(spark, tmp_path):
     """Property (the r8 seq semantics): a SEQUENCE of random overlapping
     cell writes — arbitrary subsets, arbitrary partitioning, arbitrary
@@ -1374,6 +1382,7 @@ def test_two_concurrent_writers_both_commit(spark, tmp_path):
     assert leftovers == []
 
 
+@pytest.mark.slow
 def test_changefeed_compact_read_maintenance_cycle(spark, tmp_path):
     """r15 (r14 verdict item 7): the composed maintenance loop a
     production owner actually runs — changefeed readStream accumulating

@@ -15,6 +15,10 @@ import pytest
 from deker_server_adapters_spark.operators import all_ops
 from tests.oracle_utils import duckdb_con
 
+# slow tier: a 185-op robustness sweep (~9 min) — valuable, but not
+# part of the default fast gate (see pyproject [tool.pytest.ini_options])
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def empty_sf_dir(spark, tmp_path_factory):

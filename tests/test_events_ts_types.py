@@ -84,7 +84,17 @@ def test_all_encodings_agree_on_instants(spark, encoded_dirs):
     assert micros["nanos"][0] == BASE_US
 
 
-@pytest.mark.parametrize("enc", list(ENCODINGS))
+@pytest.mark.parametrize(
+    "enc",
+    [
+        # fast gate keeps the NANOS sweep (the encoding that has
+        # actually broken ops); the two micros sweeps run in the slow
+        # tier — the cheap instant-agreement tests above still cover
+        # all three encodings' loader normalization every run
+        e if e == "nanos" else pytest.param(e, marks=pytest.mark.slow)
+        for e in ENCODINGS
+    ],
+)
 def test_every_events_op_runs_on_encoding(spark, encoded_dirs, enc):
     """Every batch events operator must analyze AND execute regardless
     of the parquet's physical ts encoding — this is the regression test

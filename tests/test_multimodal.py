@@ -4,6 +4,8 @@ ceil(n/k) frames; block-mean resize preserves the global mean)."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 from deker_server_adapters_spark.operators.multimodal import (
@@ -71,6 +73,7 @@ def test_resize_preserves_mean(spark, sf_dir):
         assert abs(got - want) < 1e-3  # thumb values are rounded to 4dp
 
 
+@pytest.mark.slow
 def test_full_pipeline_runs_and_is_stable(spark, sf_dir):
     df = multimodal_pipeline(spark, sf_dir)
     a = df.toPandas().sort_values("doc_id").reset_index(drop=True)
@@ -407,6 +410,7 @@ def test_jpeg_codec_clear_errors_and_seam():
     assert np.abs(got[0].astype(int) - want.astype(int)).max() <= 8
 
 
+@pytest.mark.slow
 def test_jpeg_codec_corruption_sweep_clear_errors():
     """Single-byte CORRUPTION sweep (r17 ADVICE, the medium): the
     truncation test above covers only short payloads, but a flipped

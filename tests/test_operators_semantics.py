@@ -45,6 +45,7 @@ def test_exact_dedup_finds_planted(spark, planted_docs):
     assert dup_groups.iloc[0]["canonical_doc_id"] == 0
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_finds_near_dup(spark, planted_docs):
     from deker_server_adapters_spark.operators.dedup import dedup_ngram_jaccard
 
@@ -740,6 +741,7 @@ def test_bpe_merge_is_boundary_aware(spark):
     assert got[2][3] == 2  # both 'des' words still expose the (d, es) pair
 
 
+@pytest.mark.slow
 def test_bpe_scales_past_codegen_limits(spark):
     """VERDICT r6 item 4: per-round expression size must be O(1), so a
     realistic merge budget (k=64 here) compiles and matches the
@@ -756,6 +758,7 @@ def test_bpe_scales_past_codegen_limits(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_bpe_large_k_with_lineage_checkpoints(spark):
     """VERDICT r7 item 9: k in the hundreds must be a parameter choice,
     not a caveat. With ``checkpoint_every`` interleaving
@@ -2098,6 +2101,7 @@ def test_ngram_novelty_directional_contract(spark, tmp_path):
     assert got[1].n_windows == got[2].n_windows == 3
 
 
+@pytest.mark.slow
 def test_hybrid_multiprobe_forced_ladder_matches_duckdb(spark, sf_dir):
     """The r14 multi-probe candidate space, Spark vs the DuckDB replay
     at FORCED ladder values (nbits=5, ntables=4, nprobes=2): a 500-row
@@ -2590,6 +2594,7 @@ def _shard_of(vec_id: int, nshards: int = 2) -> int:
     return int(hashlib.md5(f"shard:{vec_id}".encode()).hexdigest()[:8], 16) % nshards
 
 
+@pytest.mark.slow
 def test_sharded_hybrid_planted_cross_and_same_shard_dups(spark, tmp_path):
     """dedup_semantic_hybrid_sharded on a planted corpus: a same-shard
     near-identical pair is caught by the SHARD pass (is_dup_shard),
@@ -2645,6 +2650,7 @@ def test_sharded_hybrid_planted_cross_and_same_shard_dups(spark, tmp_path):
         assert r.shard == _shard_of(vid)
 
 
+@pytest.mark.slow
 def test_semantic_incremental_planted_verdicts(spark, tmp_path):
     """dedup_semantic_incremental on a planted corpus: a new vector
     near an OLD one is flagged with the MIN old id as anchor; a new
@@ -2691,6 +2697,7 @@ def test_semantic_incremental_planted_verdicts(spark, tmp_path):
     assert not got[14].is_dup and not got[19].is_dup
 
 
+@pytest.mark.slow
 def test_semantic_incremental_empty_old_split_both_engines(spark, tmp_path):
     """Cross-engine contract on the empty-OLD edge (r17 ADVICE): a
     corpus where EVERY vec_id % 5 == 4 has no existing side to train

@@ -13,6 +13,24 @@ from tests.oracle_utils import compare, duckdb_con
 _OPS = all_ops()
 _ORACLE_OPS = [name for name, op in _OPS.items() if op.oracle is not None]
 
+# slow tier (r18): these ops' oracle twins replay multi-stage ladders /
+# trainers and each costs 15-60 s — together ~45% of the module's wall
+# time for 7 of 190 tests. They stay runnable via `pytest -m slow`;
+# the driver's own rotating 50-query oracle gate also samples them.
+_SLOW_ORACLE = {
+    "dedup_semantic_hybrid",
+    "dedup_semantic_hybrid_recall",
+    "dedup_semantic_hybrid_sharded",
+    "dedup_semantic_hybrid_sharded_recall",
+    "dedup_semantic_incremental",
+    "embeddings_knn_label_check",
+    "ann_threshold_join_recall",
+}
+_ORACLE_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+    for n in _ORACLE_OPS
+]
+
 
 @pytest.fixture(scope="module")
 def duck(sf_dir):
@@ -21,7 +39,7 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", _ORACLE_OPS)
+@pytest.mark.parametrize("name", _ORACLE_PARAMS)
 def test_oracle_parity(spark, sf_dir, duck, name):
     op = _OPS[name]
     spark_df = op.builder(spark, sf_dir)

@@ -264,6 +264,13 @@ def test_near_dup_eval_no_pair_blowup(spark, sf_dir):
     plan = physical_plan(_plan(spark, sf_dir, "docs_near_dup_eval"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r18: the candidate-pair and pair-shingle subtrees are cut with
+    # lazy localCheckpoints (each was repeated per plan branch — 22
+    # documents scans / 18 md5 evaluations in the uncut plan); the
+    # final plan must read the checkpoints, not re-run the corpus work
+    assert "documents.parquet" not in plan
+    assert "md5" not in plan
+    assert "Scan ExistingRDD" in plan
 
 
 def test_dedup_pipeline_no_cartesian(spark, sf_dir):

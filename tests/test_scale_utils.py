@@ -3,6 +3,8 @@ joins run shuffle-free; approx distinct lands within its error bound."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from deker_server_adapters_spark.plans.explain import physical_plan
@@ -186,6 +188,7 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4000
 
 
+@pytest.mark.slow
 def test_stress_harness_skew_generators(spark, tmp_path):
     """The skew-stress harness must actually produce the distributions
     PERF.md claims it measured: ~10% of lineitems on one hot orderkey
@@ -216,6 +219,7 @@ def test_stress_harness_skew_generators(spark, tmp_path):
     assert 0.05 <= hot / ev_total <= 0.15, (hot, ev_total)
 
 
+@pytest.mark.slow
 def test_hybrid_frontier_estimator_anchors_to_registry_recall(spark, sf_dir):
     """The frontier harness's sampled-truth recall estimator
     (tools/hybrid_frontier.py) must reproduce the registry recall op

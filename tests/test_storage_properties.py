@@ -4,6 +4,8 @@ must agree with numpy exactly."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import numpy as np
@@ -90,6 +92,7 @@ def test_chunk_boxes_tile_the_shape(case):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_read_slice_matches_numpy(spark, tmp_path_factory, case, rnd):
     """End-to-end: write through the chunk store, read any slice, get
     numpy's answer."""

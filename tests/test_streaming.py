@@ -65,6 +65,7 @@ def test_streaming_running_totals_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_multi_batch_stateful_totals(spark, sf_dir):
     """State must survive across micro-batches: feed the events as 6
     files, one per trigger. The file source does not guarantee
@@ -277,6 +278,7 @@ def test_streaming_funnel_equals_batch(spark, sf_dir):
     assert batch["click>view>purchase"] == int((stages >= 3).sum())
 
 
+@pytest.mark.slow
 def test_streaming_funnel_multibatch_lower_bound(spark, sf_dir):
     """Across 6 time-ranged micro-batches the carried state keeps each
     user's stage a LOWER BOUND of the batch chain (equality when files
@@ -332,6 +334,7 @@ def test_streaming_retention_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_streaming_retention_multibatch_exactly_once(spark, sf_dir):
     """Across 6 micro-batches: every (user, day_n) emitted at most
     once, day_n within [0, 7], per-user cohort constant across
@@ -405,6 +408,7 @@ def test_streaming_inter_arrival_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_streaming_inter_arrival_multi_batch_counts_cross_batch_gap(spark, sf_dir):
     """Gaps spanning micro-batch boundaries must be counted exactly
     once against carried state: total final n_gaps per user equals the
@@ -603,6 +607,7 @@ def test_streaming_value_histogram_equals_batch(spark, sf_dir):
     assert len(got) <= 256
 
 
+@pytest.mark.slow
 def test_streaming_inactivity_alerts_fire_on_true_gaps(spark, tmp_path):
     """EventTimeTimeout state eviction: a user who stops sending events
     gets ONE alert once the watermark (driven by OTHER users' events)
@@ -658,6 +663,7 @@ def test_streaming_inactivity_alerts_fire_on_true_gaps(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_stateful_twin_runs_on_rocksdb_state_store(spark, sf_dir):
     """The 100 TB state path: the stateful twins must run (and agree
     with batch) under the RocksDB state-store provider — the provider a
@@ -738,6 +744,7 @@ def test_streaming_daily_hll_registers_equal_batch(spark, sf_dir):
     assert got.groupby("day").size().max() <= _HLL_M
 
 
+@pytest.mark.slow
 def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
     """r11 (VERDICT r9 item 9): the streaming LSH threshold join —
     micro-batch index maintenance in keyed state, pairs emitted when
@@ -775,6 +782,7 @@ def test_streaming_threshold_join_equals_batch_multibatch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_streaming_multimodal_features_equal_batch(spark, sf_dir):
     """r13: the media-ingest stream — the batch pipeline's own decode/
     sample/resize/feature stages applied to a 3-file asset stream —
@@ -804,6 +812,7 @@ def test_streaming_multimodal_features_equal_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_streaming_multimodal_byte_budget_trigger(spark, sf_dir):
     """r14: the byte-budgeted trigger (the module docstring's sizing
     rule) — under a maxBytesPerTrigger below the staged total, the
@@ -952,6 +961,7 @@ def test_lsh_index_update_exactly_once_property():
     check()
 
 
+@pytest.mark.slow
 def test_streaming_semantic_dedup_equals_batch_multibatch(spark, sf_dir):
     """r13 (VERDICT r12 item 7): the streaming hybrid semantic dedup —
     IVF cell assignments under the corpus-trained quantizer plus LSH
@@ -999,6 +1009,7 @@ def test_streaming_semantic_dedup_equals_batch_multibatch(spark, sf_dir):
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_equals_batch_multibatch(spark, sf_dir):
     """r12 (VERDICT r11 item 6): the streaming incremental dedup — the
     old corpus replayed first and indexed into keyed state (exact
