@@ -1502,18 +1502,25 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes; an edge's weight counts the orders where both parts appear),
     ``_PR_ITERS`` power iterations, top-``_PR_TOPK`` parts.
 
-    Scale shape — the canonical distributed PageRank: the EDGE table
-    never moves between iterations (its normalized form materializes
-    ONCE via an eager localCheckpoint — r17: the previously hoped-for
-    exchange-reuse dedup did not happen at runtime, so each iteration
-    re-ran the self-join), while the rank vector — O(parts)
-    rows, small next to edges — broadcasts into each contribution join,
-    and each iteration's only shuffle is the map-side-combined
-    contribution sum on dst. Per-order pair fan-out is bounded by
-    order size squared (TPC-H ≤ 7 items/order), so edges grow linearly
-    with lineitems. Beyond the broadcast threshold (billions of nodes)
-    the rank join falls back to a co-partitioned shuffle join — same
-    plan shape, one more exchange.
+    Scale shape — the canonical distributed PageRank: the rank vector
+    — O(parts) rows, small next to edges — broadcasts into each
+    contribution join, and each iteration's only shuffle is the
+    map-side-combined contribution sum on dst. Per-order pair fan-out
+    is bounded by order size squared (TPC-H ≤ 7 items/order), so edges
+    grow linearly with lineitems. Beyond the broadcast threshold
+    (billions of nodes) the rank join falls back to a co-partitioned
+    shuffle join — same plan shape, one more exchange.
+
+    r18: the r17 eager localCheckpoints of the edge tables are GONE —
+    the frontier A/B at sf1 (10x) measured the checkpointed form at
+    4-5.7x the CPU and ~4x the wall of the plain lazy plan
+    (8596 vs 1976/1517 process-CPU seconds, interleaved arms), on top
+    of the +5-13% it cost at sf0.1 in r17; the static plan's repeated
+    self-join subtrees do NOT cost 34 scans' work at runtime, while
+    the checkpoint pays full edge materialization to executor storage
+    plus stat-less ExistingRDD reads in every iteration. The cut
+    remains correct where actions genuinely repeat (LPA, k-core,
+    components, modularity — driver loops with multiple actions).
 
     Determinism: weight normalization and per-edge contributions are
     single IEEE ops (identical across engines); contributions round to
@@ -1523,14 +1530,9 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     has inbound mass, so no dangling-mass correction is needed."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    # r17: the weighted edge table and its normalized form are eagerly
-    # materialized (localCheckpoint) — the claimed per-iteration
-    # exchange reuse did NOT happen at sf0.1 (executed plan: 34
-    # lineitem scans, 0 ReusedExchange), so every power iteration
-    # re-ran the self-join. With the cut the fact table is scanned
-    # once and each iteration is one broadcast join + one aggregate
-    # exchange. wsum is O(nodes) — broadcast into the normalize join
-    # (drop the hint past ~10^8 nodes and let it shuffle).
+    # wsum is O(nodes) — broadcast into the normalize join (drop the
+    # hint past ~10^8 nodes and let it shuffle). No checkpoint here:
+    # see the docstring — the r17 eager cut measured 4-5x worse at sf1.
     edges = (
         a.join(
             b,
@@ -1541,15 +1543,10 @@ def parts_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
     )
     wsum = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
-    en = (
-        edges.join(F.broadcast(wsum), "src")
-        .select(
-            "src", "dst", round_ties_safe(F.col("w") / F.col("wtot"), 12).alias("nw")
-        )
-        .localCheckpoint(eager=True)
+    en = edges.join(F.broadcast(wsum), "src").select(
+        "src", "dst", round_ties_safe(F.col("w") / F.col("wtot"), 12).alias("nw")
     )
     n = wsum.agg(F.count("*").cast("double").alias("n_nodes"))
     pr = wsum.crossJoin(F.broadcast(n)).select(
@@ -1789,10 +1786,14 @@ def parts_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order packs into one long key (deg << 32 | id — fine while ids fit
     32 bits; at bigger ids widen to a struct compare), identical
     arithmetic in the DuckDB oracle. Top-K via orderBy().limit()
-    (TakeOrderedAndProject), never a global window sort. r17: edges
-    materialize once (``_copurchase_graph_chk`` — the executed plan
-    used to scan lineitem 30x across the x/y/z branches)."""
-    edges, deg = _copurchase_graph_chk(spark, sf_dir)
+    (TakeOrderedAndProject), never a global window sort. r18: back on
+    the UNCUT graph — the r17 eager edge checkpoint measured as a pure
+    loss at both sf0.1 (+13%, r17) and the sf1 frontier (more CPU and
+    equal-or-worse wall in every interleaved arm: 7390/6521 vs
+    7113/6172 process-CPU s); the wedge join dominates, and the static
+    plan's 30 repeated self-join branches do not cost 30 executions'
+    work at runtime."""
+    edges, deg = _copurchase_graph(spark, sf_dir)
     tri = _oriented_triangles(edges, deg)
     per_node = (
         tri.select(F.explode(F.array("na", "nb", "nc")).alias("part_id"))

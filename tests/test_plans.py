@@ -658,17 +658,17 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
 
 
 def test_pagerank_materializes_edges_once_and_broadcasts_rank(spark, sf_dir):
-    """The canonical distributed-PageRank shape, r17 form: the
-    normalized edge table materializes ONCE (eager localCheckpoint —
-    the final plan contains NO lineitem scan; exchange reuse was
-    measured NOT to dedup the per-iteration subtrees, 34 scans) and
-    the rank vector reaches each contribution join as a broadcast, so
-    edges never reshuffle."""
+    """The canonical distributed-PageRank shape, r18 form: plain lazy
+    plan (NO eager edge checkpoint — the r17 cut measured 4-5x worse
+    at the sf1 frontier in process-CPU and wall, interleaved arms; the
+    repeated self-join subtrees in the unrolled plan do not cost their
+    static count at runtime) and the rank vector reaches each
+    contribution join as a broadcast, so edges never reshuffle."""
     df = _plan(spark, sf_dir, "parts_copurchase_pagerank")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "lineitem.parquet" not in plan  # edges pre-materialized
-    assert "Scan ExistingRDD" in plan  # the checkpointed edge table
+    assert "lineitem.parquet" in plan  # the uncut lazy plan
+    assert "Scan ExistingRDD" not in plan  # no checkpoint anywhere
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     # top-K must be TakeOrderedAndProject (per-partition top-K + driver
@@ -677,24 +677,28 @@ def test_pagerank_materializes_edges_once_and_broadcasts_rank(spark, sf_dir):
 
 
 def test_graph_family_materializes_edges_once_and_takeordered(spark, sf_dir):
-    """Triangles and Jaccard recompute nothing: the edge table
-    materializes once (eager localCheckpoint — the final plan has NO
-    lineitem scan; ReusedExchange was measured NOT to dedup the 30-38
-    per-branch self-joins), the O(nodes) degree-key tables broadcast
-    onto the edge stream, no cartesian anywhere, and the top-K is
-    TakeOrderedAndProject — never a global SinglePartition sort of the
-    per-node/per-edge table."""
+    """Graph-family plan shape: the O(nodes) degree-key tables
+    broadcast onto the edge stream, no cartesian anywhere, and the
+    top-K is TakeOrderedAndProject — never a global SinglePartition
+    sort of the per-node/per-edge table. r18: triangles is back on the
+    UNCUT graph (the r17 eager checkpoint measured as a pure loss at
+    sf0.1 and the sf1 frontier); jaccard keeps the cut it measured
+    neutral-to-positive with in r17."""
     from deker_server_adapters_spark.operators.tpch import (
         parts_copurchase_jaccard,
         parts_copurchase_triangles,
     )
 
-    for fn in (parts_copurchase_triangles, parts_copurchase_jaccard):
+    for fn, cut in ((parts_copurchase_triangles, False), (parts_copurchase_jaccard, True)):
         df = fn(spark, sf_dir)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "lineitem.parquet" not in plan
-        assert "Scan ExistingRDD" in plan
+        if cut:
+            assert "lineitem.parquet" not in plan
+            assert "Scan ExistingRDD" in plan
+        else:
+            assert "lineitem.parquet" in plan
+            assert "Scan ExistingRDD" not in plan
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastHashJoin" in plan  # the dk joins, not SMJ
