@@ -464,6 +464,11 @@ def deker_dedup_read_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.coalesce("value", F.lit(0.0)).alias("value"),
     )
+    # both write passes (decoy shift + real) derive from the same dense
+    # table — a lazy cut makes the events scan + grid join evaluate once
+    # at the first write instead of once per pass (and never at plan
+    # build, which registry-wide plan enumeration relies on)
+    dense = dense.localCheckpoint(eager=False)
     for pass_df in (dense.withColumn("value", F.col("value") + 1000.0), dense):
         (
             pass_df.write.format("deker")
@@ -538,6 +543,9 @@ def deker_compact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.coalesce("value", F.lit(0.0)).alias("value"),
     )
+    # the even/odd-hour passes both evaluate this subtree — lazy-cut it
+    # so the events scan + grid join run once (first write), not twice
+    dense = dense.localCheckpoint(eager=False)
     for parity in (0, 1):
         (
             dense.filter(F.col("hour") % 2 == parity)
