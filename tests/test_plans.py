@@ -702,6 +702,10 @@ def test_graph_family_materializes_edges_once_and_takeordered(spark, sf_dir):
         assert "CartesianProduct" not in plan
         assert "TakeOrderedAndProject" in plan
         assert "BroadcastHashJoin" in plan  # the dk joins, not SMJ
+        # r18: the two wedge joins are ShuffledHashJoin — sort-merge
+        # paid a sort of the O(sum deg²) wedge stream (1.5x measured)
+        assert plan.count("ShuffledHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
 
 
 def test_q72_dims_broadcast_single_agg_shuffle(spark, sf_dir):
