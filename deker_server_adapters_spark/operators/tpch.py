@@ -738,11 +738,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+    # r18 join order: the ASIA region filter prunes customers, then
+    # orders, BEFORE the lineitem join — at broadcastable SFs the plan
+    # is the same single fact pass, but at scale the fact join's other
+    # side is ~1/5 of orders instead of all of them (inner joins
+    # commute; result identical, oracle-checked)
+    cust_asia = cust.join(broadcast(n_c), cust.c_nationkey == F.col("cnk")).join(
+        broadcast(region), F.col("crk") == region.r_regionkey
+    )
+    orders_asia = orders.join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(broadcast(n_c), cust.c_nationkey == F.col("cnk"))
-        .join(broadcast(region), F.col("crk") == region.r_regionkey)
+        li.join(orders_asia, li.l_orderkey == orders_asia.o_orderkey)
         .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(broadcast(n_s), supp.s_nationkey == F.col("snk"))
         .withColumn("o_year", F.year("o_orderdate"))
